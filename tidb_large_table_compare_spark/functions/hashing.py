@@ -1,0 +1,108 @@
+"""Canonical row hashing for order-independent table digests.
+
+This is the engine's analog of sync-diff-inspector's per-chunk checksum that
+the reference parameterizes via ``chunk-size`` (reference:
+``syncdiff_config2/config.toml:21``, ``syncdiff_config2/my_database_users.toml:45``)
+and compares chunk-by-chunk before drilling down (SURVEY.md §2.B B5/B6).
+
+Hard parts handled here (SURVEY.md §7):
+
+- **Type-stable canonical forms.** ``xxhash64`` hashes Spark's internal binary
+  representation, so every column is first normalized to a canonical value:
+  floats/doubles get ``-0.0 → 0.0`` (they compare equal but have different
+  bits) and optional declared rounding for cross-engine tolerance; map columns
+  are serialized via sorted-key JSON (Spark refuses to hash MapType because
+  map iteration order is undefined).
+- **NULL vs empty string / NULL-skip ambiguity.** Spark's multi-column hash
+  functions *skip* NULL columns (the seed passes through unchanged), so
+  ``(NULL, 'a')`` and ``('a', NULL)`` could collide. We interleave an
+  ``isnull`` flag byte before every nullable column so the null pattern is
+  part of the hashed byte stream.
+- **Column order.** The hashed column order is the *sorted* column-name order,
+  not positional — two tables with the same columns in different physical
+  order digest identically (the structure diff reports the reorder
+  separately; reference report's STRUCTURE column,
+  ``step3_run_syncdiff.sh:204-209``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["canonical_columns", "row_hash", "bucket_id", "with_hash_columns"]
+
+
+def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Column:
+    """Normalize one column to a hash-stable canonical form."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # Widen all integral types to bigint: equal values must digest equally
+        # across benign type widening (int vs bigint hash different bytes);
+        # the structure diff reports the type change separately (B1).
+        return col.cast("long")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        c = col.cast("double")
+        if float_round is not None:
+            c = F.round(c, float_round)
+        # -0.0 == 0.0 is true, so this folds negative zero onto positive zero;
+        # NaN is left alone (Spark canonicalizes NaN bits in UnsafeRow).
+        return F.when(c == F.lit(0.0), F.lit(0.0)).otherwise(c)
+    if isinstance(dtype, T.MapType):
+        return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(col))))
+    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, (T.FloatType, T.DoubleType)):
+        inner = F.transform(
+            col,
+            lambda x: F.when(x.cast("double") == F.lit(0.0), F.lit(0.0)).otherwise(
+                x.cast("double")
+            ),
+        )
+        return inner
+    return col
+
+
+def canonical_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    float_round: int | None = None,
+) -> list[Column]:
+    """Interleaved (null-flag, canonical-value) expressions in sorted column order."""
+    names = sorted(cols if cols is not None else df.columns)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    out: list[Column] = []
+    for name in names:
+        out.append(F.isnull(F.col(name)).cast("int"))
+        out.append(_canonical(F.col(name), fields[name], float_round))
+    return out
+
+
+def row_hash(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    float_round: int | None = None,
+) -> Column:
+    """64-bit canonical row hash over ``cols`` (default: all columns)."""
+    return F.xxhash64(*canonical_columns(df, cols, float_round))
+
+
+def bucket_id(pk_cols: list[str], n_buckets: int) -> Column:
+    """Hash-bucket id from the PK — the engine's 'chunk' (SURVEY.md §1.1).
+
+    Physical PK-range chunks (reference ``chunk-size = 5000``) become hash
+    buckets: Spark partitioning already gives locality, and hash bucketing is
+    skew-resistant without needing PK statistics.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)).alias("bucket")
+
+
+def with_hash_columns(
+    df: DataFrame,
+    pk_cols: list[str],
+    n_buckets: int,
+    compare_cols: list[str] | None = None,
+    float_round: int | None = None,
+) -> DataFrame:
+    """Attach ``__bucket`` and ``__row_hash`` columns used by the compare plan."""
+    return df.withColumn("__bucket", bucket_id(pk_cols, n_buckets)).withColumn(
+        "__row_hash", row_hash(df, compare_cols, float_round)
+    )

@@ -1,0 +1,274 @@
+"""Digest-first large-table comparison — the engine's core operator.
+
+Re-implements natively what the reference delegates to sync-diff-inspector and
+pins via its per-table TOML template (SURVEY.md §2.B):
+
+- B1  structure compare            → :mod:`..operators.schema_diff`
+- B4  ``range`` row predicate       → ``CompareOptions.range_sql`` via ``F.expr``
+  (reference ``syncdiff_config2/my_database_users.toml:46``)
+- B5  chunk split (``chunk-size``)  → hash buckets ``pmod(xxhash64(pk), n)``
+  (reference ``my_database_users.toml:45``, ``config.toml:21``)
+- B6  per-chunk checksum + count    → ``groupBy(bucket).agg(count, bit_xor(hash), sum(hash))``
+- B8  row-level drill-down          → PK full-outer join *restricted to
+  mismatched buckets* via a broadcast semi-join
+- B9  UPCOUNT/DOWNCOUNT classification (reference report columns,
+  ``step3_run_syncdiff.sh:191-192, 216-218``)
+- B11 equivalence verdict (``step3_run_syncdiff.sh:204``)
+
+100 TB design: the digest pass shuffles only ``n_buckets`` partial aggregates
+per map task (map-side combine makes bytes-shuffled ∝ n_buckets, not rows);
+the drill-down pass re-scans both sides but discards all rows outside the
+mismatched buckets at the scan operator via a broadcast hash semi-join, so the
+PK join shuffles bytes ∝ diff size, not table size. Two narrow scans beat one
+full-table shuffle by orders of magnitude when tables mostly agree — which is
+the reference's entire reason to exist (1e9-row tables, ``config.toml:16``).
+
+Duplicate/NULL PKs degrade a PK join (SURVEY.md §7 hard parts): the multiset
+path (``pk=None`` or ``force_multiset``) instead compares whole-row-hash
+multiplicities — an ``exceptAll``-style diff that needs no key at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.functions.hashing import bucket_id, row_hash
+from tidb_large_table_compare_spark.operators.schema_diff import schema_diff
+
+__all__ = ["CompareOptions", "TableCompare", "compare_tables"]
+
+DEFAULT_CHUNK_SIZE = 5000  # reference chunk-size (config.toml:21)
+
+
+@dataclass(frozen=True)
+class CompareOptions:
+    """Knobs mirroring the reference's comparison-job template."""
+
+    chunk_size: int = DEFAULT_CHUNK_SIZE  # rows per bucket (B5)
+    n_buckets: int | None = None  # override; else estimated from left count
+    range_sql: str | None = None  # B4 arbitrary SQL predicate, e.g. "1 = 1"
+    float_round: int | None = None  # declared double tolerance (SURVEY.md §7)
+    check_struct_only: bool = False  # template check-struct-only
+    force_multiset: bool = False  # keyless/duplicate-PK fallback
+    min_buckets: int = 32
+    max_buckets: int = 1 << 20
+
+
+def _narrow(df: DataFrame, pk: list[str], compare_cols: list[str], n_buckets: int,
+            float_round: int | None) -> DataFrame:
+    """Project to (pk..., __bucket, __row_hash) — the only columns the compare
+    plan ever shuffles. Catalyst prunes the parquet scan to pk+compare cols."""
+    return df.select(
+        *[F.col(c) for c in pk],
+        bucket_id(pk, n_buckets).alias("__bucket"),
+        row_hash(df, compare_cols, float_round).alias("__row_hash"),
+    )
+
+
+class TableCompare:
+    """A lazily-planned comparison of two DataFrames.
+
+    All result accessors return DataFrames; nothing is executed until the
+    caller acts on them.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: DataFrame,
+        right: DataFrame,
+        pk: list[str] | None,
+        options: CompareOptions = CompareOptions(),
+        table_name: str = "table",
+    ) -> None:
+        self.spark = spark
+        self.options = options
+        self.table_name = table_name
+        self.pk = list(pk) if pk else []
+        if options.range_sql:  # B4
+            left = left.filter(F.expr(options.range_sql))
+            right = right.filter(F.expr(options.range_sql))
+        self.left = left
+        self.right = right
+        # Data diff runs over the columns both sides share; structure diff
+        # reports the rest (sync-diff compares data only when structure allows).
+        self.compare_cols = sorted(set(left.columns) & set(right.columns))
+        self._schema_diff: DataFrame | None = None
+        self._structure_ok: bool | None = None
+        self._diff_rows: DataFrame | None = None
+
+    # -- structure (B1) ----------------------------------------------------
+    def schema_diff(self) -> DataFrame:
+        if self._schema_diff is None:
+            self._schema_diff = schema_diff(self.spark, self.left, self.right)
+        return self._schema_diff
+
+    def structure_ok(self) -> bool:
+        if self._structure_ok is None:
+            self._structure_ok = self.schema_diff().filter(F.col("status") != "ok").isEmpty()
+        return self._structure_ok
+
+    # -- sizing ------------------------------------------------------------
+    def _n_buckets(self) -> int:
+        opt = self.options
+        if opt.n_buckets is not None:
+            return opt.n_buckets
+        # Local estimate via a metadata-cheap count. On a real deployment this
+        # comes from catalog statistics (the reference reads TABLE_ROWS from
+        # information_schema, step1_query_tables.sh:115-117) — never a scan.
+        rows = self.left.count()
+        n = max(opt.min_buckets, rows // max(opt.chunk_size, 1) + 1)
+        return min(n, opt.max_buckets)
+
+    # -- digest phase (B5/B6) ----------------------------------------------
+    def bucket_digests(self, side: str = "left") -> DataFrame:
+        df = self.left if side == "left" else self.right
+        narrow = _narrow(df, self.pk, self.compare_cols, self._n_buckets(),
+                         self.options.float_round)
+        # bit_xor is order-independent but cancels duplicate rows pairwise;
+        # count + sum(hash) are the independent second/third digests (B6).
+        # The sum accumulates in decimal(38,0): a bigint sum of 64-bit hashes
+        # overflows (ANSI mode raises), and wrap-around would weaken the digest.
+        return narrow.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.bit_xor("__row_hash").alias("xor_digest"),
+            F.sum(F.col("__row_hash").cast("decimal(38,0)")).alias("sum_digest"),
+        )
+
+    def mismatched_buckets(self) -> DataFrame:
+        l = self.bucket_digests("left").withColumnsRenamed(
+            {"cnt": "l_cnt", "xor_digest": "l_xor", "sum_digest": "l_sum"}
+        )
+        r = self.bucket_digests("right").withColumnsRenamed(
+            {"cnt": "r_cnt", "xor_digest": "r_xor", "sum_digest": "r_sum"}
+        )
+        joined = l.join(r, "__bucket", "full_outer")
+        bad = (
+            ~F.col("l_cnt").eqNullSafe(F.col("r_cnt"))
+            | ~F.col("l_xor").eqNullSafe(F.col("r_xor"))
+            | ~F.col("l_sum").eqNullSafe(F.col("r_sum"))
+        )
+        return joined.filter(bad).select("__bucket")
+
+    # -- drill-down (B8/B9) --------------------------------------------------
+    def diff_rows(self) -> DataFrame:
+        """(pk..., diff_type) for every differing row.
+
+        diff_type ∈ {'missing_in_right', 'extra_in_right', 'modified'}:
+        missing+modified rows need INSERT/REPLACE on the target (UPCOUNT),
+        extra+modified need DELETE/REPLACE (DOWNCOUNT) — matching the
+        reference report's semantics (B9).
+        """
+        if self._diff_rows is not None:
+            return self._diff_rows
+        if self.options.force_multiset or not self.pk:
+            self._diff_rows = self._diff_rows_multiset()
+            return self._diff_rows
+        n_buckets = self._n_buckets()
+        bad = self.mismatched_buckets()
+        lh = _narrow(self.left, self.pk, self.compare_cols, n_buckets,
+                     self.options.float_round)
+        rh = _narrow(self.right, self.pk, self.compare_cols, n_buckets,
+                     self.options.float_round)
+        # The mismatched-bucket set is tiny when tables mostly agree —
+        # broadcast it so each full-table scan filters map-side, shuffling
+        # only rows from bad buckets into the PK join.
+        lh = lh.join(F.broadcast(bad), "__bucket", "left_semi")
+        rh = rh.join(F.broadcast(bad), "__bucket", "left_semi")
+        lh = lh.select(*self.pk, F.col("__row_hash").alias("l_hash"))
+        rh = rh.select(*self.pk, F.col("__row_hash").alias("r_hash"))
+        joined = lh.join(rh, self.pk, "full_outer")
+        diff_type = (
+            F.when(F.col("r_hash").isNull(), F.lit("missing_in_right"))
+            .when(F.col("l_hash").isNull(), F.lit("extra_in_right"))
+            .when(F.col("l_hash") != F.col("r_hash"), F.lit("modified"))
+        )
+        self._diff_rows = (
+            joined.withColumn("diff_type", diff_type)
+            .filter(F.col("diff_type").isNotNull())
+            .select(*self.pk, "diff_type")
+        )
+        return self._diff_rows
+
+    def _diff_rows_multiset(self) -> DataFrame:
+        """exceptAll-style multiset diff keyed by whole-row hash.
+
+        Returns (__row_hash, diff_type, n) where n is the multiplicity delta;
+        used when PKs are absent or duplicated (SURVEY.md §7 hard parts).
+        """
+        fr = self.options.float_round
+        l = (
+            self.left.select(row_hash(self.left, self.compare_cols, fr).alias("__row_hash"))
+            .groupBy("__row_hash")
+            .agg(F.count(F.lit(1)).alias("l_cnt"))
+        )
+        r = (
+            self.right.select(row_hash(self.right, self.compare_cols, fr).alias("__row_hash"))
+            .groupBy("__row_hash")
+            .agg(F.count(F.lit(1)).alias("r_cnt"))
+        )
+        joined = l.join(r, "__row_hash", "full_outer").select(
+            "__row_hash",
+            F.coalesce("l_cnt", F.lit(0)).alias("l_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+        )
+        missing = joined.filter(F.col("l_cnt") > F.col("r_cnt")).select(
+            "__row_hash",
+            F.lit("missing_in_right").alias("diff_type"),
+            (F.col("l_cnt") - F.col("r_cnt")).alias("n"),
+        )
+        extra = joined.filter(F.col("r_cnt") > F.col("l_cnt")).select(
+            "__row_hash",
+            F.lit("extra_in_right").alias("diff_type"),
+            (F.col("r_cnt") - F.col("l_cnt")).alias("n"),
+        )
+        return missing.unionByName(extra)
+
+    # -- verdict (B9/B11) ----------------------------------------------------
+    def summary(self) -> DataFrame:
+        """One-row summary: (table, structure_ok, upcount, downcount, equivalent).
+
+        Mirrors the per-table ``summary.txt`` fields the reference report
+        extracts (``step3_run_syncdiff.sh:204-229``).
+        """
+        struct_ok = self.structure_ok()
+        if self.options.check_struct_only:
+            return self.spark.createDataFrame(
+                [(self.table_name, struct_ok, 0, 0, struct_ok)],
+                "table string, structure_ok boolean, upcount bigint, "
+                "downcount bigint, equivalent boolean",
+            )
+        diff = self.diff_rows()
+        n = F.col("n") if "n" in diff.columns else F.lit(1)
+        agg = diff.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("diff_type") != "extra_in_right", n)), F.lit(0)
+            ).alias("upcount"),
+            F.coalesce(
+                F.sum(F.when(F.col("diff_type") != "missing_in_right", n)), F.lit(0)
+            ).alias("downcount"),
+        )
+        return agg.select(
+            F.lit(self.table_name).alias("table"),
+            F.lit(struct_ok).alias("structure_ok"),
+            F.col("upcount").cast("bigint").alias("upcount"),
+            F.col("downcount").cast("bigint").alias("downcount"),
+            (
+                F.lit(struct_ok) & (F.col("upcount") == 0) & (F.col("downcount") == 0)
+            ).alias("equivalent"),
+        )
+
+
+def compare_tables(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    pk: list[str] | None,
+    options: CompareOptions = CompareOptions(),
+    table_name: str = "table",
+) -> TableCompare:
+    """Entry point: plan a comparison of two DataFrames."""
+    return TableCompare(spark, left, right, pk, options, table_name)

@@ -1,0 +1,45 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same settings
+(AQE, skew-join handling, UTC session timezone, Arrow) are what we would ship
+on a real cluster — only master/memory are local-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "tidb_large_table_compare_spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    AQE is on so runtime statistics re-plan joins (broadcast conversion,
+    skew-join splitting, partition coalescing) — at 100 TB this is what turns
+    the static plan into a survivable one. The session timezone is pinned to
+    UTC so timestamp semantics agree with the DuckDB oracle.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
