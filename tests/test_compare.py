@@ -1,0 +1,154 @@
+"""Golden + property tests for the compare engine (SURVEY.md §5).
+
+Mirrors the reference's observable semantics: diff counts as reported in
+summary.txt (step3_run_syncdiff.sh:216-228), the equivalence marker
+(step3:204), and the structure flag (step3:204-209).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.compare import (
+    CompareOptions,
+    compare_tables,
+)
+from tidb_large_table_compare_spark.operators.fixsql import fix_sql
+from tests.fixtures import (
+    K_EXTRA,
+    K_MISSING,
+    K_MODIFIED,
+    cmp_dupkeys_pair,
+    cmp_master,
+    cmp_slave,
+    cmp_slave_schema_drift,
+)
+
+
+@pytest.fixture(scope="module")
+def master(spark):
+    return cmp_master(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def slave(spark):
+    return cmp_slave(spark).cache()
+
+
+def _summary(spark, left, right, **opts):
+    cmp = compare_tables(
+        spark, left, right, pk=["pk"], options=CompareOptions(**opts), table_name="t"
+    )
+    return cmp.summary().collect()[0]
+
+
+def test_golden_diff_counts(spark, master, slave):
+    row = _summary(spark, master, slave, chunk_size=500)
+    assert row.upcount == K_MISSING + K_MODIFIED  # 70
+    assert row.downcount == K_EXTRA + K_MODIFIED  # 50
+    assert row.structure_ok and not row.equivalent
+
+
+def test_self_compare_equivalent(spark, master):
+    row = _summary(spark, master, master)
+    assert row.upcount == 0 and row.downcount == 0 and row.equivalent
+
+
+def test_bucket_count_invariance(spark, master, slave):
+    """chunk-size is a physical knob; results must not depend on it (B5)."""
+    for chunk in (50, 5000, 1_000_000):
+        row = _summary(spark, master, slave, chunk_size=chunk)
+        assert (row.upcount, row.downcount) == (70, 50), f"chunk={chunk}"
+
+
+def test_row_order_invariance(spark, master, slave):
+    """bit_xor/sum digests are commutative — shuffled input changes nothing."""
+    reshuffled = slave.orderBy(F.xxhash64("pk", F.lit(97)))
+    row = _summary(spark, master, reshuffled)
+    assert (row.upcount, row.downcount) == (70, 50)
+
+
+def test_diff_row_classification(spark, master, slave):
+    cmp = compare_tables(spark, master, slave, pk=["pk"])
+    by_type = {
+        r["diff_type"]: r["n"]
+        for r in cmp.diff_rows().groupBy("diff_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_type == {
+        "missing_in_right": K_MISSING,
+        "extra_in_right": K_EXTRA,
+        "modified": K_MODIFIED,
+    }
+
+
+def test_schema_drift_detected(spark, master):
+    drift = cmp_slave_schema_drift(spark)
+    cmp = compare_tables(spark, master, drift, pk=["pk"], table_name="drift")
+    statuses = {
+        r["column_name"]: r["status"]
+        for r in cmp.schema_diff().collect()
+    }
+    assert statuses["int_col"] == "type_mismatch"
+    assert statuses["bool_col"] == "missing_in_right"
+    assert statuses["new_col"] == "extra_in_right"
+    assert statuses["str_col"] == "reordered"
+    assert not cmp.structure_ok()
+
+
+def test_check_struct_only_short_circuits(spark, master):
+    drift = cmp_slave_schema_drift(spark)
+    row = _summary(spark, master, drift, check_struct_only=True)
+    assert not row.structure_ok and not row.equivalent
+    assert row.upcount == 0 and row.downcount == 0
+
+
+def test_range_predicate_scopes_compare(spark, master, slave):
+    """B4: the range WHERE clause restricts both sides before hashing."""
+    full = _summary(spark, master, slave)
+    half = _summary(spark, master, slave, range_sql="pk % 2 = 1")
+    # missing (pk ≡ 7 mod 200) and modified (pk ≡ 11 mod 500) pks are all odd,
+    # so upcount survives the odd-only scope; extras (10001..10030) are half
+    # even, so downcount shrinks to modified + odd extras.
+    assert half.upcount == full.upcount == K_MISSING + K_MODIFIED
+    assert half.downcount == K_MODIFIED + K_EXTRA // 2 < full.downcount
+
+
+def test_multiset_fallback_dupkeys(spark):
+    m, s, up, down = cmp_dupkeys_pair(spark)
+    cmp = compare_tables(spark, m, s, pk=None, table_name="dup")
+    row = cmp.summary().collect()[0]
+    assert (row.upcount, row.downcount) == (up, down)
+
+
+def test_null_vs_empty_string_distinguished(spark):
+    a = spark.createDataFrame([(1, None), (2, "")], "pk bigint, s string")
+    b = spark.createDataFrame([(1, ""), (2, None)], "pk bigint, s string")
+    row = _summary(spark, a, b)
+    assert row.upcount == 2 and row.downcount == 2  # both rows modified
+
+
+def test_negative_zero_equals_positive_zero(spark):
+    a = spark.createDataFrame([(1, -0.0)], "pk bigint, d double")
+    b = spark.createDataFrame([(1, 0.0)], "pk bigint, d double")
+    row = _summary(spark, a, b)
+    assert row.equivalent
+
+
+def test_float_round_tolerance(spark):
+    a = spark.createDataFrame([(1, 1.0000001)], "pk bigint, d double")
+    b = spark.createDataFrame([(1, 1.0000002)], "pk bigint, d double")
+    assert not _summary(spark, a, b).equivalent
+    assert _summary(spark, a, b, float_round=6).equivalent
+
+
+def test_fix_sql_statements(spark, master, slave):
+    cmp = compare_tables(spark, master, slave, pk=["pk"], table_name="db.t")
+    stmts = [r["fix_sql"] for r in fix_sql(cmp).collect()]
+    replaces = [s for s in stmts if s.startswith("REPLACE INTO db.t")]
+    deletes = [s for s in stmts if s.startswith("DELETE FROM db.t")]
+    assert len(replaces) == K_MISSING + K_MODIFIED
+    assert len(deletes) == K_EXTRA
+    assert all(s.endswith(";") for s in stmts)
+    # NULL handling and quote escaping are literal-rendered, not "None"
+    assert not any("None" in s for s in stmts)
