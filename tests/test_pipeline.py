@@ -1,0 +1,178 @@
+"""Orchestration + report parity tests (SURVEY.md §2.A operators, FIXTURES.md §5-7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.compare import CompareOptions
+from tidb_large_table_compare_spark.plans.discover import discover, stale_entries
+from tidb_large_table_compare_spark.plans.pipeline import CompareJob, run_jobs
+from tidb_large_table_compare_spark.plans.report import (
+    EQUIVALENT_MARKER,
+    latest_run,
+    render_report,
+    report_totals,
+)
+from tidb_large_table_compare_spark.sources.catalog import parquet_catalog
+from tidb_large_table_compare_spark.sources.reports import parse_summaries
+from tidb_large_table_compare_spark.sources.tables import TABLES
+from tests.conftest import SF_SMALL
+
+
+# ---- discovery (A1-A6, A11) -------------------------------------------------
+
+CATALOG_ROWS = [
+    # (schema, table, rows, pk_type) — FIXTURES.md §5: exactly 5 qualify
+    ("app_db", f"t{i}", rows, pk)
+    for i, (rows, pk) in enumerate(
+        [(5_000_000_000, "NONCLUSTERED")] * 5
+        + [(5_000_000_000, "CLUSTERED")] * 10
+        + [(1_000, "NONCLUSTERED")] * 15
+        + [(999_999_999, "NONCLUSTERED")] * 5
+        + [(1_000_000_001, "CLUSTERED")] * 5
+    )
+]
+
+
+def test_discovery_golden_count(spark):
+    catalog = spark.createDataFrame(
+        CATALOG_ROWS, "table_schema string, table_name string, table_rows bigint, pk_type string"
+    )
+    found = discover(catalog)
+    assert found.count() == 5
+    assert found.columns == ["table_schema", "table_name"]
+
+
+def test_discovery_empty_result_is_normal(spark):
+    """A6: empty discovery is a documented normal case (README.md:199-208)."""
+    catalog = spark.createDataFrame(
+        CATALOG_ROWS, "table_schema string, table_name string, table_rows bigint, pk_type string"
+    )
+    assert discover(catalog, row_threshold=10_000_000_000).isEmpty()
+
+
+def test_parquet_catalog_metadata_only(spark):
+    cat = parquet_catalog(spark, SF_SMALL, TABLES, row_scale=1_000_000)
+    assert cat.count() == len(TABLES)
+    found = discover(cat)
+    names = {r.table_name for r in found.collect()}
+    # events is exactly 1000 rows × 1e6 = 1e9 — excluded by the strict '>'
+    # (the reference predicate is TABLE_ROWS > 1000000000, config.toml:16)
+    assert names == {"orders", "lineitem"}
+
+
+def test_stale_anti_join(spark):
+    prev = spark.createDataFrame(
+        [("a", "t1"), ("a", "t2"), ("a", "t3")], "table_schema string, table_name string"
+    )
+    cur = spark.createDataFrame([("a", "t2")], "table_schema string, table_name string")
+    stale = stale_entries(prev, cur)
+    assert {r.table_name for r in stale.collect()} == {"t1", "t3"}
+
+
+# ---- execute + tally (A10/A12/A13) -------------------------------------------
+
+
+def test_run_jobs_tally_and_exit_code(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    nation = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+    jobs = [
+        CompareJob("main.orders", orders, orders, ["o_orderkey"]),
+        CompareJob("main.nation", nation, nation.filter(F.col("n_nationkey") != 3),
+                   ["n_nationkey"], CompareOptions(chunk_size=5)),
+    ]
+    run = run_jobs(spark, jobs, parallelism=2, run_ts="20240102_120000")
+    assert run.ok_count == 2 and run.fail_count == 0 and run.exit_code == 0
+    rows = {r.table: r for r in run.summaries.collect()}
+    assert rows["main.orders"].upcount == 0
+    assert rows["main.nation"].upcount == 1 and rows["main.nation"].downcount == 0
+
+
+def test_run_jobs_failure_isolated(spark):
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    bad = CompareJob("main.bad", orders, orders, ["no_such_column"])
+    good = CompareJob("main.orders", orders, orders, ["o_orderkey"])
+    run = run_jobs(spark, [bad, good], parallelism=1)
+    assert run.ok_count == 1 and run.fail_count == 1
+    assert run.failed_tables == ["main.bad"] and run.exit_code == 1
+
+
+# ---- report aggregation (A16-A25) --------------------------------------------
+
+SUMMARIES = [
+    ("20240101_000000", "`db`.`old`", True, 5, 5),
+    ("20240103_000000", "`db`.`a`", True, 0, 0),
+    ("20240103_000000", "`db`.`b`", False, 1_500_000, 2_000_000),
+    ("20240103_000000", "`db`.`c`", True, None, 7),  # A20: NULL upcount drops out
+    ("20240102_000000", "`db`.`a`", False, 9, 9),
+]
+
+
+@pytest.fixture()
+def summaries(spark):
+    return spark.createDataFrame(
+        SUMMARIES,
+        "run_ts string, table string, structure_ok boolean, upcount bigint, downcount bigint",
+    )
+
+
+def test_latest_run_filter(summaries):
+    latest = latest_run(summaries)
+    assert latest.count() == 3
+    assert {r.run_ts for r in latest.collect()} == {"20240103_000000"}
+
+
+def test_report_totals(summaries):
+    row = report_totals(summaries).collect()[0]
+    assert row.tables_checked == 3
+    assert row.structure_ok_cnt == 2 and row.structure_diff_cnt == 1
+    assert row.total_upcount == 1_500_000 and row.total_downcount == 2_000_007
+    assert row.volume_label == "3M"  # floor((1.5e6+2.000007e6)/1e6)
+
+
+def test_render_report_shape(summaries):
+    lines = [r.line for r in render_report(summaries).collect()]
+    assert lines[0].startswith("+") and lines[-1].startswith("+")
+    assert any("`db`.`b`" in l and "DIFF" in l for l in lines)
+    data = [l for l in lines if l.startswith("| `")]
+    assert len(data) == 3
+
+
+# ---- text parser path (A4, A14-A20; FIXTURES.md §7) ---------------------------
+
+
+def _write_summary(tmp_path, table, ts, up, down, equivalent, noise=False):
+    d = tmp_path / f"db_{table}_{ts}"
+    d.mkdir(parents=True)
+    lines = []
+    if noise:
+        lines.append("mysql: [Warning] Using a password on the command line.")
+    lines += [
+        "+---------------------+---------+-----------+",
+        "| TABLE               | UPCOUNT | DOWNCOUNT |",
+        "+---------------------+---------+-----------+",
+        f"| `db`.`{table}` | {up} | {down} |",
+        "+---------------------+---------+-----------+",
+    ]
+    if equivalent:
+        lines.append(EQUIVALENT_MARKER)
+    (d / "summary.txt").write_text("\n".join(lines) + "\n")
+
+
+def test_parse_summaries_text_path(spark, tmp_path):
+    _write_summary(tmp_path, "users", "20240103_010101", 12, 34, False, noise=True)
+    _write_summary(tmp_path, "items", "20240103_010101", 0, 0, True)
+    _write_summary(tmp_path, "users", "20240101_010101", 99, 99, False)
+    _write_summary(tmp_path, "weird", "20240103_010101", "abc", 7, False)  # A20 guard
+
+    parsed = parse_summaries(spark, f"{tmp_path}/*/summary.txt")
+    rows = {r.table: r for r in parsed.collect()}
+    assert rows["`db`.`users`"].upcount == 12 or rows["`db`.`users`"].upcount == 99
+    assert rows["`db`.`items`"].structure_ok
+    assert rows["`db`.`weird`"].upcount is None and rows["`db`.`weird`"].downcount == 7
+
+    # chained with the report stage: latest run only, guarded totals
+    totals = report_totals(parsed).collect()[0]
+    assert totals.tables_checked == 3  # users@latest, items, weird
+    assert totals.total_upcount == 12 and totals.total_downcount == 41

@@ -1,0 +1,114 @@
+"""End-to-end orchestration: discover → plan → execute → report.
+
+Collapses the reference's three file-mediated stages (SURVEY.md §3) into one
+driver program:
+
+- plan: one :class:`CompareJob` per discovered table — the in-memory analog
+  of the generated per-table TOML (``step2_generate_configs.sh:96-133``);
+  no file intermediary, no template substitution.
+- execute: per-table comparisons, optionally overlapped with a thread pool
+  (the reference runs tables strictly serially, ``step3:106-123``; Spark's
+  scheduler interleaves jobs submitted from threads, so table-level
+  concurrency is free).
+- tally: success/failure counts, failed-table list, nonzero-exit semantics
+  (A13, ``step3:100-122, 247-249``).
+- report: union of per-table summaries → :mod:`.report` totals/rendering.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tidb_large_table_compare_spark.operators.compare import (
+    CompareOptions,
+    compare_tables,
+)
+
+__all__ = ["CompareJob", "CompareRun", "run_jobs"]
+
+
+@dataclass
+class CompareJob:
+    """Per-table comparison spec (the generated-TOML analog, SURVEY.md §1.1)."""
+
+    table: str  # '{schema}.{table}' display name
+    left: DataFrame
+    right: DataFrame
+    pk: list[str] | None
+    options: CompareOptions = field(default_factory=CompareOptions)
+
+
+@dataclass
+class CompareRun:
+    """Outcome of a batch of comparison jobs (A13 semantics)."""
+
+    run_ts: str
+    summaries: DataFrame  # (run_ts, table, structure_ok, upcount, downcount)
+    ok_count: int
+    fail_count: int
+    failed_tables: list[str]
+
+    @property
+    def exit_code(self) -> int:
+        """Nonzero if any table failed (``step3_run_syncdiff.sh:247-249``)."""
+        return 1 if self.fail_count else 0
+
+
+def run_jobs(
+    spark: SparkSession,
+    jobs: list[CompareJob],
+    parallelism: int = 4,
+    run_ts: str | None = None,
+) -> CompareRun:
+    """Execute comparison jobs and aggregate their summaries.
+
+    Each job's summary is computed eagerly (it is a one-row result; the heavy
+    lifting stays distributed) so per-table failures are isolated exactly the
+    way the reference isolates per-config tool failures (``step3:111-122``).
+    """
+    run_ts = run_ts or time.strftime("%Y%m%d_%H%M%S")
+
+    def one(job: CompareJob):
+        cmp = compare_tables(
+            spark, job.left, job.right, job.pk, job.options, job.table
+        )
+        return job.table, cmp.summary().collect()[0]
+
+    results: list[tuple[str, object]] = []
+    failed: list[str] = []
+    if parallelism > 1 and len(jobs) > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            futures = {pool.submit(one, j): j.table for j in jobs}
+            for fut, table in futures.items():
+                try:
+                    results.append(fut.result())
+                except Exception:
+                    failed.append(table)
+    else:
+        for j in jobs:
+            try:
+                results.append(one(j))
+            except Exception:
+                failed.append(j.table)
+
+    rows = [
+        (run_ts, table, row.structure_ok, row.upcount, row.downcount)
+        for table, row in results
+    ]
+    summaries = spark.createDataFrame(
+        rows,
+        "run_ts string, table string, structure_ok boolean, "
+        "upcount bigint, downcount bigint",
+    )
+    return CompareRun(
+        run_ts=run_ts,
+        summaries=summaries,
+        ok_count=len(results),
+        fail_count=len(failed),
+        failed_tables=sorted(failed),
+    )

@@ -1,0 +1,489 @@
+"""Query registry — the driver-facing inventory of implemented operators.
+
+Every entry pairs a Spark implementation (``QUERIES[name]``) with a DuckDB
+oracle (``ORACLES[name]``); `__spark_entry__.py` re-exports both. Operators
+come from SURVEY.md §2 (A = reference shell operators, B = delegated
+comparison semantics, C/ext = BASELINE.json extensions).
+
+Conventions that keep the two engines hash-identical:
+- money math in tightly-sized DECIMAL (exact in both), cast to DOUBLE only in
+  the final projection (identical decimal → identical double bits);
+- every computed column aliased identically on both sides;
+- deterministic tiebreakers on every window/top-k ordering;
+- where the query is plain ANSI SQL, Spark runs the *same string* through
+  ``spark.sql`` over temp views, so there is nothing to drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.compare import (
+    CompareOptions,
+    compare_tables,
+)
+from tidb_large_table_compare_spark.operators.fixsql import fix_sql
+from tidb_large_table_compare_spark.operators.schema_diff import schema_diff
+from tidb_large_table_compare_spark.perturb import (
+    PERTURBED_ORDERS_SQL,
+    perturbed_orders,
+)
+from tidb_large_table_compare_spark.plans.discover import discover, stale_entries
+from tidb_large_table_compare_spark.plans.report import report_totals, render_report
+from tidb_large_table_compare_spark.sources.catalog import (
+    NONCLUSTERED_TABLES,
+    parquet_catalog,
+)
+from tidb_large_table_compare_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None):
+    QUERIES[name] = fn
+    if sql is not None:
+        ORACLES[name] = sql
+
+
+def _shared_sql(name: str, sql: str) -> None:
+    """Register a pure-ANSI query: Spark executes the identical SQL string."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    _register(name, fn, sql)
+
+
+# ===========================================================================
+# 1. Comparison engine (SURVEY.md §2.B)
+# ===========================================================================
+
+_ORDERS_DIFF_PRED = """
+      m.o_custkey       IS DISTINCT FROM s.o_custkey OR
+      m.o_orderstatus   IS DISTINCT FROM s.o_orderstatus OR
+      m.o_totalprice    IS DISTINCT FROM s.o_totalprice OR
+      m.o_orderdate     IS DISTINCT FROM s.o_orderdate OR
+      m.o_orderpriority IS DISTINCT FROM s.o_orderpriority
+"""
+
+_CMP_SUMMARY_ORDERS_SQL = f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL}),
+j AS (
+  SELECT m.o_orderkey AS l_pk, s.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+          ({_ORDERS_DIFF_PRED})) AS modified
+  FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+)
+SELECT 'main.orders' AS "table",
+       TRUE AS structure_ok,
+       (SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS upcount,
+       (SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS downcount,
+       (SUM(CASE WHEN l_pk IS NULL OR r_pk IS NULL OR modified THEN 1 ELSE 0 END) = 0)
+         AS equivalent
+FROM j
+"""
+
+
+def _cmp(spark: SparkSession, sf_dir: str, **opts):
+    orders = load_table(spark, sf_dir, "orders")
+    return compare_tables(
+        spark, orders, perturbed_orders(orders), pk=["o_orderkey"],
+        options=CompareOptions(**opts), table_name="main.orders",
+    )
+
+
+_register("cmp_summary_orders",
+          lambda spark, sf: _cmp(spark, sf).summary(),
+          _CMP_SUMMARY_ORDERS_SQL)
+
+# Same verdict must come out of the keyless multiset path: a modified row is
+# one missing multiset member (old version) plus one extra (new version).
+_register("cmp_summary_orders_multiset",
+          lambda spark, sf: _cmp(spark, sf, force_multiset=True).summary(),
+          _CMP_SUMMARY_ORDERS_SQL)
+
+_register(
+    "cmp_diff_rows_orders",
+    lambda spark, sf: _cmp(spark, sf).diff_rows(),
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL})
+SELECT COALESCE(m.o_orderkey, s.o_orderkey) AS o_orderkey,
+       CASE WHEN s.o_orderkey IS NULL THEN 'missing_in_right'
+            WHEN m.o_orderkey IS NULL THEN 'extra_in_right'
+            ELSE 'modified' END AS diff_type
+FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+WHERE s.o_orderkey IS NULL OR m.o_orderkey IS NULL OR ({_ORDERS_DIFF_PRED})
+""",
+)
+
+
+def _cmp_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return compare_tables(
+        spark, orders, orders, pk=["o_orderkey"], table_name="main.orders"
+    ).summary()
+
+
+_register(
+    "cmp_summary_self",
+    _cmp_self,
+    """
+SELECT 'main.orders' AS "table", TRUE AS structure_ok,
+       0::BIGINT AS upcount, 0::BIGINT AS downcount, TRUE AS equivalent
+""",
+)
+
+
+def _cmp_schema_diff_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 structure diff against a drifted schema (retype + drop + add)."""
+    orders = load_table(spark, sf_dir, "orders")
+    drifted = (
+        orders.withColumn("o_custkey", F.col("o_custkey").cast("int"))
+        .drop("o_orderpriority")
+        .withColumn("o_note", F.lit("x"))
+    )
+    return schema_diff(spark, orders, drifted).select("column_name", "status")
+
+
+# The expected classification is scale-independent — the oracle is the golden
+# constant table (a legitimate oracle for metadata-shaped results).
+_register(
+    "cmp_schema_diff_drift",
+    _cmp_schema_diff_drift,
+    """
+SELECT * FROM (VALUES
+  ('o_orderkey', 'ok'), ('o_custkey', 'type_mismatch'), ('o_orderstatus', 'ok'),
+  ('o_totalprice', 'ok'), ('o_orderdate', 'ok'),
+  ('o_orderpriority', 'missing_in_right'), ('o_note', 'extra_in_right')
+) AS t(column_name, status)
+""",
+)
+
+_register(
+    "cmp_fix_sql_orders",
+    lambda spark, sf: fix_sql(_cmp(spark, sf)),
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL}),
+diff AS (
+  SELECT COALESCE(m.o_orderkey, s.o_orderkey) AS o_orderkey,
+         CASE WHEN s.o_orderkey IS NULL THEN 'missing_in_right'
+              WHEN m.o_orderkey IS NULL THEN 'extra_in_right'
+              ELSE 'modified' END AS diff_type
+  FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey IS NULL OR m.o_orderkey IS NULL OR ({_ORDERS_DIFF_PRED})
+)
+SELECT 'REPLACE INTO main.orders (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority) VALUES ('
+       || CAST(m.o_orderkey AS VARCHAR) || ', ' || CAST(m.o_custkey AS VARCHAR)
+       || ', ''' || m.o_orderstatus || ''', ' || CAST(m.o_totalprice AS VARCHAR)
+       || ', ''' || strftime(m.o_orderdate, '%Y-%m-%d %H:%M:%S.%f')
+       || ''', ''' || m.o_orderpriority || ''');' AS fix_sql
+FROM orders m JOIN diff d ON m.o_orderkey = d.o_orderkey
+WHERE d.diff_type <> 'extra_in_right'
+UNION ALL
+SELECT 'DELETE FROM main.orders WHERE o_orderkey = ' || CAST(d.o_orderkey AS VARCHAR) || ';'
+FROM diff d WHERE d.diff_type = 'extra_in_right'
+""",
+)
+
+
+# ===========================================================================
+# 2. Orchestration: discovery, stale cleanup, report (SURVEY.md §2.A)
+# ===========================================================================
+
+_ROW_SCALE = 100_000  # lifts sf-scale row counts into the reference's 1e9 regime
+
+_CATALOG_CTE = "\nUNION ALL\n".join(
+    f"SELECT 'main' AS table_schema, '{t}' AS table_name, "
+    f"(SELECT COUNT(*) FROM {t}) * {_ROW_SCALE} AS table_rows, "
+    f"'{'NONCLUSTERED' if t in NONCLUSTERED_TABLES else 'CLUSTERED'}' AS pk_type"
+    for t in TABLES
+)
+
+
+def _catalog_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = parquet_catalog(spark, sf_dir, TABLES, row_scale=_ROW_SCALE)
+    return discover(cat)
+
+
+_register(
+    "catalog_discovery",
+    _catalog_discovery,
+    f"""
+WITH catalog AS ({_CATALOG_CTE})
+SELECT table_schema, table_name FROM catalog
+WHERE table_rows > 1000000000 AND pk_type = 'NONCLUSTERED'
+""",
+)
+
+
+def _stale_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: entries discovered by yesterday's looser run, gone today."""
+    cat = parquet_catalog(spark, sf_dir, TABLES, row_scale=_ROW_SCALE)
+    previous = discover(cat, row_threshold=50_000_000)
+    current = discover(cat)
+    return stale_entries(previous, current)
+
+
+_register(
+    "stale_worklist",
+    _stale_worklist,
+    f"""
+WITH catalog AS ({_CATALOG_CTE}),
+previous AS (SELECT table_schema, table_name FROM catalog
+             WHERE table_rows > 50000000 AND pk_type = 'NONCLUSTERED'),
+current_run AS (SELECT table_schema, table_name FROM catalog
+                WHERE table_rows > 1000000000 AND pk_type = 'NONCLUSTERED')
+SELECT * FROM previous EXCEPT SELECT * FROM current_run
+""",
+)
+
+
+def _report_latest_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16-A23 over real compare outputs plus a stale prior run."""
+    orders = load_table(spark, sf_dir, "orders")
+    s_perturbed = (
+        compare_tables(spark, orders, perturbed_orders(orders), ["o_orderkey"],
+                       table_name="main.orders")
+        .summary().withColumn("run_ts", F.lit("20240202_000000"))
+    )
+    s_self = (
+        compare_tables(spark, orders, orders, ["o_orderkey"],
+                       table_name="main.orders_self")
+        .summary().withColumn("run_ts", F.lit("20240202_000000"))
+    )
+    old = spark.createDataFrame(
+        [("20240101_000000", "main.orders", False, 9, 9)],
+        "run_ts string, table string, structure_ok boolean, upcount bigint, downcount bigint",
+    )
+    summaries = (
+        s_perturbed.select("run_ts", "table", "structure_ok", "upcount", "downcount")
+        .unionByName(s_self.select("run_ts", "table", "structure_ok", "upcount", "downcount"))
+        .unionByName(old)
+    )
+    return report_totals(summaries)
+
+
+_register(
+    "report_latest_totals",
+    _report_latest_totals,
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL}),
+j AS (
+  SELECT m.o_orderkey AS l_pk, s.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+          ({_ORDERS_DIFF_PRED})) AS modified
+  FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+),
+cmp AS (
+  SELECT SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS up,
+         SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS down
+  FROM j
+)
+SELECT 2::BIGINT AS tables_checked, 2::BIGINT AS structure_ok_cnt,
+       0::BIGINT AS structure_diff_cnt,
+       up AS total_upcount, down AS total_downcount,
+       CAST(FLOOR((up + down) / 1000000) AS BIGINT) || 'M' AS volume_label
+FROM cmp
+""",
+)
+
+# Rendered fixed-width report lines (A24/A25): format parity is asserted by
+# unit tests; registered rows-only here (text rendering is not an oracle-
+# friendly value surface).
+def _render_report_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    summaries = (
+        compare_tables(spark, orders, perturbed_orders(orders), ["o_orderkey"],
+                       table_name="`main`.`orders`")
+        .summary().withColumn("run_ts", F.lit("20240202_000000"))
+        .select("run_ts", "table", "structure_ok", "upcount", "downcount")
+    )
+    return render_report(summaries)
+
+
+_register("render_report_lines", _render_report_lines, None)
+
+
+# ===========================================================================
+# 3. Analytics surface (SURVEY.md §2.C) — shared ANSI SQL, one string both
+#    engines. TPC-H-shaped over the test star schema.
+# ===========================================================================
+
+_shared_sql(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
+                (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+         AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+_shared_sql(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+)
+
+_shared_sql(
+    "q5_revenue_by_nation",
+    """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+
+_shared_sql(
+    "top3_customers_per_nation",
+    """
+SELECT n_name, c_name, c_acctbal, rnk FROM (
+  SELECT n.n_name, c.c_name, c.c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rnk
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+) t
+WHERE rnk <= 3
+""",
+)
+
+# events.ts is nanosecond-precision parquet; Spark reads it truncated to
+# microseconds while DuckDB keeps nanos. Every event query goes through this
+# normalizing CTE (CAST truncates DuckDB to µs; it is value-preserving on the
+# Spark side) so both engines see identical timestamps.
+_EVENTS_N = """
+events_n AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+  FROM events
+)
+"""
+
+_shared_sql(
+    "latest_event_per_user",
+    f"""
+WITH {_EVENTS_N}
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events_n
+) t
+WHERE rn = 1
+""",
+)
+
+_shared_sql(
+    "order_priority_counts",
+    """
+SELECT o_orderpriority,
+       COUNT(*) AS order_count,
+       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
+       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_ticket_count
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+
+_shared_sql(
+    "sessionize_events",
+    f"""
+WITH {_EVENTS_N}
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events_n
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t
+GROUP BY user_id
+""",
+)
+
+_shared_sql(
+    "hourly_event_counts",
+    f"""
+WITH {_EVENTS_N}
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events_n
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+
+# JSON extraction (events.props) — dialect differs, values must not.
+_register(
+    "json_props_by_type",
+    lambda spark, sf: (
+        register_views(spark, sf),
+        spark.sql(
+            """
+            SELECT event_type,
+                   SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+            """
+        ),
+    )[1],
+    """
+SELECT event_type,
+       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+
+_shared_sql(
+    "string_ops_documents",
+    """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)) AS sum_src_num,
+       SUM(length(text)) AS total_chars,
+       SUM(CASE WHEN substring(text, 1, 4) = 'the ' THEN 1 ELSE 0 END) AS the_prefix_docs
+FROM documents
+GROUP BY lang
+""",
+)

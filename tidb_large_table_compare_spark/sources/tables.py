@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -32,6 +33,16 @@ def sf_dir_from_env() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+        # ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert to
+        # microsecond-precision TIMESTAMP_NTZ with exact integer division
+        # (a double division would lose precision above 2^53 nanoseconds).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
