@@ -1,0 +1,86 @@
+"""Targeted tests for the LLM-pipeline extension operators (correctness
+properties the oracle suite can't express: recall, hamming behavior,
+streaming/batch agreement)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    word_ngrams,
+)
+from tidb_large_table_compare_spark.registry import QUERIES, _near_dup_corpus
+from tests.conftest import SF_SMALL
+
+
+def test_word_ngrams_short_text_guard(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d e",)], "text string")
+    out = df.select(F.size(word_ngrams(F.col("text"), 3)).alias("n")).collect()
+    assert [r.n for r in out] == [0, 3]
+
+
+def test_lsh_recall_on_constructed_dups(spark):
+    """Every constructed near-dup pair must survive LSH banding (the verified
+    output is oracle-checked elsewhere; this pins the recall property)."""
+    corpus = _near_dup_corpus(spark, SF_SMALL)
+    shingled = corpus.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 5)).alias("shingle")
+    )
+    sigs = minhash_signature(shingled, "doc_id", "shingle")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    expected = {
+        (r.doc_id, r.doc_id + 100_000)
+        for r in corpus.filter(F.col("doc_id") % 10 == 3)
+        .filter(F.col("doc_id") < 100_000)
+        .select("doc_id")
+        .collect()
+    }
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert expected <= got, f"LSH missed {expected - got}"
+
+
+def test_simhash_near_vs_far(spark):
+    corpus = _near_dup_corpus(spark, SF_SMALL)
+    toks = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    sh = simhash(toks, "doc_id", "token")
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    pair_ids = sorted(d for d in vals if d >= 100_000)[:10]
+    near = [hamming(vals[d], vals[d - 100_000]) for d in pair_ids]
+    far = [hamming(vals[pair_ids[i]], vals[pair_ids[i + 1]]) for i in range(5)]
+    assert max(near) <= 12, f"near-dup hamming too high: {near}"
+    assert min(far) > max(near), f"no separation: near={near} far={far}"
+
+
+def test_streaming_matches_batch(spark):
+    stream_rows = sorted(
+        tuple(r) for r in QUERIES["streaming_hourly_counts"](spark, SF_SMALL).collect()
+    )
+    batch_rows = sorted(
+        tuple(r) for r in QUERIES["hourly_event_counts"](spark, SF_SMALL).collect()
+    )
+    assert stream_rows == batch_rows
+
+
+def test_multimodal_metadata_values(spark):
+    out = QUERIES["multimodal_binary_meta"](spark, SF_SMALL)
+    row = out.orderBy("doc_id").first()
+    assert row.n_bytes > 0 and 0 <= row.head_byte < 256
+    assert row.media_format == "raw"
+
+
+def test_ann_topk_shape(spark):
+    out = QUERIES["ann_cosine_topk"](spark, SF_SMALL)
+    rows = out.collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == [1, 2, 3, 4, 5], f"query {q}: {ranks}"
+        assert all(-1.0 <= r.cosine <= 1.0000001 for r in rows)

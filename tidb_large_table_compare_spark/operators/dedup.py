@@ -1,0 +1,151 @@
+"""Deduplication operators — BASELINE.json LLM-pipeline extensions.
+
+Not present in the reference (SURVEY.md §2.C marks distinct/dedup **ext**);
+designed for the 100 TB regime the north-star mandates:
+
+- exact dedup: hash-groupBy on content — one shuffle of (key, id) pairs only;
+- MinHash + LSH near-dup: per-doc signatures (map-side, no shuffle), banded
+  bucket join so candidate generation shuffles band keys (bytes ∝ docs ×
+  n_bands), then exact Jaccard verification **only on candidate pairs** —
+  never the quadratic pair space;
+- SimHash: 64-bit signed-projection fingerprint, bit-arithmetic built-ins.
+
+All JVM-side built-ins (split/transform/aggregate/xxhash64); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup_groups",
+    "word_ngrams",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "jaccard_verified_pairs",
+    "simhash",
+]
+
+
+def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Duplicate groups by exact content: (keep_id = min id, n_copies)."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies")
+    )
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles of a single-space-tokenized text.
+
+    Guarded for short texts: Spark's ``sequence(1, 0)`` counts *down* to
+    ``[1, 0]`` rather than yielding an empty array, so texts with fewer than
+    ``n`` tokens are mapped to an explicit empty shingle set.
+    """
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(
+    shingled: DataFrame, id_col: str, shingle_col: str, n_hashes: int = 128
+) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signature from exploded shingles.
+
+    One aggregation pass: ``min(xxhash64(shingle, seed_i))`` per seed — the
+    shuffle carries n_hashes longs per document, independent of doc length.
+    """
+    mins = [
+        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 128, n_bands: int = 32
+) -> DataFrame:
+    """Banded LSH: docs colliding in any band become (id_a < id_b) candidates.
+
+    Shuffle ∝ docs × n_bands; the quadratic blow-up is confined to rows that
+    share a band bucket (true near-dups plus a vanishing false-positive rate).
+    """
+    rows = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.withColumnRenamed(id_col, "id_a")
+    b = exploded.withColumnRenamed(id_col, "id_b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verified_pairs(
+    candidates: DataFrame,
+    shingle_sets: DataFrame,  # (id, shingles array)
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: (id_a, id_b, jaccard ≥ t)."""
+    sa = shingle_sets.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingle_sets.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    joined = candidates.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(tokens_exploded: DataFrame, id_col: str, token_col: str) -> DataFrame:
+    """64-bit SimHash per document from exploded tokens.
+
+    For each bit j, sum +1/-1 according to bit j of the token hash; the
+    fingerprint sets bit j when the sum is positive. 64 conditional sums in
+    one aggregation — no UDFs, no per-row Python.
+    """
+    h = F.xxhash64(F.col(token_col))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    agg = tokens_exploded.groupBy(id_col).agg(*sums)
+    fingerprint = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,70 @@
+"""Multimodal column plumbing — BASELINE.json extension.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata. The
+Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow batch
+shapes) is real and tested; the actual media decoding is stubbed behind
+``decode_media`` because codec libraries are not in this environment — the
+stub extracts deterministic byte-level features so oracles can verify the
+pipeline end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["attach_binary_payload", "binary_metadata", "decode_media"]
+
+META_SCHEMA = "doc_id bigint, n_bytes bigint, head_byte bigint, media_format string"
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat the UTF-8 text bytes as an opaque media payload column.
+
+    In a real pipeline this column comes straight from parquet ``binary``;
+    deriving it from text keeps the fixture deterministic and oracle-checkable
+    (byte length / head byte are recomputable in SQL).
+    """
+    return df.withColumn("payload", F.col(text_col).cast("binary"))
+
+
+def binary_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched metadata extraction over the binary column.
+
+    ``mapInPandas`` keeps partitioning intact (no shuffle) and moves bytes
+    via Arrow batches — the pattern real decoders (image resize, audio
+    resample, frame sampling) plug into.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "head_byte": payload.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int64"),
+                    "media_format": "raw",
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(extract, META_SCHEMA)
+
+
+def decode_media(df: DataFrame, media_format: str) -> DataFrame:
+    """Decode/feature-extract a real media payload (image/audio/video).
+
+    STUB: codec libraries (PIL/ffmpeg/librosa) are not available in this
+    environment. The Spark plumbing above (schema, batching, partitioning)
+    is what a real decoder drops into.
+    """
+    raise NotImplementedError(
+        f"media decoding for {media_format!r} requires codec libraries not "
+        "present in this environment; see binary_metadata() for the "
+        "Arrow-batched plumbing a decoder plugs into"
+    )

@@ -1,0 +1,133 @@
+"""Embedding similarity search — BASELINE.json extension (array<float> column).
+
+Cross-engine determinism trick: components are quantized to integers
+(``round(x * 1e6)`` as bigint) before any arithmetic, so dot products and
+norms are *exact* in both Spark and the DuckDB oracle; the final cosine is a
+double computed from identical integers → identical bits → hash-stable.
+
+Scale design:
+- brute-force top-k: the query set is broadcast, each executor scans its
+  partition of the corpus and emits pairs; the only shuffle is the final
+  per-query top-k (rows ∝ queries × corpus — exact but quadratic; the
+  baseline path for small query sets);
+- sign-LSH bucketing: a deterministic coarse signature (component signs)
+  prunes the pair space before the exact cosine — the 100 TB path, where the
+  join key is (label, sign-bits) and only same-bucket pairs are scored.
+
+All built-ins (`transform`/`zip_with`/`aggregate`); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import window as W
+
+__all__ = ["quantize", "dot_q", "norm_q", "cosine_q", "brute_force_topk", "sign_bucket"]
+
+_SCALE = 1_000_000
+
+
+def quantize(vec: Column) -> Column:
+    """float array → exact bigint array (×1e6, rounded)."""
+    return F.transform(vec, lambda x: F.round(x.cast("double") * _SCALE).cast("long"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_q(a: Column) -> Column:
+    return F.sqrt(dot_q(a, a).cast("double"))
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine from quantized vectors — bit-identical across engines."""
+    return dot_q(a, b).cast("double") / (norm_q(a) * norm_q(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+
+    Returns (query_id, neighbor_id, cosine, rank). The query side is
+    broadcast — the corpus scan is map-side only.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_q(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = W.Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(vec: Column, n_bits: int = 5) -> Column:
+    """Deterministic coarse LSH bucket: sign bits of the first components.
+
+    Identical/near-identical vectors land in the same bucket; the candidate
+    join is equi-keyed on (bucket, …) so Spark never materializes the full
+    pair space.
+    """
+    bucket = F.lit(0).cast("long")
+    for i in range(1, n_bits + 1):
+        bit = F.when(F.element_at(vec, i) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + F.shiftleft(bit, i - 1)
+    return bucket
+
+
+def bucketed_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine ≥ threshold) via sign-LSH blocking.
+
+    Pairs are generated only within (label, sign-bucket) blocks; exact
+    quantized cosine filters them. Returns (id_a, id_b, cosine).
+    """
+    prepped = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        quantize(F.col(vec_col)).alias("qv"),
+        sign_bucket(F.col(vec_col)).alias("bucket"),
+    )
+    a = prepped.select(
+        F.col("id").alias("id_a"), "lbl", "bucket", F.col("qv").alias("qa")
+    )
+    b = prepped.select(
+        F.col("id").alias("id_b"), "lbl", "bucket", F.col("qv").alias("qb")
+    )
+    joined = a.join(b, ["lbl", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("cosine", cosine_q(F.col("qa"), F.col("qb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -487,3 +487,353 @@ FROM documents
 GROUP BY lang
 """,
 )
+
+
+# ===========================================================================
+# 4. LLM-pipeline extensions (BASELINE.json): dedup, similarity, text
+#    analysis, multimodal plumbing, streaming.
+# ===========================================================================
+
+from tidb_large_table_compare_spark.operators import textops  # noqa: E402
+from tidb_large_table_compare_spark.operators.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    jaccard_verified_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash,
+    word_ngrams,
+)
+from tidb_large_table_compare_spark.operators.multimodal import (  # noqa: E402
+    attach_binary_payload,
+    binary_metadata,
+)
+from tidb_large_table_compare_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    bucketed_neardup_pairs,
+)
+from tidb_large_table_compare_spark.streaming.events import (  # noqa: E402
+    streaming_hourly_counts,
+)
+
+# Deterministic duplicate corpora: the test documents are all distinct, so
+# dedup queries construct known duplicates inline (FIXTURES.md §8 pattern —
+# the "slave side" built from the master so oracles stay SQL-expressible).
+_EXACT_DUP_CTE = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 3
+"""
+
+_NEAR_DUP_CTE = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text || ' xtra xtra' AS text
+  FROM documents WHERE doc_id % 10 = 3
+"""
+
+
+def _exact_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra xtra")).alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+_register(
+    "dedup_exact_docs",
+    lambda spark, sf: exact_dedup_groups(
+        _exact_dup_corpus(spark, sf), ["text"], "doc_id"
+    ),
+    f"""
+WITH corpus AS ({_EXACT_DUP_CTE})
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY text HAVING COUNT(*) > 1
+""",
+)
+
+_register(
+    "dedup_corpus_stats",
+    lambda spark, sf: _exact_dup_corpus(spark, sf).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("text").alias("n_unique"),
+    ),
+    f"""
+WITH corpus AS ({_EXACT_DUP_CTE})
+SELECT COUNT(*) AS n_total, COUNT(DISTINCT text) AS n_unique FROM corpus
+""",
+)
+
+
+def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH→exact-verify near-dup pipeline over 5-gram shingles.
+
+    The LSH stage is a pruning strategy: with 128 hashes in 32 bands the
+    probability of missing a Jaccard≥0.8 pair is < 1e-7, so the *verified*
+    output equals the exact-Jaccard oracle while never materializing the
+    quadratic pair space (the 100 TB property).
+    """
+    corpus = _near_dup_corpus(spark, sf_dir)
+    shingle_sets = corpus.select(
+        "doc_id", word_ngrams(F.col("text"), 5).alias("shingles")
+    )
+    shingled = shingle_sets.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sigs = minhash_signature(shingled, "doc_id", "shingle")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.8)
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH corpus AS ({corpus}),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(t) - {nm1} + 1),
+                                      i -> array_to_string(t[i:i+{nm1}], ' '))) AS g
+  FROM toks
+),
+eg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM eg a JOIN eg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, len(g) AS n FROM grams)
+SELECT c.id_a, c.id_b,
+       CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) AS jaccard
+FROM cand c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) >= {threshold}
+"""
+
+_register(
+    "neardup_minhash_lsh",
+    _minhash_neardup,
+    _NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=4, threshold=0.8),
+)
+
+
+def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard (no LSH) — candidates from a shared-
+    shingle equi-join, so pairs with zero overlap never materialize."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    shingle_sets = corpus.select(
+        "doc_id", word_ngrams(F.col("text"), 3).alias("shingles")
+    )
+    eg = shingle_sets.select("doc_id", F.explode("shingles").alias("gram"))
+    a = eg.withColumnRenamed("doc_id", "id_a")
+    b = eg.withColumnRenamed("doc_id", "id_b")
+    cands = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.6)
+
+
+_register(
+    "neardup_ngram_jaccard",
+    _ngram_jaccard_pairs,
+    _NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=2, threshold=0.6),
+)
+
+
+def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _near_dup_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    return simhash(toks, "doc_id", "token")
+
+
+# SimHash values are xxhash64-derived (engine-specific) → rows-only check.
+_register("simhash_docs", _simhash_docs, None)
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_topk(emb, queries, k=5)
+
+
+# CAST to DOUBLE before scaling: DuckDB would otherwise multiply in float32
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+_register(
+    "ann_cosine_topk",
+    _ann_topk,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, {_QUANT} AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, {_QUANT} AS cv FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM q, c WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) t
+WHERE rank <= 5
+""",
+)
+
+
+def _embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding", "label"
+    )
+    return bucketed_neardup_pairs(emb.unionByName(copies), threshold=0.99)
+
+
+_SIGN_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
+    for i in range(1, 6)
+)
+
+_register(
+    "embedding_neardup_pairs",
+    _embedding_neardups,
+    f"""
+WITH corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+),
+p AS (SELECT vec_id AS id, label AS lbl, {_QUANT} AS qv,
+             {_SIGN_BUCKET_SQL} AS bucket
+      FROM corpus),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM p a JOIN p b ON a.lbl = b.lbl AND a.bucket = b.bucket AND a.id < b.id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+""",
+)
+
+
+# ---- text analysis ---------------------------------------------------------
+
+_register(
+    "doc_token_counts",
+    lambda spark, sf: load_table(spark, sf, "documents").select(
+        "doc_id", textops.token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    ),
+    """
+SELECT doc_id, CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+)
+
+
+def _doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textops.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+_register(
+    "doc_quality_scores",
+    _doc_quality,
+    """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+         / length(text) AS space_ratio,
+       CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS stopword_hits
+FROM documents
+""",
+)
+
+_register(
+    "doc_lang_guess",
+    lambda spark, sf: load_table(spark, sf, "documents").select(
+        "doc_id", textops.lang_guess(F.col("text")).alias("lang_guess")
+    ),
+    """
+SELECT doc_id,
+       CASE
+         WHEN instr(text, ' the ') > 0 OR instr(text, ' and ') > 0 OR instr(text, ' of ') > 0 THEN 'en'
+         WHEN instr(text, ' der ') > 0 OR instr(text, ' und ') > 0 OR instr(text, ' die ') > 0 THEN 'de'
+         WHEN instr(text, ' le ') > 0 OR instr(text, ' et ') > 0 OR instr(text, ' les ') > 0 THEN 'fr'
+         WHEN instr(text, ' el ') > 0 OR instr(text, ' y ') > 0 OR instr(text, ' los ') > 0 THEN 'es'
+         WHEN instr(text, '的') > 0 OR instr(text, '是') > 0 OR instr(text, '了') > 0 THEN 'zh'
+         ELSE 'und'
+       END AS lang_guess
+FROM documents
+""",
+)
+
+_register(
+    "doc_fingerprints",
+    lambda spark, sf: load_table(spark, sf, "documents").select(
+        "doc_id", textops.doc_fingerprint(F.col("text")).alias("fingerprint")
+    ),
+    f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST({textops.FP_SEED} AS BIGINT),
+           list_transform(string_split_regex(trim(text), ' +'),
+                          t -> CAST(ascii(substring(t, 1, 1)) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % {textops.FP_MOD}) AS fingerprint
+FROM documents
+""",
+)
+
+
+# ---- multimodal plumbing ----------------------------------------------------
+
+_register(
+    "multimodal_binary_meta",
+    lambda spark, sf: binary_metadata(
+        attach_binary_payload(load_table(spark, sf, "documents"))
+    ),
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
+       'raw' AS media_format
+FROM documents
+""",
+)
+
+
+# ---- streaming ---------------------------------------------------------------
+
+_register(
+    "streaming_hourly_counts",
+    streaming_hourly_counts,
+    f"""
+WITH {_EVENTS_N}
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events_n
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)

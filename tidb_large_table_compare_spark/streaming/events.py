@@ -1,0 +1,77 @@
+"""Streaming event aggregation — tumbling windows with watermark.
+
+The reference has no streaming (its "streams" are nohup background jobs,
+``run_all.sh:89``); this is the SURVEY.md §2.C **ext** operator: the `events`
+table replayed through Structured Streaming, aggregated into tumbling
+windows. The batch-equivalent result lets the DuckDB oracle verify the
+streaming execution path itself.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts stored as TIMESTAMP(NANOS) → read as long
+# (spark.sql.legacy.parquet.nanosAsLong) and converted to µs timestamps.
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_hourly_counts(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Run the hourly tumbling-window aggregation as a real streaming query.
+
+    Replays events.parquet through ``readStream``, applies watermark +
+    ``F.window`` (1-hour tumble), drains the stream into a memory sink
+    (complete mode so every window is emitted deterministically), and returns
+    the finished result. Columns match the batch oracle: (hour_start,
+    event_type, n_events, total_value).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .format("parquet")
+        # the streaming parquet source requires a directory; the glob filter
+        # narrows it to the events file without touching sibling tables
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("tv"),
+        )
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    query = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
+        "n_events",
+        F.col("tv").cast("double").alias("total_value"),
+    )
