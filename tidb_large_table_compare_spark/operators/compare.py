@@ -107,8 +107,13 @@ class TableCompare:
         return self._schema_diff
 
     def structure_ok(self) -> bool:
+        # Pure driver-side check: both schemas are already local StructTypes,
+        # so no Spark job is needed (schema_diff() stays available as the
+        # DataFrame-shaped report of *what* differs).
         if self._structure_ok is None:
-            self._structure_ok = self.schema_diff().filter(F.col("status") != "ok").isEmpty()
+            lf = [(f.name, f.dataType.simpleString()) for f in self.left.schema.fields]
+            rf = [(f.name, f.dataType.simpleString()) for f in self.right.schema.fields]
+            self._structure_ok = lf == rf
         return self._structure_ok
 
     # -- sizing ------------------------------------------------------------
@@ -116,12 +121,27 @@ class TableCompare:
         opt = self.options
         if opt.n_buckets is not None:
             return opt.n_buckets
-        # Local estimate via a metadata-cheap count. On a real deployment this
-        # comes from catalog statistics (the reference reads TABLE_ROWS from
-        # information_schema, step1_query_tables.sh:115-117) — never a scan.
-        rows = self.left.count()
+        # Size the bucket count from optimizer plan statistics (file sizes for
+        # parquet scans) — zero Spark jobs. On a real deployment this comes
+        # from catalog statistics (the reference reads TABLE_ROWS from
+        # information_schema, step1_query_tables.sh:115-117). Bucket count
+        # only tunes drill-down granularity; results are invariant to it
+        # (test_bucket_count_invariance), so a coarse estimate is fine.
+        rows = self._estimate_rows()
         n = max(opt.min_buckets, rows // max(opt.chunk_size, 1) + 1)
         return min(n, opt.max_buckets)
+
+    _BYTES_PER_ROW_GUESS = 64
+    _MAX_INLIST = 50_000  # bad-bucket count above which we broadcast instead
+
+    def _estimate_rows(self) -> int:
+        stats = self.left._jdf.queryExecution().optimizedPlan().stats()
+        if stats.rowCount().isDefined():
+            return int(str(stats.rowCount().get()))
+        size = int(str(stats.sizeInBytes()))
+        if 0 < size < (1 << 50):  # unknown sources report Long.Max-ish sizes
+            return max(1, size // self._BYTES_PER_ROW_GUESS)
+        return self.left.count()  # last resort: one narrow count job
 
     # -- digest phase (B5/B6) ----------------------------------------------
     def bucket_digests(self, side: str = "left") -> DataFrame:
@@ -173,11 +193,26 @@ class TableCompare:
                      self.options.float_round)
         rh = _narrow(self.right, self.pk, self.compare_cols, n_buckets,
                      self.options.float_round)
-        # The mismatched-bucket set is tiny when tables mostly agree —
-        # broadcast it so each full-table scan filters map-side, shuffling
-        # only rows from bad buckets into the PK join.
-        lh = lh.join(F.broadcast(bad), "__bucket", "left_semi")
-        rh = rh.join(F.broadcast(bad), "__bucket", "left_semi")
+        # The mismatched-bucket set is tiny when tables mostly agree. Left as
+        # a lazy subtree it would be *recomputed* for each semi-join (the
+        # digest pass re-scans both tables per consumer), so materialize it
+        # once: small sets become an IN-list evaluated at the scan (no join at
+        # all); unexpectedly large sets fall back to one persisted broadcast
+        # semi-join. Either way the PK join shuffles only bad-bucket rows —
+        # bytes ∝ diff size, not table size.
+        bad_ids = [r["__bucket"] for r in bad.limit(self._MAX_INLIST + 1).collect()]
+        if len(bad_ids) <= self._MAX_INLIST:
+            if not bad_ids:
+                return lh.select(*self.pk).limit(0).withColumn(
+                    "diff_type", F.lit(None).cast("string")
+                )
+            lh = lh.filter(F.col("__bucket").isin(bad_ids))
+            rh = rh.filter(F.col("__bucket").isin(bad_ids))
+        else:
+            bad = bad.persist()
+            bad.count()
+            lh = lh.join(F.broadcast(bad), "__bucket", "left_semi")
+            rh = rh.join(F.broadcast(bad), "__bucket", "left_semi")
         lh = lh.select(*self.pk, F.col("__row_hash").alias("l_hash"))
         rh = rh.select(*self.pk, F.col("__row_hash").alias("r_hash"))
         joined = lh.join(rh, self.pk, "full_outer")

@@ -62,12 +62,64 @@ def minhash_signature(
 
     One aggregation pass: ``min(xxhash64(shingle, seed_i))`` per seed — the
     shuffle carries n_hashes longs per document, independent of doc length.
+    Prefer :func:`minhash_signature_from_sets` when the shingles are already
+    an array column — it is map-only (no shuffle at all).
     """
     mins = [
         F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"h{i}")
         for i in range(n_hashes)
     ]
     return shingled.groupBy(id_col).agg(*mins)
+
+
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _permutation_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation family."""
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(n_hashes)
+    ]
+
+
+def minhash_signature_from_sets(
+    shingle_sets: DataFrame,
+    id_col: str,
+    shingles_col: str = "shingles",
+    n_hashes: int = 128,
+) -> DataFrame:
+    """MinHash signatures computed per-row from a shingle *array* column.
+
+    Pure map-side (no shuffle): each shingle is hashed ONCE with xxhash64,
+    then the n permutations are cheap universal hashes ``(a*g + b) mod
+    2^31-1`` over that base hash — ~n times less string hashing than n
+    independently-seeded hashes, with the same LSH guarantees. ``a*g`` stays
+    under 2^62, so ANSI-mode bigint arithmetic cannot overflow.
+
+    NB: transform() lambdas here must take exactly one argument — a
+    two-argument lambda makes Spark pass the ELEMENT INDEX as the second
+    argument, silently replacing a closed-over seed.
+    """
+    base = F.transform(
+        F.col(shingles_col),
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE_31)),
+    )
+    prepped = shingle_sets.select(F.col(id_col), base.alias("__g"))
+
+    def perm(a: int, b: int):
+        # single-parameter lambda via closure: default-arg tricks would raise
+        # the lambda's arity and change transform()'s calling convention
+        return lambda g: (g * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_31)
+
+    sigs = [
+        F.array_min(F.transform(F.col("__g"), perm(a, b))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_permutation_params(n_hashes))
+    ]
+    return prepped.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(

@@ -499,7 +499,7 @@ from tidb_large_table_compare_spark.operators.dedup import (  # noqa: E402
     exact_dedup_groups,
     jaccard_verified_pairs,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_signature_from_sets,
     simhash,
     word_ngrams,
 )
@@ -583,13 +583,13 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic pair space (the 100 TB property).
     """
     corpus = _near_dup_corpus(spark, sf_dir)
+    # the shingle table feeds three consumers (signatures + both sides of the
+    # verification join): persist it instead of re-shingling the corpus 3×
+    # (at scale this is a checkpointed intermediate table, same idea)
     shingle_sets = corpus.select(
         "doc_id", word_ngrams(F.col("text"), 5).alias("shingles")
-    )
-    shingled = shingle_sets.select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    sigs = minhash_signature(shingled, "doc_id", "shingle")
+    ).persist()
+    sigs = minhash_signature_from_sets(shingle_sets, "doc_id")
     cands = lsh_candidate_pairs(sigs, "doc_id")
     return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.8)
 
@@ -631,7 +631,7 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     shingle_sets = corpus.select(
         "doc_id", word_ngrams(F.col("text"), 3).alias("shingles")
-    )
+    ).persist()
     eg = shingle_sets.select("doc_id", F.explode("shingles").alias("gram"))
     a = eg.withColumnRenamed("doc_id", "id_a")
     b = eg.withColumnRenamed("doc_id", "id_b")
