@@ -837,3 +837,163 @@ FROM events_n
 GROUP BY date_trunc('hour', ts), event_type
 """,
 )
+
+
+# ===========================================================================
+# 5. Coverage widening: composite-PK compare, set ops, rollup, scalar ops
+# ===========================================================================
+
+from tidb_large_table_compare_spark.perturb import (  # noqa: E402
+    PERTURBED_LINEITEM_SQL,
+    perturbed_lineitem,
+)
+
+_LI_DIFF_PRED = """
+      m.l_partkey       IS DISTINCT FROM s.l_partkey OR
+      m.l_suppkey       IS DISTINCT FROM s.l_suppkey OR
+      m.l_quantity      IS DISTINCT FROM s.l_quantity OR
+      m.l_extendedprice IS DISTINCT FROM s.l_extendedprice OR
+      m.l_discount      IS DISTINCT FROM s.l_discount OR
+      m.l_tax           IS DISTINCT FROM s.l_tax OR
+      m.l_returnflag    IS DISTINCT FROM s.l_returnflag OR
+      m.l_linestatus    IS DISTINCT FROM s.l_linestatus OR
+      m.l_shipdate      IS DISTINCT FROM s.l_shipdate
+"""
+
+
+def _cmp_li(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    return compare_tables(
+        spark, li, perturbed_lineitem(li), pk=["l_orderkey", "l_linenumber"],
+        table_name="main.lineitem",
+    )
+
+
+_register(
+    "cmp_summary_lineitem_composite_pk",
+    lambda spark, sf: _cmp_li(spark, sf).summary(),
+    f"""
+WITH slave AS ({PERTURBED_LINEITEM_SQL}),
+j AS (
+  SELECT m.l_orderkey AS l_pk, s.l_orderkey AS r_pk,
+         (m.l_orderkey IS NOT NULL AND s.l_orderkey IS NOT NULL AND
+          ({_LI_DIFF_PRED})) AS modified
+  FROM lineitem m FULL OUTER JOIN slave s
+    ON m.l_orderkey = s.l_orderkey AND m.l_linenumber = s.l_linenumber
+)
+SELECT 'main.lineitem' AS "table",
+       TRUE AS structure_ok,
+       (SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS upcount,
+       (SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS downcount,
+       (SUM(CASE WHEN l_pk IS NULL OR r_pk IS NULL OR modified THEN 1 ELSE 0 END) = 0)
+         AS equivalent
+FROM j
+""",
+)
+
+_register(
+    "cmp_diff_rows_lineitem_composite_pk",
+    lambda spark, sf: _cmp_li(spark, sf).diff_rows(),
+    f"""
+WITH slave AS ({PERTURBED_LINEITEM_SQL})
+SELECT COALESCE(m.l_orderkey, s.l_orderkey) AS l_orderkey,
+       COALESCE(m.l_linenumber, s.l_linenumber) AS l_linenumber,
+       CASE WHEN s.l_orderkey IS NULL THEN 'missing_in_right'
+            WHEN m.l_orderkey IS NULL THEN 'extra_in_right'
+            ELSE 'modified' END AS diff_type
+FROM lineitem m FULL OUTER JOIN slave s
+  ON m.l_orderkey = s.l_orderkey AND m.l_linenumber = s.l_linenumber
+WHERE s.l_orderkey IS NULL OR m.l_orderkey IS NULL OR ({_LI_DIFF_PRED})
+""",
+)
+
+_shared_sql(
+    "rollup_quantity_by_flag_status",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+
+_shared_sql(
+    "customers_with_both_statuses",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+
+_shared_sql(
+    "customers_never_finished",
+    """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+
+
+def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL) next to the exact count — approximate
+    values are engine-specific, so this is a rows-only entry; the exact
+    column is the sanity anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+_register("approx_distinct_parts", _approx_distinct, None)
+
+# A7 scalar parity: base64 round-trip over real text. Spark's base64 is
+# MIME-chunked (CRLF every 76 chars) — normalize before comparing with
+# DuckDB's unchunked encoding.
+_register(
+    "base64_roundtrip_docs",
+    lambda spark, sf: (
+        register_views(spark, sf),
+        spark.sql(
+            """
+            SELECT doc_id,
+                   replace(replace(base64(CAST(text AS BINARY)), '\r', ''), '\n', '')
+                     AS b64,
+                   (CAST(unbase64(base64(CAST(text AS BINARY))) AS STRING) = text)
+                     AS roundtrip_ok
+            FROM documents
+            """
+        ),
+    )[1],
+    """
+SELECT doc_id, base64(encode(text)) AS b64,
+       (decode(from_base64(base64(encode(text)))) = text) AS roundtrip_ok
+FROM documents
+""",
+)
+
+# A15/A26 scalar parity: the reference's YYYYMMDD_HHMMSS run-timestamp format.
+_register(
+    "event_ts_labels",
+    lambda spark, sf: (
+        register_views(spark, sf),
+        spark.sql(
+            """
+            SELECT event_id,
+                   date_format(CAST(ts AS TIMESTAMP), 'yyyyMMdd_HHmmss') AS ts_label,
+                   concat_ws('\t', CAST(user_id AS STRING), event_type) AS tsv_line
+            FROM events
+            WHERE event_id % 20 = 0
+            """
+        ),
+    )[1],
+    """
+SELECT event_id,
+       strftime(CAST(ts AS TIMESTAMP), '%Y%m%d_%H%M%S') AS ts_label,
+       CAST(user_id AS VARCHAR) || chr(9) || event_type AS tsv_line
+FROM events
+WHERE event_id % 20 = 0
+""",
+)
