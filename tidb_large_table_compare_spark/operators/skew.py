@@ -1,0 +1,49 @@
+"""Skew mitigation — salting helpers for hot keys (SURVEY.md §4, §7).
+
+At 100 TB a single hot PK range (monotonic inserts, default-valued keys)
+concentrates one bucket/partition. Two standard remedies, both shipped:
+
+- AQE skew-join splitting is enabled globally in :mod:`..session`
+  (``spark.sql.adaptive.skewJoin.enabled``) — handles skewed *joins* at
+  runtime with no code changes;
+- explicit salting for skewed *aggregations*: spread each hot key over
+  ``n_salts`` sub-keys, partially aggregate, then merge. Two short shuffles
+  of pre-aggregated rows instead of one shuffle with a straggler partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_salt", "salted_count_by_key"]
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> DataFrame:
+    """Attach a deterministic per-row salt in [0, n_salts).
+
+    Derived from a hash of the whole row (via ``monotonically_increasing_id``
+    would break determinism across retries; a content hash keeps re-computed
+    tasks consistent — required for Spark's task-retry model).
+    """
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    )
+
+
+def salted_count_by_key(
+    df: DataFrame, key_cols: list[str], n_salts: int = 16
+) -> DataFrame:
+    """Skew-resistant ``groupBy(key).count()``.
+
+    Phase 1 groups on (key, salt) — a hot key spreads over ``n_salts``
+    reducers; phase 2 merges the tiny partials. Identical results to a plain
+    count, bounded partition sizes under arbitrary key skew.
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        F.count(F.lit(1)).alias("__partial")
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("__partial").cast("bigint").alias("n")
+    )

@@ -997,3 +997,95 @@ FROM events
 WHERE event_id % 20 = 0
 """,
 )
+
+
+# ===========================================================================
+# 6. Remaining analytics coverage: EXISTS, frames, grouping sets, skew
+# ===========================================================================
+
+from tidb_large_table_compare_spark.operators.skew import salted_count_by_key  # noqa: E402
+
+_shared_sql(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+             CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24
+""",
+)
+
+_shared_sql(
+    "q4_order_priority_exists",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+
+_shared_sql(
+    "running_revenue_per_customer",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total,
+       CAST(LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+         AS prev_price
+FROM orders
+WHERE o_custkey % 10 = 1
+""",
+)
+
+_shared_sql(
+    "grouping_sets_order_counts",
+    """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+
+_register(
+    "salted_lineitem_counts",
+    lambda spark, sf: salted_count_by_key(
+        load_table(spark, sf, "lineitem").select("l_returnflag", "l_linestatus"),
+        ["l_returnflag", "l_linestatus"],
+    ),
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+
+# Custom stateful streaming (applyInPandasWithState): per-user running
+# totals in exact integer cents — state result equals the batch aggregate,
+# so even the stateful path gets a value oracle.
+from tidb_large_table_compare_spark.streaming.events import (  # noqa: E402
+    streaming_user_totals,
+)
+
+_register(
+    "streaming_user_totals_stateful",
+    streaming_user_totals,
+    """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events
+GROUP BY user_id
+""",
+)

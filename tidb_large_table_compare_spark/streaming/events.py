@@ -75,3 +75,67 @@ def streaming_hourly_counts(
         "n_events",
         F.col("tv").cast("double").alias("total_value"),
     )
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    ``applyInPandasWithState``.
+
+    State is (event count, total value in integer cents) per user, updated
+    per micro-batch; each batch emits the cumulative row. Money is summed in
+    exact integer cents so the final state is oracle-checkable (float sums
+    would drift with accumulation order). Replayed via a memory sink the
+    single batch yields the full-history totals.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+
+    def update_totals(key, pdfs, state: GroupState):
+        count, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((count, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "total_cents": [cents]}
+        )
+
+    out = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update_totals,
+            outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+            stateStructType="count bigint, cents bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
+    query = (
+        out.writeStream.outputMode("update").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    # update-mode memory sink appends one row per (user, batch); keep the
+    # latest (cumulative) row per user
+    from pyspark.sql import window as W
+
+    w = W.Window.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("total_cents")
+    )
+    return (
+        spark.table(name)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "n_events", "total_cents")
+    )
