@@ -64,16 +64,21 @@ def render_report(summaries: DataFrame) -> DataFrame:
     latest = latest_run(summaries)
     border = "+-------------------+-----------+---------+-----------+"
     header = "| TABLE             | STRUCTURE | UPCOUNT | DOWNCOUNT |"
-    body = latest.orderBy("table").select(
+    body = latest.select(
         F.format_string(
             "| %-17s | %-9s | %7d | %9d |",
             F.col("table"),
             F.when(F.col("structure_ok"), F.lit("OK")).otherwise(F.lit("DIFF")),
             F.col("upcount"),
             F.col("downcount"),
-        ).alias("line")
+        ).alias("line"),
+        # explicit ordering key: union does not preserve row order, and a
+        # rendered report is meaningless if its lines can interleave
+        F.concat(F.lit("1_"), F.col("table")).alias("__ord"),
     )
     spark = summaries.sparkSession
-    frame = spark.createDataFrame([(border,), (header,), (border,)], "line string")
-    tail = spark.createDataFrame([(border,)], "line string")
-    return frame.unionByName(body).unionByName(tail)
+    frame = spark.createDataFrame(
+        [(border, "0_0"), (header, "0_1"), (border, "0_2")], "line string, __ord string"
+    )
+    tail = spark.createDataFrame([(border, "2_0")], "line string, __ord string")
+    return frame.unionByName(body).unionByName(tail).orderBy("__ord").select("line")

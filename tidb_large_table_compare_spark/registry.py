@@ -1089,3 +1089,76 @@ FROM events
 GROUP BY user_id
 """,
 )
+
+
+# ===========================================================================
+# 7. As-of join + pivot
+# ===========================================================================
+
+from tidb_large_table_compare_spark.operators.asof import asof_join  # noqa: E402
+
+
+def _asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the latest signup at-or-before it by the same user.
+
+    Spark composes the as-of join (union + carry-forward window); DuckDB's
+    native ASOF JOIN is the oracle — two entirely different formulations that
+    must agree row-for-row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    joined = asof_join(
+        purchases, signups, on="ts", by=["user_id"], right_cols=["signup_id"]
+    )
+    return joined.select(
+        "user_id", "purchase_id", F.col("signup_id_asof").alias("signup_id")
+    )
+
+
+_register(
+    "asof_purchase_last_signup",
+    _asof_purchase_signup,
+    """
+WITH purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+signups AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id AS signup_id
+  FROM events WHERE event_type = 'signup'
+)
+SELECT p.user_id, p.purchase_id, s.signup_id
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+)
+
+
+def _pivot_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .pivot("source", ["src0", "src1", "src2", "src3"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["src0", "src1", "src2", "src3"])
+    )
+
+
+_register(
+    "pivot_docs_by_source",
+    _pivot_docs,
+    """
+SELECT lang,
+       SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
+       SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
+       SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
+       SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3
+FROM documents
+GROUP BY lang
+""",
+)

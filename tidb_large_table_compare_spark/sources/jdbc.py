@@ -1,0 +1,55 @@
+"""JDBC source — the live-database scan path (operator A1's MySQL-protocol
+analog, ``step1_query_tables.sh:115-117``).
+
+The engine's primary sources are immutable parquet snapshots (B2), but the
+reference reads live TiDB over the MySQL protocol; this module is that path
+for deployments with a JDBC driver jar on the classpath. Partitioned reads
+map the reference's ``check-thread-count`` to ``numPartitions`` bounded
+ranges over the PK — Spark's equivalent of its chunked parallel scan.
+
+Gated: the test environment ships no JDBC driver, so everything here raises
+a clear error at load() time rather than failing obscurely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tidb_large_table_compare_spark.config import EndpointConfig
+
+
+def jdbc_url(ep: EndpointConfig, database: str) -> str:
+    """MySQL-protocol JDBC URL for a TiDB endpoint."""
+    return f"jdbc:mysql://{ep.host}:{ep.port}/{database}"
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    ep: EndpointConfig,
+    database: str,
+    table: str,
+    pk_col: str | None = None,
+    num_partitions: int = 8,  # reference check-thread-count (config.toml:20)
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Build a (lazy) JDBC scan; partitioned over ``pk_col`` when bounds are
+    known so executors read disjoint PK ranges in parallel — the reference's
+    chunk-parallel scan, expressed as Spark partitioning.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", jdbc_url(ep, database))
+        .option("dbtable", f"{database}.{table}")
+        .option("user", ep.user)
+        .option("password", ep.password)
+        .option("driver", "com.mysql.cj.jdbc.Driver")
+    )
+    if pk_col and lower_bound is not None and upper_bound is not None:
+        reader = (
+            reader.option("partitionColumn", pk_col)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    return reader.load()
