@@ -1162,3 +1162,164 @@ FROM documents
 GROUP BY lang
 """,
 )
+
+
+# ===========================================================================
+# 8. Dedup clustering, parser round-trip, compare variants, q7-style join
+# ===========================================================================
+
+from tidb_large_table_compare_spark.operators.clustering import (  # noqa: E402
+    connected_components,
+)
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over exact-Jaccard near-dup pairs: iterative
+    Spark label propagation vs a recursive-CTE oracle."""
+    pairs = QUERIES["neardup_ngram_jaccard"](spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs.persist())
+
+
+_register("dedup_cluster_assignments", _dedup_clusters, None)
+
+# Recursive min-label reachability over the same pair set the Spark side
+# clusters iteratively — a recursive CTE is the SQL-native fixpoint.
+ORACLES["dedup_cluster_assignments"] = f"""
+WITH RECURSIVE pairs AS (
+  {_NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=2, threshold=0.6)}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def _parsed_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end text-report path (A14-A20): run two compares, render their
+    summaries to summary.txt files on disk (reference output layout
+    '{schema}_{table}_{ts}/summary.txt'), then parse them back with the
+    DataFrame-native parser. Output = the parsed summaries; oracle = the
+    compare results computed directly in SQL."""
+    import tempfile
+    from pathlib import Path
+
+    from tidb_large_table_compare_spark.plans.report import EQUIVALENT_MARKER
+    from tidb_large_table_compare_spark.sources.reports import parse_summaries
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = []
+    for table, right in [
+        ("orders", perturbed_orders(orders)),
+        ("orders_self", orders),
+    ]:
+        r = compare_tables(
+            spark, orders, right, ["o_orderkey"], table_name=f"`main`.`{table}`"
+        ).summary().collect()[0]
+        rows.append((table, r))
+
+    out_dir = Path(tempfile.mkdtemp(prefix="sg_reports_"))
+    for table, r in rows:
+        d = out_dir / f"main_{table}_20240303_000000"
+        d.mkdir(parents=True, exist_ok=True)
+        lines = [
+            "mysql: [Warning] Using a password on the command line.",  # A4 noise
+            "+---+", "| TABLE | UPCOUNT | DOWNCOUNT |", "+---+",
+            f"| `main`.`{table}` | {r.upcount} | {r.downcount} |",
+            "+---+",
+        ]
+        if r.equivalent:
+            lines.append(EQUIVALENT_MARKER)
+        (d / "summary.txt").write_text("\n".join(lines) + "\n")
+    return parse_summaries(spark, f"{out_dir}/*/summary.txt")
+
+
+_register(
+    "parsed_report_roundtrip",
+    _parsed_report_roundtrip,
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL}),
+j AS (
+  SELECT m.o_orderkey AS l_pk, s.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+          ({_ORDERS_DIFF_PRED})) AS modified
+  FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+)
+SELECT '20240303_000000' AS run_ts, '`main`.`orders`' AS "table",
+       FALSE AS structure_ok,
+       SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS upcount,
+       SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS downcount
+FROM j
+UNION ALL
+SELECT '20240303_000000', '`main`.`orders_self`', TRUE, 0, 0
+""",
+)
+
+
+def _cmp_range_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: the user-editable range predicate scopes the comparison."""
+    return _cmp(spark, sf_dir, range_sql="o_orderkey % 2 = 0").summary()
+
+
+_register(
+    "cmp_summary_orders_ranged",
+    _cmp_range_scoped,
+    f"""
+WITH master AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+slave_all AS ({PERTURBED_ORDERS_SQL}),
+slave AS (SELECT * FROM slave_all WHERE o_orderkey % 2 = 0),
+j AS (
+  SELECT m.o_orderkey AS l_pk, s.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+          ({_ORDERS_DIFF_PRED})) AS modified
+  FROM master m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+)
+SELECT 'main.orders' AS "table",
+       TRUE AS structure_ok,
+       (SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS upcount,
+       (SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS downcount,
+       (SUM(CASE WHEN l_pk IS NULL OR r_pk IS NULL OR modified THEN 1 ELSE 0 END) = 0)
+         AS equivalent
+FROM j
+""",
+)
+
+
+def _cmp_struct_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """check-struct-only = true short-circuits the data compare (B1)."""
+    orders = load_table(spark, sf_dir, "orders")
+    drifted = orders.drop("o_orderpriority")
+    return compare_tables(
+        spark, orders, drifted, ["o_orderkey"],
+        CompareOptions(check_struct_only=True), "main.orders",
+    ).summary()
+
+
+_register(
+    "cmp_struct_only_drift",
+    _cmp_struct_only,
+    """
+SELECT 'main.orders' AS "table", FALSE AS structure_ok,
+       0::BIGINT AS upcount, 0::BIGINT AS downcount, FALSE AS equivalent
+""",
+)
+
+_shared_sql(
+    "yearly_volume_by_nation",
+    """
+SELECT n.n_name, EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS volume
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+""",
+)
