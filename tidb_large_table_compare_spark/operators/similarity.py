@@ -131,3 +131,76 @@ def bucketed_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_mod: int = 100,
+    centroid_mod: int = 25,
+    n_probe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize → probe nearest cells → exact top-k.
+
+    The inverted-file structure uses a deterministic coarse quantizer
+    (corpus vectors with ``vec_id % centroid_mod == 0`` are the centroids —
+    a stand-in for trained k-means centroids that keeps the whole pipeline
+    oracle-reproducible). Every vector is assigned to its nearest centroid;
+    queries probe their ``n_probe`` nearest cells and rank only those cells'
+    members. At 100 TB the cell assignment is a map-side broadcast argmax and
+    the probe join is equi-keyed on cell id — candidate volume ∝
+    corpus/n_cells × n_probe, never the full corpus per query.
+    """
+    w = W.Window
+    cents = corpus.filter(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("cent_id"), quantize(F.col(vec_col)).alias("cent_v")
+    )
+    prepped = corpus.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    # nearest-centroid assignment: broadcast argmax (map-side per vector)
+    scored_cells = prepped.join(F.broadcast(cents)).select(
+        "id", "qv", "cent_id", cosine_q(F.col("qv"), F.col("cent_v")).alias("csim")
+    )
+    assign_w = w.partitionBy("id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    assigned = (
+        scored_cells.withColumn("__rn", F.row_number().over(assign_w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "qv", F.col("cent_id").alias("cell"))
+    )
+    # queries probe their n_probe nearest cells
+    queries = prepped.filter(F.col("id") % query_mod == 0).select(
+        F.col("id").alias("query_id"), F.col("qv").alias("query_v")
+    )
+    probes = (
+        queries.join(F.broadcast(cents))
+        .select(
+            "query_id", "query_v", "cent_id",
+            cosine_q(F.col("query_v"), F.col("cent_v")).alias("csim"),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                w.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "query_v", F.col("cent_id").alias("cell"))
+    )
+    # exact ranking within probed cells only
+    cands = probes.join(assigned, "cell").filter(F.col("id") != F.col("query_id"))
+    ranked = cands.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_q(F.col("query_v"), F.col("qv")).alias("cosine"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            w.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )

@@ -1323,3 +1323,144 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
 """,
 )
+
+
+# ===========================================================================
+# 9. Wider TPC-H-shaped coverage (correlated subqueries, anti-join EXISTS,
+#    conditional ratios, HAVING) — all shared ANSI SQL.
+# ===========================================================================
+
+_shared_sql(
+    "q2_cheapest_part_per_brand",
+    """
+SELECT p1.p_brand, p1.p_partkey, p1.p_retailprice
+FROM part p1
+WHERE p1.p_retailprice = (
+  SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p1.p_brand
+)
+""",
+)
+
+_shared_sql(
+    "q10_top_return_customers",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+
+_shared_sql(
+    "q12_priority_line_counts",
+    """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+
+_shared_sql(
+    "q14_promo_revenue_share",
+    """
+SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                                  (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+""",
+)
+
+_shared_sql(
+    "q18_large_quantity_orders",
+    """
+SELECT c.c_custkey, o.o_orderkey,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_custkey, o.o_orderkey
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 150
+""",
+)
+
+_shared_sql(
+    "q22_idle_rich_customers",
+    """
+SELECT c.c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+)
+
+
+# IVF-style ANN: deterministic coarse quantizer + probed-cell exact ranking.
+from tidb_large_table_compare_spark.operators.similarity import ivf_topk  # noqa: E402
+
+_register(
+    "ann_ivf_topk",
+    lambda spark, sf: ivf_topk(load_table(spark, sf, "embeddings")),
+    f"""
+WITH prepped AS (SELECT vec_id AS id, {_QUANT} AS qv FROM embeddings),
+cents AS (SELECT id AS cent_id, qv AS cent_v FROM prepped WHERE id % 25 = 0),
+cell_scores AS (
+  SELECT p.id, p.qv, c.cent_id,
+         CAST(list_sum(list_transform(list_zip(p.qv, c.cent_v), x -> x[1] * x[2])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(p.qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(c.cent_v, x -> x * x)) AS DOUBLE))) AS csim
+  FROM prepped p, cents c
+),
+assigned AS (
+  SELECT id, qv, cent_id AS cell FROM (
+    SELECT id, qv, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cent_id) AS rn
+    FROM cell_scores
+  ) t WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, qv AS query_v, cent_id AS cell FROM (
+    SELECT id, qv, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cent_id) AS rn
+    FROM cell_scores WHERE id % 100 = 0
+  ) t WHERE rn <= 3
+),
+ranked AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         CAST(list_sum(list_transform(list_zip(p.query_v, a.qv), x -> x[1] * x[2])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(p.query_v, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ranked
+) t WHERE rank <= 5
+""",
+)
