@@ -1,0 +1,85 @@
+"""Watermark semantics: late data beyond the watermark must be dropped in
+append mode — the real Structured Streaming behavior, not the batch shortcut."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, v double"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    # batch 1: events at 00:05 and 02:30 — watermark advances to 02:30-1h=01:30
+    write_batch("b1", [(1, base + dt.timedelta(minutes=5), 1.0),
+                       (2, base + dt.timedelta(hours=2, minutes=30), 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(str(src))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a LATE event at 00:10 (before the 01:30 watermark) plus an
+        # on-time event at 03:00 that closes the 00:00 window for append
+        write_batch("b2", [(3, base + dt.timedelta(minutes=10), 1.0),
+                           (4, base + dt.timedelta(hours=3), 1.0)])
+        q.processAllAvailable()
+        # one more batch so the closed windows flush deterministically
+        write_batch("b3", [(5, base + dt.timedelta(hours=5), 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = {
+        r["w"].start.isoformat(): r["n"]
+        for r in spark.sql("SELECT * FROM wm_test").collect()
+    }
+    # the 00:00 window must contain ONLY event 1 — the late event 3 arrived
+    # after the watermark passed 01:00 and is dropped
+    assert out.get("2024-01-01T00:00:00") == 1, out
+
+
+def test_compare_null_pk_semantics(spark):
+    """NULL-PK behavior (SURVEY.md §7 hard part):
+
+    - when both sides agree, null-pk rows digest identically and never reach
+      the PK join — the digest-first design makes them compare clean;
+    - when a null-pk row differs, the drill-down full-outer join cannot match
+      NULL = NULL, so it degrades to one missing + one extra (instead of one
+      modified); the multiset path is the documented remedy.
+    """
+    from tidb_large_table_compare_spark.operators.compare import compare_tables
+
+    a = spark.createDataFrame([(1, "x"), (None, "same")], "pk bigint, s string")
+    b = spark.createDataFrame([(1, "x"), (None, "same")], "pk bigint, s string")
+    row = compare_tables(spark, a, b, ["pk"], table_name="n").summary().collect()[0]
+    assert row.upcount == 0 and row.downcount == 0 and row.equivalent
+
+    c = spark.createDataFrame([(1, "x"), (None, "CHANGED")], "pk bigint, s string")
+    row2 = compare_tables(spark, a, c, ["pk"], table_name="n").summary().collect()[0]
+    assert row2.upcount == 1 and row2.downcount == 1 and not row2.equivalent
+
+    # multiset fallback reports the same totals without join degradation
+    row3 = compare_tables(spark, a, c, None, table_name="n").summary().collect()[0]
+    assert row3.upcount == 1 and row3.downcount == 1

@@ -1464,3 +1464,112 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 ) t WHERE rank <= 5
 """,
 )
+
+
+# A27: regex extraction of the target table from a SQL string
+# (generate_from_config.sh:32-40) — FROM-clause capture, db/table split,
+# unqualified-name fallback, as column ops over a work list of SQL texts.
+_shared_sql(
+    "extract_table_from_sql",
+    """
+WITH sqls(sql_id, sql_text) AS (
+  VALUES (1, 'SELECT * FROM my_database.users WHERE id > 0'),
+         (2, 'SELECT COUNT(*) FROM app_db.orders o JOIN x.y ON 1=1'),
+         (3, 'SELECT 1 FROM unqualified_table'),
+         (4, 'SELECT 1')
+),
+extracted AS (
+  SELECT sql_id, regexp_extract(sql_text, 'FROM +([a-zA-Z_][a-zA-Z0-9_.]*)', 1) AS qualified
+  FROM sqls
+)
+SELECT sql_id,
+       CASE WHEN qualified = '' THEN 'my_database'
+            WHEN instr(qualified, '.') > 0
+              THEN substring(qualified, 1, instr(qualified, '.') - 1)
+            ELSE 'my_database' END AS db_name,
+       CASE WHEN qualified = '' THEN 'users'
+            WHEN instr(qualified, '.') > 0
+              THEN substring(qualified, instr(qualified, '.') + 1)
+            ELSE qualified END AS table_name
+FROM extracted
+""",
+)
+
+
+# ===========================================================================
+# 10. Final analytics shapes: nation-pair volume, profit rollup, disjunctive
+#     predicates, multi-EXISTS.
+# ===========================================================================
+
+_shared_sql(
+    "q7_nation_pair_volume",
+    """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS volume
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_nationkey <> sn.n_nationkey
+  AND cn.n_nationkey < 4 AND sn.n_nationkey < 4
+GROUP BY cn.n_name, sn.n_name, EXTRACT(YEAR FROM l.l_shipdate)
+""",
+)
+
+_shared_sql(
+    "q9_profit_by_nation_year",
+    """
+SELECT n.n_name, EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
+                - CAST(p.p_retailprice AS DECIMAL(12,2)) *
+                  CAST(l.l_quantity AS DECIMAL(12,2)) *
+                  CAST(0.1 AS DECIMAL(3,2))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+""",
+)
+
+_shared_sql(
+    "q19_disjunctive_revenue",
+    """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 1 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity >= 5 AND l.l_quantity <= 40)
+   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 50 AND l.l_quantity >= 10 AND l.l_quantity <= 50)
+""",
+)
+
+_shared_sql(
+    "q21_suppliers_with_problem_orders",
+    """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+""",
+)
