@@ -45,9 +45,10 @@ def _norm_val(v):
             return "NaN"
         if v == 0:
             return "0"
-        return f"{v:.9g}"
+        # full round-trip precision: engines must be BIT-identical, not close
+        return f"{v:.17g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.9g}"
+        return f"{float(v):.17g}"
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):

@@ -33,6 +33,9 @@ def sf_dir_from_env() -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # defensive: the driver may hand us a session without UTC pinned; every
+    # timestamp comparison/truncation below assumes UTC ↔ DuckDB-naive parity
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
         # ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert to
