@@ -135,12 +135,15 @@ class TableCompare:
     _MAX_INLIST = 50_000  # bad-bucket count above which we broadcast instead
 
     def _estimate_rows(self) -> int:
-        stats = self.left._jdf.queryExecution().optimizedPlan().stats()
-        if stats.rowCount().isDefined():
-            return int(str(stats.rowCount().get()))
-        size = int(str(stats.sizeInBytes()))
-        if 0 < size < (1 << 50):  # unknown sources report Long.Max-ish sizes
-            return max(1, size // self._BYTES_PER_ROW_GUESS)
+        try:  # plan statistics via py4j internals — absent under Spark Connect
+            stats = self.left._jdf.queryExecution().optimizedPlan().stats()
+            if stats.rowCount().isDefined():
+                return int(str(stats.rowCount().get()))
+            size = int(str(stats.sizeInBytes()))
+            if 0 < size < (1 << 50):  # unknown sources report Long.Max-ish sizes
+                return max(1, size // self._BYTES_PER_ROW_GUESS)
+        except Exception:
+            pass
         return self.left.count()  # last resort: one narrow count job
 
     # -- digest phase (B5/B6) ----------------------------------------------

@@ -1573,3 +1573,51 @@ WHERE o.o_orderstatus = 'F'
 GROUP BY s.s_name
 """,
 )
+
+
+# ===========================================================================
+# 11. Map / array scalar surface (SURVEY §2.C scalar array/map/json row)
+# ===========================================================================
+
+_register(
+    "event_prop_keys",
+    lambda spark, sf: (
+        register_views(spark, sf),
+        spark.sql(
+            """
+            SELECT event_id,
+                   array_sort(map_keys(from_json(props, 'map<string,bigint>')))
+                     AS prop_keys,
+                   map_values(from_json(props, 'map<string,bigint>'))[0] AS k_value
+            FROM events WHERE event_id % 25 = 0
+            """
+        ),
+    )[1],
+    """
+SELECT event_id,
+       list_sort(json_keys(props)) AS prop_keys,
+       CAST(props->>'$.k' AS BIGINT) AS k_value
+FROM events WHERE event_id % 25 = 0
+""",
+)
+
+_register(
+    "embedding_array_stats",
+    lambda spark, sf: load_table(spark, sf, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.array_position(
+            F.col("embedding"), F.array_max("embedding")
+        ).cast("bigint").alias("argmax_pos"),
+        F.slice("embedding", 1, 3).cast("array<double>").alias("head3"),
+    ),
+    """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dims,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_pos,
+       CAST(embedding[1:3] AS DOUBLE[]) AS head3
+FROM embeddings
+""",
+)
