@@ -1621,3 +1621,103 @@ SELECT vec_id,
 FROM embeddings
 """,
 )
+
+
+# ===========================================================================
+# 12. Percentiles, token frequencies, declared float tolerance
+# ===========================================================================
+
+# Exact interpolated median/quantiles: Spark percentile() and DuckDB
+# quantile_cont() use the same linear interpolation over sorted values.
+_register(
+    "price_quantiles_by_status",
+    lambda spark, sf: (
+        register_views(spark, sf),
+        spark.sql(
+            """
+            SELECT o_orderstatus,
+                   CAST(percentile(o_totalprice, 0.5) AS DOUBLE) AS median_price,
+                   CAST(percentile(o_totalprice, 0.9) AS DOUBLE) AS p90_price,
+                   COUNT(*) AS n
+            FROM orders GROUP BY o_orderstatus
+            """
+        ),
+    )[1],
+    """
+SELECT o_orderstatus,
+       CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE) AS median_price,
+       CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE) AS p90_price,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+""",
+)
+
+
+def _top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.trim("text"), " +")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(15)
+    )
+
+
+_register(
+    "top_tokens_documents",
+    _top_tokens,
+    """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), ' +')) AS token FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 15
+""",
+)
+
+
+def _cmp_float_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared float tolerance (SURVEY §7 hard part): sub-tolerance noise on
+    a double column must compare equivalent under round(x, 6) canonicalization."""
+    orders = load_table(spark, sf_dir, "orders")
+    noisy = orders.withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1e-9)
+    )
+    return compare_tables(
+        spark, orders, noisy, ["o_orderkey"],
+        CompareOptions(float_round=6), "main.orders",
+    ).summary()
+
+
+_register(
+    "cmp_float_tolerance",
+    _cmp_float_tolerance,
+    """
+SELECT 'main.orders' AS "table", TRUE AS structure_ok,
+       0::BIGINT AS upcount, 0::BIGINT AS downcount, TRUE AS equivalent
+""",
+)
+
+
+# Streaming session windows checked against the batch lag-cumsum oracle.
+from tidb_large_table_compare_spark.streaming.events import (  # noqa: E402
+    streaming_session_counts,
+)
+
+_register(
+    "streaming_session_counts",
+    streaming_session_counts,
+    f"""
+WITH {_EVENTS_N}
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events_n
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) t
+GROUP BY user_id
+""",
+)

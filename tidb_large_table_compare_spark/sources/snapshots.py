@@ -1,0 +1,62 @@
+"""Versioned snapshot store — the engine's snapshot-consistent read (B2).
+
+The reference pins both sides of a comparison to a consistent snapshot
+(``snapshot = "auto"``, ``my_database_users.toml:20``) so a live-updating
+table cannot smear the diff. Without Delta/Iceberg jars (not in this
+environment), the same guarantee comes from an immutable version-stamped
+parquet layout::
+
+    {base}/v=00000001/...parquet
+    {base}/v=00000002/...parquet
+
+Writers only ever create a NEW version directory (write-once); readers pin a
+version at plan time. ``compare(read_snapshot(a, v1), read_snapshot(b, v2))``
+is therefore stable no matter what lands afterwards — the engine convention
+SURVEY.md §4 calls "snapshot isolation by immutability".
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_V_RE = re.compile(r"^v=(\d{8})$")
+
+
+def snapshot_versions(base: str) -> list[int]:
+    p = Path(base)
+    if not p.exists():
+        return []
+    out = []
+    for child in p.iterdir():
+        m = _V_RE.match(child.name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_snapshot(df: DataFrame, base: str) -> int:
+    """Write the next snapshot version (write-once; never overwrites)."""
+    version = (snapshot_versions(base) or [0])[-1] + 1
+    df.write.mode("errorifexists").parquet(f"{base}/v={version:08d}")
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot version (default: latest at call time).
+
+    The version resolves eagerly so later writes cannot change what this
+    DataFrame reads — the B2 guarantee.
+    """
+    versions = snapshot_versions(base)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {base}")
+    if version is None:
+        version = versions[-1]
+    elif version not in versions:
+        raise FileNotFoundError(f"snapshot v={version} not in {versions}")
+    return spark.read.parquet(f"{base}/v={version:08d}")

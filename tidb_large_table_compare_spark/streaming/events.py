@@ -139,3 +139,47 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_cents")
     )
+
+
+def streaming_session_counts(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Session windows in Structured Streaming: per-user session counts.
+
+    ``session_window(ts, gap)`` merges events within ``gap`` of each other
+    into variable-length sessions — the streaming-native equivalent of the
+    batch lag-and-cumsum sessionization, so the batch SQL oracle checks the
+    streaming session-window implementation.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_in_session"))
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    query = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum("n_in_session").cast("bigint").alias("n_events"),
+        )
+    )
