@@ -6,9 +6,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from tidb_large_table_compare_spark.operators.dedup import (
     lsh_candidate_pairs,
+    lsh_candidate_pairs_from_array,
     minhash_signature,
+    minhash_signature_from_sets,
+    minhash_signature_oph,
     simhash,
     word_ngrams,
 )
@@ -22,15 +27,27 @@ def test_word_ngrams_short_text_guard(spark):
     assert [r.n for r in out] == [0, 3]
 
 
-def test_lsh_recall_on_constructed_dups(spark):
-    """Every constructed near-dup pair must survive LSH banding (the verified
-    output is oracle-checked elsewhere; this pins the recall property)."""
+@pytest.mark.parametrize("variant", ["oph", "universal", "exploded"])
+def test_lsh_recall_on_constructed_dups(spark, variant):
+    """Every constructed near-dup pair must survive LSH banding in all three
+    signature formulations (the verified output is oracle-checked elsewhere;
+    this pins the recall property)."""
     corpus = _near_dup_corpus(spark, SF_SMALL)
-    shingled = corpus.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), 5)).alias("shingle")
+    shingle_sets = corpus.select(
+        "doc_id", word_ngrams(F.col("text"), 5).alias("shingles")
     )
-    sigs = minhash_signature(shingled, "doc_id", "shingle")
-    cands = lsh_candidate_pairs(sigs, "doc_id")
+    if variant == "oph":
+        sigs = minhash_signature_oph(shingle_sets, "doc_id")
+        cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
+    elif variant == "universal":
+        sigs = minhash_signature_from_sets(shingle_sets, "doc_id")
+        cands = lsh_candidate_pairs(sigs, "doc_id")
+    else:
+        shingled = shingle_sets.select(
+            "doc_id", F.explode("shingles").alias("shingle")
+        )
+        sigs = minhash_signature(shingled, "doc_id", "shingle")
+        cands = lsh_candidate_pairs(sigs, "doc_id")
     expected = {
         (r.doc_id, r.doc_id + 100_000)
         for r in corpus.filter(F.col("doc_id") % 10 == 3)

@@ -498,8 +498,8 @@ from tidb_large_table_compare_spark.operators import textops  # noqa: E402
 from tidb_large_table_compare_spark.operators.dedup import (  # noqa: E402
     exact_dedup_groups,
     jaccard_verified_pairs,
-    lsh_candidate_pairs,
-    minhash_signature_from_sets,
+    lsh_candidate_pairs_from_array,
+    minhash_signature_oph,
     simhash,
     word_ngrams,
 )
@@ -589,8 +589,8 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_sets = corpus.select(
         "doc_id", word_ngrams(F.col("text"), 5).alias("shingles")
     ).persist()
-    sigs = minhash_signature_from_sets(shingle_sets, "doc_id")
-    cands = lsh_candidate_pairs(sigs, "doc_id")
+    sigs = minhash_signature_oph(shingle_sets, "doc_id")
+    cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
     return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.8)
 
 
