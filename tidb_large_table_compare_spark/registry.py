@@ -1721,3 +1721,24 @@ SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events 
 GROUP BY user_id
 """,
 )
+
+
+# PII redaction (training-data hygiene): regex scrub with counts. Synthetic
+# emails are appended deterministically so the redaction is observable;
+# patterns stay backslash-free (Spark literals eat escapes DuckDB keeps).
+_shared_sql(
+    "redact_pii_documents",
+    """
+WITH tagged AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS STRING) || '@example.com now'
+           AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+SELECT doc_id,
+       regexp_replace(text, '[a-zA-Z0-9_.]+@[a-zA-Z0-9_.]+', '<EMAIL>') AS redacted,
+       length(text) - length(regexp_replace(text, '[a-zA-Z0-9_.]+@[a-zA-Z0-9_.]+', ''))
+         AS redacted_chars
+FROM tagged
+""",
+)
