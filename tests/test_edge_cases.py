@@ -1,0 +1,68 @@
+"""Compare-engine edge cases: empty inputs, one-sided data, composite-key
+fix SQL, common-column comparison under schema drift."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.compare import (
+    CompareOptions,
+    compare_tables,
+)
+from tidb_large_table_compare_spark.operators.fixsql import fix_sql
+from tests.conftest import SF_SMALL
+
+
+def test_empty_vs_empty_is_equivalent(spark):
+    empty = spark.createDataFrame([], "pk bigint, v string")
+    row = compare_tables(spark, empty, empty, ["pk"], table_name="e").summary().collect()[0]
+    assert row.equivalent and row.upcount == 0 and row.downcount == 0
+
+
+def test_empty_left_vs_full_right(spark):
+    empty = spark.createDataFrame([], "pk bigint, v string")
+    full = spark.createDataFrame([(1, "a"), (2, "b")], "pk bigint, v string")
+    row = compare_tables(spark, empty, full, ["pk"], table_name="e").summary().collect()[0]
+    assert row.upcount == 0 and row.downcount == 2 and not row.equivalent
+    row2 = compare_tables(spark, full, empty, ["pk"], table_name="e").summary().collect()[0]
+    assert row2.upcount == 2 and row2.downcount == 0
+
+
+def test_single_row_modified(spark):
+    a = spark.createDataFrame([(1, "a")], "pk bigint, v string")
+    b = spark.createDataFrame([(1, "B")], "pk bigint, v string")
+    row = compare_tables(spark, a, b, ["pk"], table_name="s").summary().collect()[0]
+    assert (row.upcount, row.downcount) == (1, 1)
+
+
+def test_common_column_compare_under_drift(spark):
+    """Data diff runs over the shared columns; structure diff carries the
+    rest — an extra slave column alone must not flag every row modified."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    widened = orders.withColumn("o_new", F.lit("x"))
+    cmp = compare_tables(spark, orders, widened, ["o_orderkey"], table_name="w")
+    row = cmp.summary().collect()[0]
+    assert not row.structure_ok  # extra column reported by B1
+    assert row.upcount == 0 and row.downcount == 0  # shared columns identical
+
+
+def test_fix_sql_composite_key_delete(spark):
+    a = spark.createDataFrame([(1, 1, "x")], "k1 bigint, k2 int, v string")
+    b = spark.createDataFrame(
+        [(1, 1, "x"), (2, 5, "extra")], "k1 bigint, k2 int, v string"
+    )
+    cmp = compare_tables(spark, a, b, ["k1", "k2"], table_name="db.t")
+    stmts = [r.fix_sql for r in fix_sql(cmp).collect()]
+    assert stmts == ["DELETE FROM db.t WHERE k1 = 2 AND k2 = 5;"]
+
+
+def test_compare_string_binary_edge_values(spark):
+    """Quote-bearing strings and binary payloads survive literal rendering."""
+    a = spark.createDataFrame(
+        [(1, "it's 'quoted'", bytearray(b"\x00\xff"))],
+        "pk bigint, s string, b binary",
+    )
+    empty = a.filter(F.lit(False))
+    cmp = compare_tables(spark, a, empty, ["pk"], table_name="q")
+    stmt = fix_sql(cmp).collect()[0].fix_sql
+    assert "it''s ''quoted''" in stmt and "X'00FF'" in stmt

@@ -49,6 +49,10 @@ def _parse_args(argv: list[str] | None):
                    help="discovery threshold (reference default 1e9; 0 = compare all)")
     p.add_argument("--chunk-size", type=int, default=5000)
     p.add_argument("--range", dest="range_sql", default=None)
+    p.add_argument("--check-struct-only", action="store_true",
+                   help="stop after the structure compare (template check-struct-only)")
+    p.add_argument("--multiset", action="store_true",
+                   help="force the keyless multiset diff for all tables")
     p.add_argument("--parallelism", type=int, default=4)
     p.add_argument("--fix-sql-out", default=None, help="dir for fix-SQL text output")
     p.add_argument("--report-out", default=None, help="file for the rendered report")
@@ -78,7 +82,11 @@ def main(argv: list[str] | None = None) -> int:
         print("no tables matched the discovery predicate (normal; nothing to do)")
         return 0
 
-    opts = dict(chunk_size=args.chunk_size)
+    opts = dict(
+        chunk_size=args.chunk_size,
+        check_struct_only=args.check_struct_only,
+        force_multiset=args.multiset,
+    )
     if args.range_sql:
         opts["range_sql"] = args.range_sql
     jobs = [

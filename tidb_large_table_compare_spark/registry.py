@@ -1742,3 +1742,13 @@ SELECT doc_id,
 FROM tagged
 """,
 )
+
+
+_shared_sql(
+    "repeat_purchase_custkeys",
+    """
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+""",
+)
