@@ -1752,3 +1752,139 @@ INTERSECT ALL
 SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
 """,
 )
+
+
+# ===========================================================================
+# 13. Dedup end-result + remaining TPC-H shapes (q8/q13/q15/q16/q17/q20)
+# ===========================================================================
+
+
+def _dedup_final_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable output of near-dup dedup: corpus size after dropping
+    every cluster member that is not its cluster representative."""
+    corpus = _near_dup_corpus(spark, sf_dir).persist()
+    clusters = connected_components(
+        QUERIES["neardup_ngram_jaccard"](spark, sf_dir).select("id_a", "id_b").persist()
+    )
+    drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = corpus.join(drop, "doc_id", "left_anti")
+    return spark.createDataFrame(
+        [(corpus.count(), kept.count())], "n_before bigint, n_after bigint"
+    )
+
+
+_register(
+    "dedup_final_corpus_stats",
+    _dedup_final_stats,
+    f"""
+WITH RECURSIVE pairs AS (
+  {_NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=2, threshold=0.6)}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+),
+clusters AS (SELECT node, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+corpus AS ({_NEAR_DUP_CTE})
+SELECT (SELECT COUNT(*) FROM corpus) AS n_before,
+       (SELECT COUNT(*) FROM corpus
+        WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> cluster_id))
+         AS n_after
+""",
+)
+
+_shared_sql(
+    "q8_brand_share_by_year",
+    """
+SELECT order_year,
+       CAST(SUM(CASE WHEN p_brand = 'Brand#12' THEN volume ELSE 0.0 END) AS DOUBLE)
+         / SUM(volume) AS brand12_share,
+       COUNT(*) AS n_items
+FROM (
+  SELECT EXTRACT(YEAR FROM o.o_orderdate) AS order_year, p.p_brand,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+              (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS DOUBLE)
+           AS volume
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+) t
+GROUP BY order_year
+""",
+)
+
+_shared_sql(
+    "q13_order_count_distribution",
+    """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+)
+
+_shared_sql(
+    "q15_top_supplier_by_revenue",
+    """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                  (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+
+_shared_sql(
+    "q16_part_supplier_variety",
+    """
+SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p.p_brand, p.p_size
+""",
+)
+
+_shared_sql(
+    "q17_small_quantity_revenue",
+    """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND l.l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+)
+
+_shared_sql(
+    "q20_suppliers_of_heavy_parts",
+    """
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size > 25
+  GROUP BY l.l_suppkey
+  HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 100
+)
+""",
+)
