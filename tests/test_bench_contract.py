@@ -1,0 +1,34 @@
+"""bench.py is part of the driver contract: it must print exactly one JSON
+line with the documented shape. Run it as a real subprocess at sf0.001."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=540,
+        cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 1, proc.stdout
+    payload = json.loads(json_lines[0])
+    assert payload["unit"] == "sec" and payload["sf"] == 0.001
+    assert payload["value"] > 0
+    assert set(payload["queries"]) and all(
+        v >= 0 for v in payload["queries"].values()
+    )
+    assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.1

@@ -99,3 +99,25 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert fix_files, "fix-SQL output missing"
     fix_text = "".join(f.read_text() for f in fix_files)
     assert fix_text.count("REPLACE INTO main.orders") == 30
+
+
+def test_cli_discovery_threshold_filters_tables(spark, tmp_path, capsys):
+    """--row-threshold routes through the A2 discovery predicate: tiny tables
+    drop out of the work list entirely."""
+    from tidb_large_table_compare_spark.cli import main
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", SF_SMALL,
+            # orders (1500 rows) passes a 1000-row threshold; nation (25) and
+            # region (CLUSTERED pk type) do not
+            "--tables", "orders,nation,region",
+            "--pk", "orders=o_orderkey",
+            "--row-threshold", "1000",
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "main.orders" in out
+    assert "main.nation" not in out and "main.region" not in out

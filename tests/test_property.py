@@ -58,3 +58,26 @@ def test_compare_counts_match_construction(spark, plan):
     assert row.upcount == len(missing) + len(modified)
     assert row.downcount == n_extra + len(modified)
     assert row.equivalent == (not missing and not modified and n_extra == 0)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dup_fraction=st.integers(min_value=2, max_value=6),
+    n_removed=st.integers(min_value=0, max_value=8),
+    n_added=st.integers(min_value=0, max_value=8),
+)
+def test_multiset_counts_with_duplicate_keys(spark, dup_fraction, n_removed, n_added):
+    """The keyless multiset path must report exact multiplicity deltas even
+    when primary keys repeat arbitrarily."""
+    base = [(pk % dup_fraction, f"p{pk % dup_fraction}") for pk in range(60)]
+    slave = base[n_removed:] + [(999, f"new{i}") for i in range(n_added)]
+    schema = "pk bigint, v string"
+    m = spark.createDataFrame(base, schema)
+    s = spark.createDataFrame(slave, schema)
+    row = compare_tables(spark, m, s, None, table_name="ms").summary().collect()[0]
+    assert row.upcount == n_removed
+    assert row.downcount == n_added
