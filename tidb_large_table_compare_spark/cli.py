@@ -18,13 +18,12 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 
-from pyspark.sql import functions as F
-
-from tidb_large_table_compare_spark.operators.compare import CompareOptions
+from tidb_large_table_compare_spark.operators.compare import (
+    CompareOptions,
+    compare_tables,
+)
 from tidb_large_table_compare_spark.operators.fixsql import fix_sql
-from tidb_large_table_compare_spark.operators.compare import compare_tables
 from tidb_large_table_compare_spark.plans.discover import discover
 from tidb_large_table_compare_spark.plans.pipeline import CompareJob, run_jobs
 from tidb_large_table_compare_spark.plans.report import render_report, report_totals

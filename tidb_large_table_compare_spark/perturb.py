@@ -42,8 +42,13 @@ def perturbed_orders(orders: DataFrame) -> DataFrame:
 
 
 def perturbed_lineitem(lineitem: DataFrame) -> DataFrame:
-    """Drifted slave copy of ``lineitem`` — composite PK (l_orderkey,
-    l_linenumber) coverage for the compare engine.
+    """Drifted slave copy of ``lineitem``.
+
+    CAVEAT: in the synthetic test data (l_orderkey, l_linenumber) is NOT
+    unique (multiplicity up to 6), so keyed comparison over it hits the
+    duplicate-PK degradation (SURVEY.md §7) — use the multiset path, or the
+    split-orders composite key in registry.py for unique-composite-PK
+    coverage.
 
     - DELETE rows with (l_orderkey * 7 + l_linenumber) % 101 = 5
     - MODIFY l_quantity + 1.0 where (l_orderkey * 7 + l_linenumber) % 97 = 11

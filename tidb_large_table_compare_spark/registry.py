@@ -843,45 +843,74 @@ GROUP BY date_trunc('hour', ts), event_type
 # 5. Coverage widening: composite-PK compare, set ops, rollup, scalar ops
 # ===========================================================================
 
-from tidb_large_table_compare_spark.perturb import (  # noqa: E402
-    PERTURBED_LINEITEM_SQL,
-    perturbed_lineitem,
-)
+# Composite-PK coverage on a key that is unique BY CONSTRUCTION:
+# (o_orderkey DIV 10, o_orderkey % 10) splits the unique orders key into two
+# columns. The real lineitem (l_orderkey, l_linenumber) is NOT unique in this
+# synthetic data (multiplicity up to 6), and keyed-join diff semantics over
+# duplicate keys are ill-defined — that is exactly what the multiset path is
+# for (SURVEY.md §7 hard parts; see test_multiset_fallback_dupkeys).
 
-_LI_DIFF_PRED = """
-      m.l_partkey       IS DISTINCT FROM s.l_partkey OR
-      m.l_suppkey       IS DISTINCT FROM s.l_suppkey OR
-      m.l_quantity      IS DISTINCT FROM s.l_quantity OR
-      m.l_extendedprice IS DISTINCT FROM s.l_extendedprice OR
-      m.l_discount      IS DISTINCT FROM s.l_discount OR
-      m.l_tax           IS DISTINCT FROM s.l_tax OR
-      m.l_returnflag    IS DISTINCT FROM s.l_returnflag OR
-      m.l_linestatus    IS DISTINCT FROM s.l_linestatus OR
-      m.l_shipdate      IS DISTINCT FROM s.l_shipdate
+_SPLIT_ORDERS_SQL = """
+    SELECT o_orderkey // 10 AS k1, o_orderkey % 10 AS k2, o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+"""
+
+_SPLIT_SLAVE_SQL = f"""
+    SELECT o_orderkey // 10 AS k1, o_orderkey % 10 AS k2, o_custkey,
+           o_orderstatus,
+           CASE WHEN o_orderkey % 89 = 5 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 97 <> 3
+    UNION ALL
+    SELECT (o_orderkey + 10000000) // 10, (o_orderkey + 10000000) % 10,
+           o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey % 400 = 7
+"""
+
+_SPLIT_DIFF_PRED = """
+      m.o_custkey       IS DISTINCT FROM s.o_custkey OR
+      m.o_orderstatus   IS DISTINCT FROM s.o_orderstatus OR
+      m.o_totalprice    IS DISTINCT FROM s.o_totalprice OR
+      m.o_orderdate     IS DISTINCT FROM s.o_orderdate OR
+      m.o_orderpriority IS DISTINCT FROM s.o_orderpriority
 """
 
 
-def _cmp_li(spark: SparkSession, sf_dir: str):
-    li = load_table(spark, sf_dir, "lineitem")
+def _split_orders(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.expr("o_orderkey DIV 10").alias("k1"),
+        (F.col("o_orderkey") % 10).alias("k2"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def _cmp_composite(spark: SparkSession, sf_dir: str):
+    orders = load_table(spark, sf_dir, "orders")
     return compare_tables(
-        spark, li, perturbed_lineitem(li), pk=["l_orderkey", "l_linenumber"],
-        table_name="main.lineitem",
+        spark,
+        _split_orders(orders),
+        _split_orders(perturbed_orders(orders)),
+        pk=["k1", "k2"],
+        table_name="main.orders_split",
     )
 
 
 _register(
-    "cmp_summary_lineitem_composite_pk",
-    lambda spark, sf: _cmp_li(spark, sf).summary(),
+    "cmp_summary_composite_pk",
+    lambda spark, sf: _cmp_composite(spark, sf).summary(),
     f"""
-WITH slave AS ({PERTURBED_LINEITEM_SQL}),
+WITH master AS ({_SPLIT_ORDERS_SQL}),
+slave AS ({_SPLIT_SLAVE_SQL}),
 j AS (
-  SELECT m.l_orderkey AS l_pk, s.l_orderkey AS r_pk,
-         (m.l_orderkey IS NOT NULL AND s.l_orderkey IS NOT NULL AND
-          ({_LI_DIFF_PRED})) AS modified
-  FROM lineitem m FULL OUTER JOIN slave s
-    ON m.l_orderkey = s.l_orderkey AND m.l_linenumber = s.l_linenumber
+  SELECT m.k1 AS l_pk, s.k1 AS r_pk,
+         (m.k1 IS NOT NULL AND s.k1 IS NOT NULL AND
+          ({_SPLIT_DIFF_PRED})) AS modified
+  FROM master m FULL OUTER JOIN slave s ON m.k1 = s.k1 AND m.k2 = s.k2
 )
-SELECT 'main.lineitem' AS "table",
+SELECT 'main.orders_split' AS "table",
        TRUE AS structure_ok,
        (SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS upcount,
        (SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS downcount,
@@ -892,18 +921,17 @@ FROM j
 )
 
 _register(
-    "cmp_diff_rows_lineitem_composite_pk",
-    lambda spark, sf: _cmp_li(spark, sf).diff_rows(),
+    "cmp_diff_rows_composite_pk",
+    lambda spark, sf: _cmp_composite(spark, sf).diff_rows(),
     f"""
-WITH slave AS ({PERTURBED_LINEITEM_SQL})
-SELECT COALESCE(m.l_orderkey, s.l_orderkey) AS l_orderkey,
-       COALESCE(m.l_linenumber, s.l_linenumber) AS l_linenumber,
-       CASE WHEN s.l_orderkey IS NULL THEN 'missing_in_right'
-            WHEN m.l_orderkey IS NULL THEN 'extra_in_right'
+WITH master AS ({_SPLIT_ORDERS_SQL}),
+slave AS ({_SPLIT_SLAVE_SQL})
+SELECT COALESCE(m.k1, s.k1) AS k1, COALESCE(m.k2, s.k2) AS k2,
+       CASE WHEN s.k1 IS NULL THEN 'missing_in_right'
+            WHEN m.k1 IS NULL THEN 'extra_in_right'
             ELSE 'modified' END AS diff_type
-FROM lineitem m FULL OUTER JOIN slave s
-  ON m.l_orderkey = s.l_orderkey AND m.l_linenumber = s.l_linenumber
-WHERE s.l_orderkey IS NULL OR m.l_orderkey IS NULL OR ({_LI_DIFF_PRED})
+FROM master m FULL OUTER JOIN slave s ON m.k1 = s.k1 AND m.k2 = s.k2
+WHERE s.k1 IS NULL OR m.k1 IS NULL OR ({_SPLIT_DIFF_PRED})
 """,
 )
 
