@@ -10,8 +10,13 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
+import os
+
 SF_SMALL = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# the driver checks at sf0.01; override to sweep other scales, e.g.
+#   SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.001 python -m pytest tests/test_oracle.py
+# (an sf sweep caught a real duplicate-key semantics bug in round 1)
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
