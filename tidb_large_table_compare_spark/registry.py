@@ -1916,3 +1916,64 @@ WHERE s.s_suppkey IN (
 )
 """,
 )
+
+
+# ===========================================================================
+# 14. Iterative k-means training — Lloyd's rounds verified by an unrolled
+#     SQL oracle (exact integer distances, re-quantized mean centroids).
+# ===========================================================================
+
+from tidb_large_table_compare_spark.operators.kmeans import kmeans_assignments  # noqa: E402
+
+
+def _kmeans_assign_sql(vec_src: str, cent_src: str) -> str:
+    return f"""
+  SELECT id, qv, cluster_id FROM (
+    SELECT v.id, v.qv, c.cluster_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.id
+             ORDER BY list_sum(list_transform(list_zip(v.qv, c.cv),
+                                              p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC,
+                      c.cluster_id ASC) AS rn
+    FROM {vec_src} v, {cent_src} c
+  ) t WHERE rn = 1
+"""
+
+
+_KMEANS_UPDATE_SQL = """
+  SELECT cluster_id, list(m ORDER BY dim) AS cv FROM (
+    SELECT cluster_id, dim,
+           CAST(round(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+    FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS val
+          FROM {src})
+    GROUP BY cluster_id, dim
+  ) GROUP BY cluster_id
+"""
+
+_register(
+    "kmeans_cluster_assignments",
+    lambda spark, sf: kmeans_assignments(load_table(spark, sf, "embeddings")),
+    f"""
+WITH vectors AS (SELECT vec_id AS id, {_QUANT} AS qv FROM embeddings),
+c0 AS (SELECT id AS cluster_id, qv AS cv FROM vectors WHERE id % 25 = 0),
+a1 AS ({_kmeans_assign_sql("vectors", "c0")}),
+c1 AS ({_KMEANS_UPDATE_SQL.format(src="a1")}),
+a2 AS ({_kmeans_assign_sql("vectors", "c1")})
+SELECT id AS vec_id, cluster_id FROM a2
+""",
+)
+
+_register(
+    "kmeans_cluster_sizes",
+    lambda spark, sf: kmeans_assignments(load_table(spark, sf, "embeddings"))
+    .groupBy("cluster_id")
+    .agg(F.count(F.lit(1)).alias("n_members")),
+    f"""
+WITH vectors AS (SELECT vec_id AS id, {_QUANT} AS qv FROM embeddings),
+c0 AS (SELECT id AS cluster_id, qv AS cv FROM vectors WHERE id % 25 = 0),
+a1 AS ({_kmeans_assign_sql("vectors", "c0")}),
+c1 AS ({_KMEANS_UPDATE_SQL.format(src="a1")}),
+a2 AS ({_kmeans_assign_sql("vectors", "c1")})
+SELECT cluster_id, COUNT(*) AS n_members FROM a2 GROUP BY cluster_id
+""",
+)
