@@ -1977,3 +1977,64 @@ a2 AS ({_kmeans_assign_sql("vectors", "c1")})
 SELECT cluster_id, COUNT(*) AS n_members FROM a2 GROUP BY cluster_id
 """,
 )
+
+
+# ===========================================================================
+# 15. Range (interval) join — bucketized equi-join composition vs a plain
+#     BETWEEN theta-join oracle.
+# ===========================================================================
+
+from tidb_large_table_compare_spark.operators.rangejoin import interval_join  # noqa: E402
+
+
+def _errors_in_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each error event joined to the busy intervals (hours with > 5 events
+    for that user, padded ±10 minutes) that contain it."""
+    ev = load_table(spark, sf_dir, "events")
+    busy = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 5)
+        .select(
+            "user_id",
+            (F.col("h") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
+            (F.col("h") + F.expr("INTERVAL 70 MINUTES")).alias("end_ts"),
+        )
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    joined = interval_join(
+        errors, busy, "ts", "start_ts", "end_ts", by=["user_id"],
+        bucket_seconds=1800,
+    )
+    return joined.select(
+        "user_id",
+        "error_id",
+        F.unix_timestamp(F.col("start_ts").cast("timestamp")).alias("interval_start_epoch"),
+    )
+
+
+_register(
+    "range_join_errors_busy_hours",
+    _errors_in_busy_hours,
+    f"""
+WITH {_EVENTS_N},
+busy AS (
+  SELECT user_id,
+         date_trunc('hour', ts) - INTERVAL 10 MINUTE AS start_ts,
+         date_trunc('hour', ts) + INTERVAL 70 MINUTE AS end_ts
+  FROM events_n
+  GROUP BY user_id, date_trunc('hour', ts)
+  HAVING COUNT(*) > 5
+),
+errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events_n
+  WHERE event_type = 'error'
+)
+SELECT e.user_id, e.error_id,
+       CAST(epoch(b.start_ts) AS BIGINT) AS interval_start_epoch
+FROM errors e JOIN busy b
+  ON e.user_id = b.user_id AND e.ts >= b.start_ts AND e.ts <= b.end_ts
+""",
+)
