@@ -83,3 +83,41 @@ def test_compare_null_pk_semantics(spark):
     # multiset fallback reports the same totals without join degradation
     row3 = compare_tables(spark, a, c, None, table_name="n").summary().collect()[0]
     assert row3.upcount == 1 and row3.downcount == 1
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch + epoch-keyed overwrite: the exactly-once sink pattern
+    (a retried epoch rewrites its own directory instead of duplicating)."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    schema = "event_id bigint, ts timestamp, v double"
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i), float(i)) for i in range(20)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(str(src))
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+    def write_epoch(df, epoch_id):
+        df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    q = stream.writeStream.outputMode("complete").foreachBatch(write_epoch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    result = spark.read.parquet(f"{out}/epoch=0")
+    rows = {r.ws.isoformat(): r.n for r in result.collect()}
+    assert rows == {
+        "2024-01-01T00:00:00": 10,
+        "2024-01-01T00:10:00": 10,
+    }
