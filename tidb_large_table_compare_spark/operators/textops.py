@@ -83,3 +83,15 @@ def doc_fingerprint(text: Column) -> Column:
         F.lit(FP_SEED).cast("long"),
         lambda acc, x: (acc * 31 + x) % FP_MOD,
     )
+
+
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+"""GPT-2-style pretokenization, ASCII-safe: letter runs, digit runs, and
+punctuation/symbol clusters become separate tokens (whitespace delimits).
+Kept free of backslash classes so the same pattern string is parsed
+identically by Spark SQL literals and DuckDB regexes."""
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Array of BPE-ish pretokens (the subword-tokenizer front half)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)

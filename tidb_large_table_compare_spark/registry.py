@@ -2038,3 +2038,53 @@ FROM errors e JOIN busy b
   ON e.user_id = b.user_id AND e.ts >= b.start_ts AND e.ts <= b.end_ts
 """,
 )
+
+
+# BPE-ish pretokenization counts (the subword tokenizer's front half):
+# letter runs / digit runs / punctuation clusters. Documents are plain words,
+# so digits and punctuation are injected deterministically to exercise all
+# three token classes.
+_register(
+    "bpe_ish_token_counts",
+    lambda spark, sf: load_table(spark, sf, "documents")
+    .select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" v"), F.col("doc_id").cast("string"), F.lit(".x!")
+        ).alias("text"),
+    )
+    .select(
+        "doc_id",
+        F.size(textops.bpe_ish_tokens(F.col("text"))).cast("bigint").alias("n_bpe_tokens"),
+        F.size(
+            F.filter(
+                textops.bpe_ish_tokens(F.col("text")),
+                lambda t: t.rlike("^[0-9]+$"),
+            )
+        ).cast("bigint").alias("n_numeric_tokens"),
+        F.size(
+            F.filter(
+                textops.bpe_ish_tokens(F.col("text")),
+                lambda t: ~t.rlike("^[a-zA-Z0-9]"),
+            )
+        ).cast("bigint").alias("n_symbol_tokens"),
+    ),
+    f"""
+WITH tagged AS (
+  SELECT doc_id, text || ' v' || CAST(doc_id AS VARCHAR) || '.x!' AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{textops.BPE_ISH_PATTERN}') AS t
+  FROM tagged
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT)
+         AS n_numeric_tokens,
+       CAST(len(list_filter(t, x -> NOT regexp_matches(x, '^[a-zA-Z0-9]')))
+            AS BIGINT) AS n_symbol_tokens
+FROM toks
+""",
+)
