@@ -37,6 +37,9 @@ HEADLINE = [
     "dedup_exact_docs",
     "neardup_minhash_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
+    "kmeans_cluster_sizes",
+    "range_join_errors_busy_hours",
     "doc_fingerprints",
 ]
 
