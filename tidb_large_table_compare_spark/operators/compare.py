@@ -206,9 +206,12 @@ class TableCompare:
         bad_ids = [r["__bucket"] for r in bad.limit(self._MAX_INLIST + 1).collect()]
         if len(bad_ids) <= self._MAX_INLIST:
             if not bad_ids:
-                return lh.select(*self.pk).limit(0).withColumn(
+                # equal-tables fast path; cached so repeat calls don't re-run
+                # the digest comparison
+                self._diff_rows = lh.select(*self.pk).limit(0).withColumn(
                     "diff_type", F.lit(None).cast("string")
                 )
+                return self._diff_rows
             lh = lh.filter(F.col("__bucket").isin(bad_ids))
             rh = rh.filter(F.col("__bucket").isin(bad_ids))
         else:

@@ -73,10 +73,14 @@ def run_jobs(
     run_ts = run_ts or time.strftime("%Y%m%d_%H%M%S")
 
     def one(job: CompareJob):
+        t0 = time.monotonic()
         cmp = compare_tables(
             spark, job.left, job.right, job.pk, job.options, job.table
         )
-        return job.table, cmp.summary().collect()[0]
+        row = cmp.summary().collect()[0]
+        # per-table wall-clock, the reference's duration accounting
+        # (step3_run_syncdiff.sh:125-134)
+        return job.table, row, round(time.monotonic() - t0, 3)
 
     results: list[tuple[str, object]] = []
     failed: list[str] = []
@@ -96,13 +100,13 @@ def run_jobs(
                 failed.append(j.table)
 
     rows = [
-        (run_ts, table, row.structure_ok, row.upcount, row.downcount)
-        for table, row in results
+        (run_ts, table, row.structure_ok, row.upcount, row.downcount, secs)
+        for table, row, secs in results
     ]
     summaries = spark.createDataFrame(
         rows,
         "run_ts string, table string, structure_ok boolean, "
-        "upcount bigint, downcount bigint",
+        "upcount bigint, downcount bigint, duration_s double",
     )
     return CompareRun(
         run_ts=run_ts,
