@@ -68,3 +68,38 @@ def decode_media(df: DataFrame, media_format: str) -> DataFrame:
         "present in this environment; see binary_metadata() for the "
         "Arrow-batched plumbing a decoder plugs into"
     )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes bigint, head_byte bigint"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_size: int = 16,
+    every_k: int = 4,
+) -> DataFrame:
+    """Deterministic frame sampling over an opaque binary payload.
+
+    Treats the payload as a sequence of fixed-size frames (a stand-in for
+    video GOPs / audio windows) and keeps every k-th frame with byte-level
+    metadata. The Arrow-batched ``mapInPandas`` shape — per-partition
+    iterator, one output row per sampled frame — is exactly what a real
+    frame decoder (ffmpeg et al.) plugs into; the byte slicing itself is
+    real and oracle-checkable.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "head_byte": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for idx in range(0, n_frames, every_k):
+                    frame = payload[idx * frame_size : (idx + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(frame))
+                    out["head_byte"].append(frame[0])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(sample, FRAME_SCHEMA)

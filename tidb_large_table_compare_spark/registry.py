@@ -2088,3 +2088,31 @@ SELECT doc_id,
 FROM toks
 """,
 )
+
+
+# Multimodal frame sampling: every 4th 16-byte frame of the payload, with
+# byte metadata. The documents are verified pure-ASCII, so the DuckDB oracle
+# can mirror byte offsets with VARCHAR slicing (no BLOB substring in this
+# DuckDB build).
+from tidb_large_table_compare_spark.operators.multimodal import sample_frames  # noqa: E402
+
+_register(
+    "multimodal_frame_samples",
+    lambda spark, sf: sample_frames(
+        attach_binary_payload(load_table(spark, sf, "documents"))
+    ),
+    """
+WITH frames AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 4)) AS frame_idx,
+         text
+  FROM documents
+)
+SELECT doc_id, frame_idx,
+       CAST(length(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 16)) AS BIGINT)
+         AS frame_bytes,
+       CAST(ascii(substring(text, CAST(frame_idx * 16 + 1 AS BIGINT), 1)) AS BIGINT)
+         AS head_byte
+FROM frames
+""",
+)
