@@ -2116,3 +2116,19 @@ SELECT doc_id, frame_idx,
 FROM frames
 """,
 )
+
+
+# q11-shape: groups whose share of the global total clears a threshold
+# (HAVING against a scalar subquery).
+_shared_sql(
+    "q11_important_part_stock",
+    """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) >
+       (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) * 0.008
+        FROM lineitem)
+""",
+)
