@@ -2132,3 +2132,40 @@ HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) >
         FROM lineitem)
 """,
 )
+
+
+# Correlated LATERAL subquery with per-row LIMIT (top-2 orders per sampled
+# customer) — the lateral-join surface, identical SQL on both engines.
+_shared_sql(
+    "lateral_top2_orders_per_customer",
+    """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey % 20 = 1
+""",
+)
+
+
+# Stream-stream range join (purchases x signups within 30 days) checked
+# against the equivalent batch theta join.
+from tidb_large_table_compare_spark.streaming.events import (  # noqa: E402
+    streaming_purchase_signup_join,
+)
+
+_register(
+    "streaming_purchase_signup_join",
+    streaming_purchase_signup_join,
+    f"""
+WITH {_EVENTS_N},
+purchases AS (SELECT user_id, event_id, ts FROM events_n WHERE event_type = 'purchase'),
+signups AS (SELECT user_id, event_id, ts FROM events_n WHERE event_type = 'signup')
+SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id
+FROM purchases p JOIN signups s
+  ON p.user_id = s.user_id
+ AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 30 DAY
+""",
+)

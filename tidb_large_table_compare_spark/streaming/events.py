@@ -183,3 +183,53 @@ def streaming_session_counts(
             F.sum("n_in_session").cast("bigint").alias("n_events"),
         )
     )
+
+
+def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition.
+
+    Purchases and signups are two live streams; each purchase joins signups
+    by the same user within the preceding 30 days. Inner stream-stream joins
+    emit matches as both sides arrive (watermarks bound the join state, not
+    emission), so a full replay produces the complete join — which is why
+    the batch SQL oracle can check a genuinely streaming execution.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(_RAW_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    purchases = side("purchase", "p")
+    signups = side("signup", "s")
+    joined = purchases.join(
+        signups,
+        F.expr(
+            "p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 30 DAYS"
+        ),
+    )
+    name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
+    query = (
+        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("s_id").alias("signup_id"),
+    )
