@@ -85,8 +85,8 @@ j AS (
 )
 SELECT 'main.orders' AS "table",
        TRUE AS structure_ok,
-       (SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS upcount,
-       (SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS downcount,
+       CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS upcount,
+       CAST(SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS downcount,
        (SUM(CASE WHEN l_pk IS NULL OR r_pk IS NULL OR modified THEN 1 ELSE 0 END) = 0)
          AS equivalent
 FROM j
@@ -284,8 +284,8 @@ j AS (
   FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
 ),
 cmp AS (
-  SELECT SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS up,
-         SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS down
+  SELECT CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS up,
+         CAST(SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS down
   FROM j
 )
 SELECT 2::BIGINT AS tables_checked, 2::BIGINT AS structure_ok_cnt,
@@ -418,8 +418,8 @@ _shared_sql(
     """
 SELECT o_orderpriority,
        COUNT(*) AS order_count,
-       SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_count,
-       SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS big_ticket_count
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished_count,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS big_ticket_count
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -469,7 +469,7 @@ _register(
     )[1],
     """
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """,
@@ -480,9 +480,11 @@ _shared_sql(
     """
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)) AS sum_src_num,
-       SUM(length(text)) AS total_chars,
-       SUM(CASE WHEN substring(text, 1, 4) = 'the ' THEN 1 ELSE 0 END) AS the_prefix_docs
+       CAST(SUM(CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+         AS sum_src_num,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN substring(text, 1, 4) = 'the ' THEN 1 ELSE 0 END) AS BIGINT)
+         AS the_prefix_docs
 FROM documents
 GROUP BY lang
 """,
@@ -912,8 +914,8 @@ j AS (
 )
 SELECT 'main.orders_split' AS "table",
        TRUE AS structure_ok,
-       (SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS upcount,
-       (SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS downcount,
+       CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS upcount,
+       CAST(SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS downcount,
        (SUM(CASE WHEN l_pk IS NULL OR r_pk IS NULL OR modified THEN 1 ELSE 0 END) = 0)
          AS equivalent
 FROM j
@@ -1112,7 +1114,7 @@ _register(
     streaming_user_totals,
     """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events
 GROUP BY user_id
 """,
@@ -1182,10 +1184,10 @@ _register(
     _pivot_docs,
     """
 SELECT lang,
-       SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS src0,
-       SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS src1,
-       SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS src2,
-       SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS src3
+       CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+       CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+       CAST(SUM(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+       CAST(SUM(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
 FROM documents
 GROUP BY lang
 """,
@@ -1282,11 +1284,14 @@ j AS (
 )
 SELECT '20240303_000000' AS run_ts, '`main`.`orders`' AS "table",
        FALSE AS structure_ok,
-       SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS upcount,
-       SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS downcount
+       CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT)
+         AS upcount,
+       CAST(SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT)
+         AS downcount
 FROM j
 UNION ALL
-SELECT '20240303_000000', '`main`.`orders_self`', TRUE, 0, 0
+SELECT '20240303_000000', '`main`.`orders_self`', TRUE,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 """,
 )
 
@@ -1311,8 +1316,8 @@ j AS (
 )
 SELECT 'main.orders' AS "table",
        TRUE AS structure_ok,
-       (SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS upcount,
-       (SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END)) AS downcount,
+       CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS upcount,
+       CAST(SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS downcount,
        (SUM(CASE WHEN l_pk IS NULL OR r_pk IS NULL OR modified THEN 1 ELSE 0 END) = 0)
          AS equivalent
 FROM j
@@ -1392,9 +1397,11 @@ _shared_sql(
     "q12_priority_line_counts",
     """
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
