@@ -1,0 +1,73 @@
+"""Registration-order contract.
+
+The driver correctness-checks only the first 50 entries of
+``registry.QUERIES`` (insertion order), so the window must carry the
+entries that need a fresh driver signal this round: the oracle-typing
+fixes, the formerly oracle-less entries, and every operator that had
+never been driver-verified before the reorder.
+"""
+
+from tidb_large_table_compare_spark.registry import (
+    _DRIVER_PRIORITY,
+    ORACLES,
+    QUERIES,
+)
+
+WINDOW = 50
+
+# Oracles whose SUM typing was fixed (must flip to hash_match=true).
+TYPING_FIXES = {
+    "cmp_summary_orders",
+    "cmp_summary_orders_multiset",
+    "cmp_summary_composite_pk",
+    "report_latest_totals",
+    "order_priority_counts",
+    "json_props_by_type",
+    "string_ops_documents",
+    "streaming_user_totals_stateful",
+    "pivot_docs_by_source",
+}
+
+# Entries that were `no_oracle` in round 1 and now carry oracles.
+FORMER_NO_ORACLE = {"render_report_lines", "simhash_docs", "approx_distinct_parts"}
+
+# Operators that had never been driver-verified before the reorder.
+NEVER_VERIFIED = {
+    "cmp_summary_orders_ranged", "cmp_struct_only_drift",
+    "parsed_report_roundtrip", "extract_table_from_sql",
+    "ann_ivf_topk", "kmeans_cluster_assignments", "kmeans_cluster_sizes",
+    "streaming_session_counts", "streaming_purchase_signup_join",
+    "range_join_errors_busy_hours", "lateral_top2_orders_per_customer",
+    "price_quantiles_by_status", "cmp_float_tolerance",
+    "multimodal_frame_samples", "bpe_ish_token_counts",
+    "top_tokens_documents", "redact_pii_documents",
+    "dedup_final_corpus_stats",
+    "q2_cheapest_part_per_brand", "q7_nation_pair_volume",
+    "q8_brand_share_by_year", "q9_profit_by_nation_year",
+    "q10_top_return_customers", "q11_important_part_stock",
+    "q12_priority_line_counts", "q13_order_count_distribution",
+    "q14_promo_revenue_share", "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety", "q17_small_quantity_revenue",
+    "q18_large_quantity_orders", "q19_disjunctive_revenue",
+    "q20_suppliers_of_heavy_parts", "q21_suppliers_with_problem_orders",
+    "q22_idle_rich_customers",
+}
+
+
+def test_priority_list_is_exactly_the_window():
+    assert len(_DRIVER_PRIORITY) == WINDOW
+    assert len(set(_DRIVER_PRIORITY)) == WINDOW
+    assert list(QUERIES)[:WINDOW] == _DRIVER_PRIORITY
+
+
+def test_window_carries_entries_needing_driver_signal():
+    window = set(list(QUERIES)[:WINDOW])
+    for group in (TYPING_FIXES, FORMER_NO_ORACLE, NEVER_VERIFIED):
+        assert group <= window, sorted(group - window)
+
+
+def test_reorder_lost_nothing():
+    assert len(QUERIES) == 89
+    assert set(ORACLES) <= set(QUERIES)
+    # every query either has an oracle or is a documented rows-only check
+    assert len(QUERIES) - len(ORACLES) <= 3

@@ -2176,3 +2176,91 @@ FROM purchases p JOIN signups s
  AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 30 DAY
 """,
 )
+
+
+# ===========================================================================
+# Driver-priority ordering
+# ===========================================================================
+# The driver correctness-checks only the FIRST 50 registered queries (in
+# insertion order), so registration order is a scarce verification resource.
+# Definitions above stay grouped by subsystem; here the dicts are rebuilt so
+# the 50-entry window carries (a) every oracle whose typing was fixed this
+# round, (b) the previously `no_oracle` entries, (c) every operator that has
+# never had a driver signal, and (d) the riskiest/novel implementations as
+# regression canaries. Pure shared-SQL queries that already passed cannot
+# drift (Spark executes the identical string) and sit past the cap.
+
+_DRIVER_PRIORITY: list[str] = [
+    # (a) oracle-typing fixes that must flip to hash_match=true
+    "cmp_summary_orders",
+    "cmp_summary_orders_multiset",
+    "cmp_summary_composite_pk",
+    "report_latest_totals",
+    "order_priority_counts",
+    "json_props_by_type",
+    "string_ops_documents",
+    "streaming_user_totals_stateful",
+    "pivot_docs_by_source",
+    # (b) formerly oracle-less entries
+    "render_report_lines",
+    "simhash_docs",
+    "approx_distinct_parts",
+    # (c) never driver-verified: compare variants + report parser
+    "cmp_summary_orders_ranged",
+    "cmp_struct_only_drift",
+    "parsed_report_roundtrip",
+    "extract_table_from_sql",
+    # (c) never driver-verified: novel / stateful operators
+    "ann_ivf_topk",
+    "kmeans_cluster_assignments",
+    "kmeans_cluster_sizes",
+    "streaming_session_counts",
+    "streaming_purchase_signup_join",
+    "range_join_errors_busy_hours",
+    "lateral_top2_orders_per_customer",
+    "price_quantiles_by_status",
+    "cmp_float_tolerance",
+    "multimodal_frame_samples",
+    "bpe_ish_token_counts",
+    "top_tokens_documents",
+    "redact_pii_documents",
+    "dedup_final_corpus_stats",
+    # (c) never driver-verified: TPC-H-shaped sweep
+    "q2_cheapest_part_per_brand",
+    "q7_nation_pair_volume",
+    "q8_brand_share_by_year",
+    "q9_profit_by_nation_year",
+    "q10_top_return_customers",
+    "q11_important_part_stock",
+    "q12_priority_line_counts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q20_suppliers_of_heavy_parts",
+    "q21_suppliers_with_problem_orders",
+    "q22_idle_rich_customers",
+    # (d) regression canaries: impls touched this round / riskiest paths
+    "asof_purchase_last_signup",
+    "neardup_minhash_lsh",
+    "dedup_cluster_assignments",
+]
+
+
+def _apply_driver_priority() -> None:
+    missing = [n for n in _DRIVER_PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(f"_DRIVER_PRIORITY names not registered: {missing}")
+    ordered = _DRIVER_PRIORITY + [n for n in QUERIES if n not in set(_DRIVER_PRIORITY)]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = dict(mapping)
+        mapping.clear()
+        mapping.update(
+            {n: snapshot[n] for n in ordered if n in snapshot}
+        )
+
+
+_apply_driver_priority()
