@@ -178,14 +178,23 @@ def jaccard_verified_pairs(
     )
 
 
-def simhash(tokens_exploded: DataFrame, id_col: str, token_col: str) -> DataFrame:
+def simhash(
+    tokens_exploded: DataFrame,
+    id_col: str,
+    token_col: str,
+    hash_expr: Column | None = None,
+) -> DataFrame:
     """64-bit SimHash per document from exploded tokens.
 
     For each bit j, sum +1/-1 according to bit j of the token hash; the
     fingerprint sets bit j when the sum is positive. 64 conditional sums in
     one aggregation — no UDFs, no per-row Python.
+
+    ``hash_expr`` overrides the token hash (default ``xxhash64``, the fast
+    JVM path). A cross-engine hash (e.g. md5-derived) makes the fingerprint
+    value-checkable against another SQL engine at the cost of hash speed.
     """
-    h = F.xxhash64(F.col(token_col))
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(token_col))
     sums = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -23,6 +23,10 @@ EQUIVALENT_MARKER = (
     "The table structure and data in following tables are equivalent"
 )  # step3_run_syncdiff.sh:204
 
+REPORT_BORDER = "+-------------------+-----------+---------+-----------+"
+REPORT_HEADER = "| TABLE             | STRUCTURE | UPCOUNT | DOWNCOUNT |"
+REPORT_ROW_FMT = "| %-17s | %-9s | %7d | %9d |"
+
 
 def latest_run(summaries: DataFrame) -> DataFrame:
     """A16: rows whose run_ts equals the global max run_ts.
@@ -62,11 +66,11 @@ def render_report(summaries: DataFrame) -> DataFrame:
     the reference's final report (``step3_run_syncdiff.sh:190-234``).
     """
     latest = latest_run(summaries)
-    border = "+-------------------+-----------+---------+-----------+"
-    header = "| TABLE             | STRUCTURE | UPCOUNT | DOWNCOUNT |"
+    border = REPORT_BORDER
+    header = REPORT_HEADER
     body = latest.select(
         F.format_string(
-            "| %-17s | %-9s | %7d | %9d |",
+            REPORT_ROW_FMT,
             F.col("table"),
             F.when(F.col("structure_ok"), F.lit("OK")).otherwise(F.lit("DIFF")),
             F.col("upcount"),

@@ -296,9 +296,9 @@ FROM cmp
 """,
 )
 
-# Rendered fixed-width report lines (A24/A25): format parity is asserted by
-# unit tests; registered rows-only here (text rendering is not an oracle-
-# friendly value surface).
+# Rendered fixed-width report lines (A24/A25): the oracle rebuilds the exact
+# strings in DuckDB with printf, so the rendered text itself is value-checked
+# (reference format: step3_run_syncdiff.sh:190-234).
 def _render_report_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     summaries = (
@@ -310,7 +310,39 @@ def _render_report_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return render_report(summaries)
 
 
-_register("render_report_lines", _render_report_lines, None)
+from tidb_large_table_compare_spark.plans.report import (  # noqa: E402
+    REPORT_BORDER as _REPORT_BORDER,
+    REPORT_HEADER as _REPORT_HEADER,
+    REPORT_ROW_FMT as _REPORT_ROW_FMT,
+)
+
+_register(
+    "render_report_lines",
+    _render_report_lines,
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL}),
+j AS (
+  SELECT m.o_orderkey AS l_pk, s.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+          ({_ORDERS_DIFF_PRED})) AS modified
+  FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT)
+           AS up,
+         CAST(SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT)
+           AS down
+  FROM j
+)
+SELECT '{_REPORT_BORDER}' AS line
+UNION ALL SELECT '{_REPORT_HEADER}'
+UNION ALL SELECT '{_REPORT_BORDER}'
+UNION ALL
+SELECT printf('{_REPORT_ROW_FMT}', '`main`.`orders`', 'OK', up, down)
+FROM s
+UNION ALL SELECT '{_REPORT_BORDER}'
+""",
+)
 
 
 # ===========================================================================
@@ -654,15 +686,53 @@ _register(
 
 
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash with a cross-engine token hash: the top 60 bits of md5,
+    identical in Spark (conv of the hex prefix) and DuckDB (unrolled
+    hex-digit arithmetic), so the fingerprint value itself is oracle-
+    checkable. simhash() keeps xxhash64 as its fast default."""
     corpus = _near_dup_corpus(spark, sf_dir)
     toks = corpus.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
-    return simhash(toks, "doc_id", "token")
+    md5_60 = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    return simhash(toks, "doc_id", "token", hash_expr=md5_60)
 
 
-# SimHash values are xxhash64-derived (engine-specific) → rows-only check.
-_register("simhash_docs", _simhash_docs, None)
+# DuckDB replica of the md5-prefix hash: value of the first 15 hex digits.
+_MD5_60_SQL = " + ".join(
+    f"(instr('0123456789abcdef', substring(md5(token), {j + 1}, 1)) - 1)"
+    f" * {16 ** (14 - j)}"
+    for j in range(15)
+)
+_SIMHASH_BIT_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+    for j in range(60)
+)
+_SIMHASH_FINGERPRINT = "\n         + ".join(
+    f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(60)
+)
+
+_register(
+    "simhash_docs",
+    _simhash_docs,
+    f"""
+WITH corpus AS ({_NEAR_DUP_CTE}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus
+),
+hashed AS (
+  SELECT doc_id, ({_MD5_60_SQL}) AS h FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_BIT_SUMS}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({_SIMHASH_FINGERPRINT} AS BIGINT) AS simhash
+FROM bits
+""",
+)
 
 
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,17 +1037,35 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 
 
 def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL) next to the exact count — approximate
-    values are engine-specific, so this is a rows-only entry; the exact
-    column is the sanity anchor."""
+    """approx_count_distinct (HLL) checked against the exact count.
+
+    The approximate value is engine-specific, so the oracle-checkable
+    projection is the exact count plus a boolean relative-error bound:
+    HLL++ is deterministic for fixed data, so `within_2pct` is a stable
+    value, and the oracle asserts it is TRUE against DuckDB's exact
+    COUNT(DISTINCT)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    agg = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
+        "exact_parts"
+    )
+    return agg.select(
+        "exact_parts", (rel_err <= F.lit(0.02)).alias("within_2pct")
     )
 
 
-_register("approx_distinct_parts", _approx_distinct, None)
+_register(
+    "approx_distinct_parts",
+    _approx_distinct,
+    """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_2pct
+FROM lineitem
+""",
+)
 
 # A7 scalar parity: base64 round-trip over real text. Spark's base64 is
 # MIME-chunked (CRLF every 76 chars) — normalize before comparing with
