@@ -152,3 +152,49 @@ def test_fix_sql_statements(spark, master, slave):
     assert all(s.endswith(";") for s in stmts)
     # NULL handling and quote escaping are literal-rendered, not "None"
     assert not any("None" in s for s in stmts)
+
+
+def test_keyed_compare_with_pk_named_n(spark):
+    """A PK column literally named 'n' must not be summed as multiset
+    weights: keyed diffs count one per differing row."""
+    a = spark.createDataFrame([(100, "x"), (200, "y")], "n bigint, s string")
+    b = spark.createDataFrame([(100, "x"), (200, "CHANGED")], "n bigint, s string")
+    row = compare_tables(spark, a, b, pk=["n"], table_name="t").summary().collect()[0]
+    assert (row.upcount, row.downcount) == (1, 1)
+
+
+def test_float_round_applies_inside_arrays(spark):
+    a = spark.createDataFrame([(1, [1.0000001, -0.0])], "pk bigint, v array<double>")
+    b = spark.createDataFrame([(1, [1.0000002, 0.0])], "pk bigint, v array<double>")
+    assert not _summary(spark, a, b).equivalent
+    assert _summary(spark, a, b, float_round=6).equivalent
+
+
+def test_nested_struct_doubles_canonicalized(spark):
+    a = spark.createDataFrame(
+        [(1, (-0.0, 7))], "pk bigint, v struct<d: double, i: int>"
+    )
+    b = spark.createDataFrame(
+        [(1, (0.0, 7))], "pk bigint, v struct<d: double, i: int>"
+    )
+    assert _summary(spark, a, b).equivalent
+    c = spark.createDataFrame(
+        [(1, (0.25, 7))], "pk bigint, v struct<d: double, i: int>"
+    )
+    assert not _summary(spark, a, c).equivalent
+
+
+def test_nested_struct_null_field_patterns_distinguished(spark):
+    a = spark.createDataFrame(
+        [(1, (None, "a"))], "pk bigint, v struct<x: string, y: string>"
+    )
+    b = spark.createDataFrame(
+        [(1, ("a", None))], "pk bigint, v struct<x: string, y: string>"
+    )
+    assert not _summary(spark, a, b).equivalent
+
+
+def test_map_double_values_canonicalized(spark):
+    a = spark.createDataFrame([(1, {"k": -0.0})], "pk bigint, m map<string, double>")
+    b = spark.createDataFrame([(1, {"k": 0.0})], "pk bigint, m map<string, double>")
+    assert _summary(spark, a, b).equivalent

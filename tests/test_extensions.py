@@ -101,3 +101,29 @@ def test_ann_topk_shape(spark):
     for q, ranks in per_query.items():
         assert sorted(ranks) == [1, 2, 3, 4, 5], f"query {q}: {ranks}"
         assert all(-1.0 <= r.cosine <= 1.0000001 for r in rows)
+
+
+def test_asof_join_preserves_matched_rows_null_payload(spark):
+    """When the matched right row's payload is genuinely NULL, the as-of
+    join must return that NULL (DuckDB ASOF semantics) — not backfill the
+    value from an older right row."""
+    from tidb_large_table_compare_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 30, "p1")], "user string, t int, lid string")
+    right = spark.createDataFrame(
+        [("u", 10, "old-value"), ("u", 20, None)],
+        "user string, t int, payload string",
+    )
+    out = asof_join(left, right, on="t", by=["user"], right_cols=["payload"])
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["payload_asof"] is None  # matched row (t=20) has NULL
+
+
+def test_asof_join_no_match_still_null(spark):
+    from tidb_large_table_compare_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("u", 5, "p1")], "user string, t int, lid string")
+    right = spark.createDataFrame([("u", 10, "x")], "user string, t int, payload string")
+    out = asof_join(left, right, on="t", by=["user"], right_cols=["payload"])
+    assert out.collect()[0]["payload_asof"] is None

@@ -49,16 +49,47 @@ def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Colum
         # NaN is left alone (Spark canonicalizes NaN bits in UnsafeRow).
         return F.when(c == F.lit(0.0), F.lit(0.0)).otherwise(c)
     if isinstance(dtype, T.MapType):
-        return F.to_json(F.map_from_entries(F.array_sort(F.map_entries(col))))
-    if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, (T.FloatType, T.DoubleType)):
-        inner = F.transform(
-            col,
-            lambda x: F.when(x.cast("double") == F.lit(0.0), F.lit(0.0)).otherwise(
-                x.cast("double")
-            ),
+        # Serialize via sorted entries (Spark refuses to hash MapType), with
+        # keys/values recursively canonicalized so e.g. double map values get
+        # the same rounding/-0.0 treatment as top-level doubles.
+        entry_type = T.StructType(
+            [
+                T.StructField("key", dtype.keyType),
+                T.StructField("value", dtype.valueType),
+            ]
         )
-        return inner
+        entries = F.transform(
+            F.array_sort(F.map_entries(col)),
+            _element_canonicalizer(entry_type, float_round),
+        )
+        return F.to_json(entries)
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, _element_canonicalizer(dtype.elementType, float_round))
+    if isinstance(dtype, T.StructType):
+        # Rebuild the struct with an interleaved null-flag per field (nested
+        # NULL-skip ambiguity mirrors the top-level one) and recursively
+        # canonicalized field values.
+        parts: list[Column] = []
+        for f in dtype.fields:
+            parts.append(F.isnull(col.getField(f.name)).cast("int"))
+            parts.append(_canonical(col.getField(f.name), f.dataType, float_round))
+        return F.struct(*parts)
     return col
+
+
+def _element_canonicalizer(dtype: T.DataType, float_round: int | None):
+    """1-arg lambda factory for F.transform — transform's lambda arity is
+    semantic (a 2-arg lambda receives (element, index)), so never close over
+    extra defaults. Elements are wrapped as (null-flag, canonical value) so
+    NULL elements can't alias adjacent values in the hashed byte stream."""
+
+    def canon(x: Column) -> Column:
+        return F.struct(
+            F.isnull(x).cast("int").alias("isnull"),
+            _canonical(x, dtype, float_round).alias("v"),
+        )
+
+    return canon
 
 
 def canonical_columns(

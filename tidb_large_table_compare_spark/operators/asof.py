@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql import window as W
 
 __all__ = ["asof_join"]
@@ -39,18 +40,25 @@ def asof_join(
     ``right_cols`` are the right-side payload columns to carry; they appear
     suffixed on the output. Left rows with no earlier right row get NULLs.
     """
+    # Carry ONE struct of all right payload columns rather than each column
+    # separately: the struct is non-null whenever a right row exists, so
+    # last(ignorenulls=True) always lands on the *matched* row — a genuinely
+    # NULL payload field of that row stays NULL (DuckDB ASOF JOIN semantics)
+    # instead of being silently backfilled from an older right row.
+    payload_type = T.StructType([T.StructField(c, right.schema[c].dataType)
+                                 for c in right_cols])
     l_tag = left.select(
         *by,
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(payload_type).alias("__rpay"),
         *[F.col(c) for c in left.columns if c not in by and c != on],
     )
     r_tag = right.select(
         *by,
         F.col(on).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("__rpay"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in left.columns
@@ -64,16 +72,12 @@ def asof_join(
         .rowsBetween(W.Window.unboundedPreceding, W.Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__carry_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("__rpay", ignorenulls=True).over(w).alias("__carry")
     )
     out_cols = (
         [F.col(c) for c in by]
         + [F.col("__t").alias(on)]
         + [F.col(c) for c in left.columns if c not in by and c != on]
-        + [F.col(f"__carry_{c}").alias(f"{c}{suffix}") for c in right_cols]
+        + [F.col("__carry").getField(c).alias(f"{c}{suffix}") for c in right_cols]
     )
     return carried.filter(F.col("__is_left") == 1).select(*out_cols)

@@ -237,8 +237,10 @@ class TableCompare:
     def _diff_rows_multiset(self) -> DataFrame:
         """exceptAll-style multiset diff keyed by whole-row hash.
 
-        Returns (__row_hash, diff_type, n) where n is the multiplicity delta;
-        used when PKs are absent or duplicated (SURVEY.md §7 hard parts).
+        Returns (__row_hash, diff_type, __n) where __n is the multiplicity
+        delta; used when PKs are absent or duplicated (SURVEY.md §7 hard
+        parts). The reserved ``__n`` name keeps the weight column from ever
+        colliding with a user PK column in :meth:`summary`.
         """
         fr = self.options.float_round
         l = (
@@ -259,12 +261,12 @@ class TableCompare:
         missing = joined.filter(F.col("l_cnt") > F.col("r_cnt")).select(
             "__row_hash",
             F.lit("missing_in_right").alias("diff_type"),
-            (F.col("l_cnt") - F.col("r_cnt")).alias("n"),
+            (F.col("l_cnt") - F.col("r_cnt")).alias("__n"),
         )
         extra = joined.filter(F.col("r_cnt") > F.col("l_cnt")).select(
             "__row_hash",
             F.lit("extra_in_right").alias("diff_type"),
-            (F.col("r_cnt") - F.col("l_cnt")).alias("n"),
+            (F.col("r_cnt") - F.col("l_cnt")).alias("__n"),
         )
         return missing.unionByName(extra)
 
@@ -283,7 +285,12 @@ class TableCompare:
                 "downcount bigint, equivalent boolean",
             )
         diff = self.diff_rows()
-        n = F.col("n") if "n" in diff.columns else F.lit(1)
+        # Weight by multiplicity exactly when the multiset path produced the
+        # diff — same predicate diff_rows() branches on. Never sniff column
+        # names: a keyed compare whose PK happens to be called "n"/"__n"
+        # must not have its key values summed as weights.
+        is_multiset = self.options.force_multiset or not self.pk
+        n = F.col("__n") if is_multiset else F.lit(1)
         agg = diff.agg(
             F.coalesce(
                 F.sum(F.when(F.col("diff_type") != "extra_in_right", n)), F.lit(0)
