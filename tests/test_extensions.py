@@ -127,3 +127,25 @@ def test_asof_join_no_match_still_null(spark):
     right = spark.createDataFrame([("u", 10, "x")], "user string, t int, payload string")
     out = asof_join(left, right, on="t", by=["user"], right_cols=["payload"])
     assert out.collect()[0]["payload_asof"] is None
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """The IVF path is the headline ANN design (bench) with brute-force as
+    its exact verification twin: recall@k against the exact top-k must stay
+    high for the default probe budget."""
+    from tidb_large_table_compare_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, k=5).collect()}
+    assert exact, "exact top-k must be non-empty"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall@5 collapsed: {recall:.2f}"
