@@ -121,3 +121,143 @@ def test_cli_discovery_threshold_filters_tables(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "main.orders" in out
     assert "main.nation" not in out and "main.region" not in out
+
+
+# --- operational shell: run lock, progress, detach (reference parity) -------
+
+
+def test_runlock_refuses_live_holder(tmp_path):
+    from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
+
+    path = tmp_path / "run.lock"
+    with RunLock(path):
+        import pytest as _pytest
+
+        with _pytest.raises(LockHeld):
+            RunLock(path).acquire()
+    assert not path.exists()  # released on exit
+
+
+def test_runlock_cleans_stale_lock(tmp_path):
+    """Holder died without cleanup → warn-and-continue semantics
+    (run_syncdiff_config.sh:86-89)."""
+    import subprocess
+    import sys as _sys
+
+    from tidb_large_table_compare_spark.runlock import RunLock
+
+    path = tmp_path / "run.lock"
+    # a real PID that is guaranteed dead: spawn-and-reap a child
+    proc = subprocess.Popen([_sys.executable, "-c", "pass"])
+    proc.wait()
+    path.write_text(str(proc.pid))
+    with RunLock(path) as lock:
+        assert lock._acquired
+        assert path.read_text() == str(__import__("os").getpid())
+    assert not path.exists()
+
+
+def test_runlock_garbage_pidfile_recovered(tmp_path):
+    from tidb_large_table_compare_spark.runlock import RunLock
+
+    path = tmp_path / "run.lock"
+    path.write_text("not-a-pid")
+    with RunLock(path) as lock:
+        assert lock._acquired
+
+
+def test_cli_refuses_concurrent_invocation(spark, tmp_path, capsys):
+    """Second invocation against the same comparison exits 1 while the lock
+    is held (reference: '程序已在运行中' refusal)."""
+    import os
+
+    from tidb_large_table_compare_spark.cli import main
+
+    lock_file = tmp_path / "cli.lock"
+    lock_file.write_text(str(os.getpid()))  # simulate a live holder
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", SF_SMALL,
+            "--tables", "nation",
+            "--pk", "nation=n_nationkey",
+            "--lock-file", str(lock_file),
+        ]
+    )
+    assert code == 1
+    err = capsys.readouterr().err
+    assert "already running" in err
+    assert lock_file.exists()  # a refused run must not steal the lock
+    lock_file.unlink()
+
+
+def test_cli_emits_progress_lines(spark, tmp_path, capsys):
+    """Per-table progress as jobs complete: bar, percentage, (N/M) counter,
+    table name, wall-clock (step3_run_syncdiff.sh:43-57 shape)."""
+    import re
+
+    from tidb_large_table_compare_spark.cli import main
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", SF_SMALL,
+            "--tables", "nation,region",
+            "--pk", "nation=n_nationkey",
+            "--pk", "region=r_regionkey",
+            "--lock-file", str(tmp_path / "p.lock"),
+        ]
+    )
+    assert code == 0
+    err = capsys.readouterr().err
+    lines = [l for l in err.splitlines() if re.match(r"^\[[=-]+\]", l)]
+    assert len(lines) == 2
+    assert any("( 1/ 2)" in l for l in lines)
+    assert any("( 2/ 2)" in l and l.startswith("[" + "=" * 50 + "]") for l in lines)
+    assert all(re.search(r"\(\d+\.\d{3}s\)$", l) for l in lines)
+    assert any("main.nation" in l for l in lines)
+
+
+def test_format_progress_shape():
+    from tidb_large_table_compare_spark.plans.pipeline import format_progress
+
+    line = format_progress(3, 7, "db.t", 1.5)
+    assert "( 3/ 7)" in line and " 42% " in line and line.endswith("(1.500s)")
+    bar = line[1 : 1 + 50]
+    assert set(bar) <= {"=", "-"} and bar.count("=") == 21
+
+
+def test_cli_detach_spawns_background_run(tmp_path, capsys):
+    """--detach re-execs in the background with PID file + log monitoring
+    hints (run_all.sh:85-109). Use --help in the child so the test doesn't
+    need a full Spark run; the parent contract is what's under test."""
+    import time as _time
+
+    from tidb_large_table_compare_spark.cli import main
+
+    log_dir = tmp_path / "logs"
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", SF_SMALL,
+            "--tables", "nation",
+            "--detach", "--yes",
+            "--log-dir", str(log_dir),
+            "--lock-file", str(tmp_path / "d.lock"),
+            "--row-threshold", "999999999999",  # child: empty worklist, quick exit
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "PID:" in out and "tail -f" in out and "kill" in out
+    pid_file = log_dir / "compare_bg.pid"
+    assert pid_file.exists() and int(pid_file.read_text()) > 0
+    logs = list(log_dir.glob("compare_exec_*.log"))
+    assert len(logs) == 1
+    # the child is a real detached process; give it a moment to start writing
+    for _ in range(600):
+        if logs[0].stat().st_size > 0:
+            break
+        _time.sleep(0.1)
+    else:
+        raise AssertionError("detached child never wrote to its log")

@@ -11,13 +11,26 @@ Usage:
       --left-dir /data/master --right-dir /data/slave \
       --tables orders,nation --pk orders=o_orderkey --pk nation=n_nationkey \
       [--row-threshold 0] [--chunk-size 5000] [--range "1 = 1"] \
-      [--fix-sql-out DIR] [--report-out FILE]
+      [--fix-sql-out DIR] [--report-out FILE] \
+      [--detach] [--yes] [--log-dir DIR] [--lock-file PATH]
+
+Operational shell (reference parity):
+- run lock with stale-PID cleanup (``run_syncdiff_config.sh:70-93``)
+- ``--detach``: background re-exec with PID file, log path, and monitoring
+  instructions (``run_all.sh:76-109``)
+- per-table progress lines as jobs complete (``step3_run_syncdiff.sh:43-57``)
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
+import os
+import subprocess
 import sys
+import tempfile
+import time
+from pathlib import Path
 
 from tidb_large_table_compare_spark.operators.compare import (
     CompareOptions,
@@ -27,6 +40,7 @@ from tidb_large_table_compare_spark.operators.fixsql import fix_sql
 from tidb_large_table_compare_spark.plans.discover import discover
 from tidb_large_table_compare_spark.plans.pipeline import CompareJob, run_jobs
 from tidb_large_table_compare_spark.plans.report import render_report, report_totals
+from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
 from tidb_large_table_compare_spark.session import get_spark
 from tidb_large_table_compare_spark.sources.catalog import parquet_catalog
 
@@ -55,11 +69,78 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--parallelism", type=int, default=4)
     p.add_argument("--fix-sql-out", default=None, help="dir for fix-SQL text output")
     p.add_argument("--report-out", default=None, help="file for the rendered report")
+    p.add_argument("--lock-file", default=None,
+                   help="run-lock path (default: per-comparison file in tmpdir)")
+    p.add_argument("--detach", action="store_true",
+                   help="run in the background; print PID + log monitoring hints")
+    p.add_argument("--yes", action="store_true",
+                   help="non-interactive: skip the --detach confirmation prompt")
+    p.add_argument("--log-dir", default="logs",
+                   help="directory for detached-run logs and PID file")
     return p.parse_args(argv)
+
+
+def _default_lock_path(args) -> str:
+    """One lock per comparison target: concurrent runs against the same
+    (left, right, schema) are refused; unrelated comparisons don't collide."""
+    key = f"{args.left_dir}|{args.right_dir}|{args.schema}"
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return str(Path(tempfile.gettempdir()) / f"table_compare_{digest}.lock")
+
+
+def _detach(argv: list[str], log_dir: str) -> int:
+    """Background re-exec (the reference's nohup + PID-file flow,
+    ``run_all.sh:76-109``): spawn the same command minus --detach in its own
+    session, logs to a timestamped file, PID recorded for kill/monitoring."""
+    logs = Path(log_dir)
+    logs.mkdir(parents=True, exist_ok=True)
+    log_path = logs / f"compare_exec_{time.strftime('%Y%m%d_%H%M%S')}.log"
+    pid_path = logs / "compare_bg.pid"
+    child_argv = [a for a in argv if a != "--detach"]
+    with open(log_path, "ab") as log_fh:
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "tidb_large_table_compare_spark.cli", *child_argv],
+            stdout=log_fh,
+            stderr=subprocess.STDOUT,
+            stdin=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+    pid_path.write_text(str(proc.pid))
+    print("compare started in the background")
+    print(f"PID: {proc.pid}")
+    print(f"PID file: {pid_path}")
+    print(f"follow the log:  tail -f {log_path}")
+    print(f"stop:            kill {proc.pid}  (or: kill $(cat {pid_path}))")
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
+
+    if args.detach:
+        # confirmation before a long background run (run_all.sh:76-84)
+        if not args.yes and sys.stdin.isatty():
+            reply = input("run the comparison in the background? (y/n) ")
+            if reply.strip().lower() not in ("y", "yes"):
+                print("cancelled")
+                return 0
+        return _detach(list(argv) if argv is not None else sys.argv[1:],
+                       args.log_dir)
+
+    lock = RunLock(args.lock_file or _default_lock_path(args))
+    try:
+        lock.acquire()
+    except LockHeld as held:
+        print(f"ERROR: {held}", file=sys.stderr)
+        return 1
+    lock.install_signal_cleanup()
+    try:
+        return _run(args)
+    finally:
+        lock.release()
+
+
+def _run(args) -> int:
     tables = [t.strip() for t in args.tables.split(",") if t.strip()]
     pk_map: dict[str, list[str]] = {}
     for spec in args.pk:
@@ -98,7 +179,12 @@ def main(argv: list[str] | None = None) -> int:
         )
         for t in worklist
     ]
-    run = run_jobs(spark, jobs, parallelism=args.parallelism)
+    run = run_jobs(
+        spark,
+        jobs,
+        parallelism=args.parallelism,
+        progress=lambda line: print(line, file=sys.stderr),
+    )
 
     # report (A16-A25)
     lines = [r.line for r in render_report(run.summaries).collect()]

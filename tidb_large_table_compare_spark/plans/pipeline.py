@@ -18,7 +18,8 @@ driver program:
 from __future__ import annotations
 
 import time
-from concurrent.futures import ThreadPoolExecutor
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,7 +29,7 @@ from tidb_large_table_compare_spark.operators.compare import (
     compare_tables,
 )
 
-__all__ = ["CompareJob", "CompareRun", "run_jobs"]
+__all__ = ["CompareJob", "CompareRun", "format_progress", "run_jobs"]
 
 
 @dataclass
@@ -58,19 +59,41 @@ class CompareRun:
         return 1 if self.fail_count else 0
 
 
+def format_progress(
+    done: int, total: int, table: str, secs: float | None = None, width: int = 50
+) -> str:
+    """The reference's progress line (``step3_run_syncdiff.sh:43-57``):
+    a fixed-width bar, percentage, (done/total) counter, and the table name —
+    plus the per-table wall-clock the reference logs separately
+    (``step3:125-134``)."""
+    pct = done * 100 // max(total, 1)
+    filled = pct * width // 100
+    bar = "=" * filled + "-" * (width - filled)
+    line = f"[{bar}] {pct:3d}% ({done:2d}/{total:2d}) {table}"
+    if secs is not None:
+        line += f" ({secs:.3f}s)"
+    return line
+
+
 def run_jobs(
     spark: SparkSession,
     jobs: list[CompareJob],
     parallelism: int = 4,
     run_ts: str | None = None,
+    progress: Callable[[str], None] | None = None,
 ) -> CompareRun:
     """Execute comparison jobs and aggregate their summaries.
 
     Each job's summary is computed eagerly (it is a one-row result; the heavy
     lifting stays distributed) so per-table failures are isolated exactly the
     way the reference isolates per-config tool failures (``step3:111-122``).
+
+    ``progress`` receives one reference-style line per *completed* table
+    (N of M, per-table wall-clock) as jobs finish.
     """
     run_ts = run_ts or time.strftime("%Y%m%d_%H%M%S")
+    total = len(jobs)
+    done = 0
 
     def one(job: CompareJob):
         t0 = time.monotonic()
@@ -82,22 +105,35 @@ def run_jobs(
         # (step3_run_syncdiff.sh:125-134)
         return job.table, row, round(time.monotonic() - t0, 3)
 
+    def emit(table: str, secs: float | None) -> None:
+        nonlocal done
+        done += 1
+        if progress is not None:
+            progress(format_progress(done, total, table, secs))
+
     results: list[tuple[str, object]] = []
     failed: list[str] = []
     if parallelism > 1 and len(jobs) > 1:
         with ThreadPoolExecutor(max_workers=parallelism) as pool:
             futures = {pool.submit(one, j): j.table for j in jobs}
-            for fut, table in futures.items():
+            for fut in as_completed(futures):
+                table = futures[fut]
                 try:
-                    results.append(fut.result())
+                    res = fut.result()
+                    results.append(res)
+                    emit(table, res[2])
                 except Exception:
                     failed.append(table)
+                    emit(table, None)
     else:
         for j in jobs:
             try:
-                results.append(one(j))
+                res = one(j)
+                results.append(res)
+                emit(j.table, res[2])
             except Exception:
                 failed.append(j.table)
+                emit(j.table, None)
 
     rows = [
         (run_ts, table, row.structure_ok, row.upcount, row.downcount, secs)
