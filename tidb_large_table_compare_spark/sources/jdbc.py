@@ -7,8 +7,10 @@ for deployments with a JDBC driver jar on the classpath. Partitioned reads
 map the reference's ``check-thread-count`` to ``numPartitions`` bounded
 ranges over the PK — Spark's equivalent of its chunked parallel scan.
 
-Gated: the test environment ships no JDBC driver, so everything here raises
-a clear error at load() time rather than failing obscurely.
+The MySQL driver is not shipped here, but the path itself is NOT gated: any
+JDBC driver on Spark's classpath works via the ``url``/``driver`` overrides
+(the integration tests exercise a real ``spark.read.jdbc`` roundtrip through
+the embedded Derby driver Spark ships for its Hive metastore).
 """
 
 from __future__ import annotations
@@ -16,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from tidb_large_table_compare_spark.config import EndpointConfig
+
+MYSQL_DRIVER = "com.mysql.cj.jdbc.Driver"
 
 
 def jdbc_url(ep: EndpointConfig, database: str) -> str:
@@ -25,26 +29,34 @@ def jdbc_url(ep: EndpointConfig, database: str) -> str:
 
 def read_jdbc_table(
     spark: SparkSession,
-    ep: EndpointConfig,
+    ep: EndpointConfig | None,
     database: str,
     table: str,
     pk_col: str | None = None,
     num_partitions: int = 8,  # reference check-thread-count (config.toml:20)
     lower_bound: int | None = None,
     upper_bound: int | None = None,
+    *,
+    url: str | None = None,
+    driver: str = MYSQL_DRIVER,
 ) -> DataFrame:
     """Build a (lazy) JDBC scan; partitioned over ``pk_col`` when bounds are
     known so executors read disjoint PK ranges in parallel — the reference's
     chunk-parallel scan, expressed as Spark partitioning.
+
+    ``ep`` supplies the TiDB endpoint (url derived, credentials attached);
+    pass ``url``/``driver`` instead for any other JDBC database.
     """
+    if ep is None and url is None:
+        raise ValueError("either an EndpointConfig or an explicit url is required")
     reader = (
         spark.read.format("jdbc")
-        .option("url", jdbc_url(ep, database))
-        .option("dbtable", f"{database}.{table}")
-        .option("user", ep.user)
-        .option("password", ep.password)
-        .option("driver", "com.mysql.cj.jdbc.Driver")
+        .option("url", url or jdbc_url(ep, database))
+        .option("dbtable", f"{database}.{table}" if database else table)
+        .option("driver", driver)
     )
+    if ep is not None:
+        reader = reader.option("user", ep.user).option("password", ep.password)
     if pk_col and lower_bound is not None and upper_bound is not None:
         reader = (
             reader.option("partitionColumn", pk_col)
