@@ -76,3 +76,133 @@ def test_digest_map_side_combine(spark):
     plan = _plan(cmp.bucket_digests("left"))
     pre_shuffle = plan.split("Exchange hashpartitioning(__bucket")[-1]
     assert "partial_count" in pre_shuffle and "partial_bit_xor" in pre_shuffle
+
+
+# --- skew stress (SURVEY.md §7): hot keys must not unbound any shuffle ------
+
+
+def _walk_executed(node):
+    yield node
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _walk_executed(it.next())
+    name = node.getClass().getSimpleName()
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk_executed(node.executedPlan())
+    if name.endswith("QueryStageExec"):
+        yield from _walk_executed(node.plan())
+
+
+def _shuffle_records_written(df) -> int:
+    total = 0
+    for node in _walk_executed(df._jdf.queryExecution().executedPlan()):
+        if "ShuffleExchange" in node.getClass().getSimpleName():
+            m = node.metrics()
+            it = m.keysIterator()
+            while it.hasNext():
+                k = it.next()
+                if k == "shuffleRecordsWritten":
+                    total += m.apply(k).value()
+    return total
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """A join key held by 10% of all rows must trigger AQE's skew-join
+    split (session enables it; thresholds lowered here so test-sized data
+    crosses them). Assertion is on the final adaptive plan, not wall-clock."""
+    saved = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": None,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": None,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in saved:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(F.col("id")).alias("key"),
+            F.concat(F.lit("payload_payload_payload_"), F.col("id")).alias("pl"),
+        )
+        right = spark.range(0, 50_000).select(
+            F.col("id").alias("key"), (F.col("id") * 3).alias("rv")
+        )
+        j = left.join(right, "key")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE skew-join did not engage"
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_compare_drilldown_shuffle_bounded_under_hot_bucket(spark):
+    """Inject a hot bucket at sf0.1: every row of ONE of 10 buckets differs
+    (~10% of the table). The drill-down must shuffle only that bucket's rows
+    from each side — measured from shuffle-write metrics, never ~2x table."""
+    from tidb_large_table_compare_spark.functions.hashing import bucket_id
+    from tidb_large_table_compare_spark.operators.compare import CompareOptions
+
+    orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+    total = orders.count()
+    n_buckets = 10
+    tagged = orders.withColumn("__b", bucket_id(["o_orderkey"], n_buckets))
+    right = tagged.withColumn(
+        "o_totalprice",
+        F.when(F.col("__b") == 3, F.col("o_totalprice") + 1).otherwise(
+            F.col("o_totalprice")
+        ),
+    ).drop("__b")
+    hot_rows = tagged.filter(F.col("__b") == 3).count()
+    cmp = compare_tables(
+        spark, orders, right, ["o_orderkey"],
+        CompareOptions(n_buckets=n_buckets), "t",
+    )
+    diff = cmp.diff_rows()
+    assert diff.count() == hot_rows  # all-and-only the hot bucket's rows
+    diff_executed = cmp.diff_rows()  # cached DataFrame; execute it directly
+    rows = diff_executed.collect()
+    assert len(rows) == hot_rows
+    shuffled = _shuffle_records_written(diff_executed)
+    assert shuffled > 0, "metrics traversal found no shuffle"
+    # bound: both sides' hot-bucket rows (+ slack), far below a full shuffle
+    assert shuffled <= int(2.2 * hot_rows), (shuffled, hot_rows)
+    assert shuffled < 0.25 * 2 * total, (shuffled, total)
+
+
+def test_salted_aggregation_spreads_hot_key(spark):
+    """salted_count_by_key: a 10%-hot key is spread over n_salts partial
+    groups (phase-1 plan groups on (key, salt)) and totals stay exact."""
+    from tidb_large_table_compare_spark.operators.skew import (
+        salted_count_by_key,
+        with_salt,
+    )
+
+    df = spark.range(0, 100_000).select(
+        F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(F.col("id") % 997).alias("k")
+    )
+    out = salted_count_by_key(df, ["k"], n_salts=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # phase-1 grouping key includes the salt
+    got = {r.k: r.n for r in out.collect()}
+    want = {r.k: r.cnt for r in df.groupBy("k").agg(F.count("*").alias("cnt")).collect()}
+    assert got == want
+    # the hot key's phase-1 partials really spread across salts
+    partials = (
+        with_salt(df, 16).filter(F.col("k") == 0)
+        .select("__salt").distinct().count()
+    )
+    assert partials == 16

@@ -22,12 +22,21 @@ __all__ = ["with_salt", "salted_count_by_key"]
 def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> DataFrame:
     """Attach a deterministic per-row salt in [0, n_salts).
 
-    Derived from a hash of the whole row (via ``monotonically_increasing_id``
-    would break determinism across retries; a content hash keeps re-computed
-    tasks consistent — required for Spark's task-retry model).
+    The salt hashes the row content TOGETHER WITH the partition id and the
+    row's position in its partition: content alone would assign *identical*
+    rows (the classic hot-key shape — many duplicate keys) the same salt and
+    spread nothing. Position+partition come from
+    ``monotonically_increasing_id``, which is stable under task retry for a
+    deterministic source (a re-run task re-reads the same split in the same
+    order), so recomputed shuffle map outputs stay consistent.
     """
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+        col_name,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns],
+                       F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ),
     )
 
 
