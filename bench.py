@@ -72,6 +72,12 @@ def main() -> None:
         QUERIES["cmp_summary_orders"](spark, WARM_SF_DIR).count()
     except Exception:
         pass  # warmup is best-effort; the measured loop still runs cold
+    # Python-worker pool warmup (workers are reused session-wide): the first
+    # Arrow-batched stage otherwise pays ~2 s of interpreter spin-up
+    try:
+        spark.range(32).mapInPandas(lambda it: it, "id long").count()
+    except Exception:
+        pass
     cold_start = round(time.monotonic() - t_cold, 3)
     print(f"# cold_start: {cold_start:.3f}s", file=sys.stderr)
 

@@ -17,34 +17,21 @@ plus one (cluster, dim) aggregation — shuffle ∝ k × dims, never corpus².
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import window as W
 
-from tidb_large_table_compare_spark.operators.similarity import quantize
+from tidb_large_table_compare_spark.operators.similarity import quantize, topk_cells
 
 __all__ = ["kmeans_assignments"]
 
 
-def _dist2(a: Column, b: Column) -> Column:
-    """Exact integer squared euclidean distance."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-
-
-def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(id, qv, cluster_id): nearest centroid by exact distance, min-id ties."""
-    scored = vectors.join(F.broadcast(centroids)).select(
-        "id", "qv", "cluster_id", _dist2(F.col("qv"), F.col("cv")).alias("d2")
-    )
-    w = W.Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cluster_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", "qv", "cluster_id")
+def _assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> DataFrame:
+    """(id, qv, cluster_id): nearest centroid by exact integer squared
+    distance, min-id ties — the Arrow-batched numpy argmin (``vv + cc -
+    2·dot`` equals ``sum((x-y)^2)`` exactly in int64, so results are
+    identical to the SQL formulation)."""
+    return topk_cells(
+        vectors, "id", "qv", centroid_rows, k=1, metric="l2", out_col="cluster_id"
     )
 
 
@@ -83,11 +70,18 @@ def kmeans_assignments(
     vectors = corpus.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     ).persist()
-    centroids = vectors.filter(F.col("id") % centroid_mod == 0).select(
-        F.col("id").alias("cluster_id"), F.col("qv").alias("cv")
-    )
+    # centroids are driver-side state between rounds (O(k × dims) — the same
+    # shape MLlib keeps on the driver); each round is one map-side numpy
+    # argmin over the corpus plus one (cluster, dim) aggregation
+    centroid_rows = [
+        (r["id"], r["qv"])
+        for r in vectors.filter(F.col("id") % centroid_mod == 0).collect()
+    ]
     assigned = None
-    for _ in range(iterations):
-        assigned = _assign(vectors, centroids)
-        centroids = _update(assigned)
+    for i in range(iterations):
+        assigned = _assign(vectors, centroid_rows)
+        if i < iterations - 1:
+            centroid_rows = [
+                (r["cluster_id"], r["cv"]) for r in _update(assigned).collect()
+            ]
     return assigned.select(F.col("id").alias(id_col), "cluster_id")
