@@ -149,3 +149,19 @@ def test_ivf_recall_vs_brute_force(spark):
     assert exact, "exact top-k must be non-empty"
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall@5 collapsed: {recall:.2f}"
+
+
+def test_hashed_word_ngrams_same_sets(spark):
+    """hashed shingles are a bijective image of string shingles (modulo
+    2^-64 collisions): same counts, same pairwise overlaps."""
+    from tidb_large_table_compare_spark.operators.dedup import hashed_word_ngrams
+
+    df = spark.createDataFrame(
+        [("a b c d e",), ("a b c d e extra words here",), ("a b",)], "text string"
+    )
+    both = df.select(
+        F.size(word_ngrams(F.col("text"), 3)).alias("ns"),
+        F.size(hashed_word_ngrams(F.col("text"), 3)).alias("nh"),
+    ).collect()
+    assert all(r.ns == r.nh for r in both)
+    assert [r.nh for r in both] == [3, 6, 0]

@@ -55,6 +55,25 @@ def word_ngrams(text: Column, n: int) -> Column:
     )
 
 
+def hashed_word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-gram shingles, hashed to int64 at creation.
+
+    Identical set semantics to :func:`word_ngrams` (modulo 2^-64 hash
+    collisions), but every downstream stage — minhash binning, LSH band
+    keys, exact-Jaccard verification — carries 8-byte longs instead of
+    ~n-word strings: smaller persisted intermediates, cheaper
+    array_intersect/array_union, same Jaccard values.
+    """
+    toks = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def minhash_signature(
     shingled: DataFrame, id_col: str, shingle_col: str, n_hashes: int = 128
 ) -> DataFrame:

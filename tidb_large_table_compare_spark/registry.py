@@ -531,6 +531,7 @@ GROUP BY lang
 from tidb_large_table_compare_spark.operators import textops  # noqa: E402
 from tidb_large_table_compare_spark.operators.dedup import (  # noqa: E402
     exact_dedup_groups,
+    hashed_word_ngrams,
     jaccard_verified_pairs,
     lsh_candidate_pairs_from_array,
     minhash_signature_oph,
@@ -619,9 +620,11 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     # the shingle table feeds three consumers (signatures + both sides of the
     # verification join): persist it instead of re-shingling the corpus 3×
-    # (at scale this is a checkpointed intermediate table, same idea)
+    # (at scale this is a checkpointed intermediate table, same idea).
+    # Shingles are hashed to int64 at creation: every downstream stage works
+    # on 8-byte longs, and Jaccard values are unchanged (collision odds 2^-64)
     shingle_sets = corpus.select(
-        "doc_id", word_ngrams(F.col("text"), 5).alias("shingles")
+        "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
     ).persist()
     sigs = minhash_signature_oph(shingle_sets, "doc_id")
     cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
@@ -664,7 +667,7 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle equi-join, so pairs with zero overlap never materialize."""
     corpus = _near_dup_corpus(spark, sf_dir)
     shingle_sets = corpus.select(
-        "doc_id", word_ngrams(F.col("text"), 3).alias("shingles")
+        "doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shingles")
     ).persist()
     eg = shingle_sets.select("doc_id", F.explode("shingles").alias("gram"))
     a = eg.withColumnRenamed("doc_id", "id_a")
