@@ -67,7 +67,6 @@ def test_window_carries_entries_needing_driver_signal():
 
 
 def test_reorder_lost_nothing():
-    assert len(QUERIES) == 89
-    assert set(ORACLES) <= set(QUERIES)
-    # every query either has an oracle or is a documented rows-only check
-    assert len(QUERIES) - len(ORACLES) <= 3
+    assert len(QUERIES) == 92
+    # every registered query carries a DuckDB oracle (round-2 invariant)
+    assert set(ORACLES) == set(QUERIES)

@@ -2270,6 +2270,163 @@ FROM purchases p JOIN signups s
 
 
 # ===========================================================================
+# 10. Training-data curation: TF-IDF terms, contamination check, hash split
+# ===========================================================================
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF-style terms per document.
+
+    Cross-engine exactness: the score is tf/df in DOUBLE — IEEE division of
+    small integers is correctly rounded in both engines, unlike ln(), whose
+    last bit varies across libm implementations. For a fixed corpus the
+    (tf/df, term) ordering equals the classic tf·idf ordering.
+    """
+    from pyspark.sql import window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = W.Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score",
+                F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_register(
+    "tfidf_top_terms",
+    _tfidf_top_terms,
+    """
+WITH toks AS (
+  SELECT doc_id, t.term FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')) AS term) t
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score
+  FROM tf JOIN df ON tf.term = df.term
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+""",
+)
+
+
+def _contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: count 3-gram shingles each corpus doc
+    shares with a held-out 'benchmark' slice (doc_id % 97 == 0) — the
+    standard pre-training decontamination pass, as a bucketed equi-join on
+    the shingle (never an all-pairs scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    probe = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(probe, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+        .filter(F.col("shared_grams") >= 2)
+        .orderBy("doc_id")
+    )
+    return hits
+
+
+_register(
+    "contamination_check",
+    _contamination_check,
+    """
+WITH grams AS (
+  SELECT doc_id, g.gram FROM documents,
+         LATERAL (
+           SELECT unnest(list_transform(
+             range(1, len(string_split(text, ' ')) - 1),
+             i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+           )) AS gram
+         ) g
+  WHERE len(string_split(text, ' ')) >= 3
+),
+dgrams AS (SELECT DISTINCT doc_id, gram FROM grams),
+probe AS (SELECT DISTINCT gram FROM dgrams WHERE doc_id % 97 = 0)
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM dgrams d JOIN probe p ON d.gram = p.gram
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.doc_id
+HAVING COUNT(*) >= 2
+""",
+)
+
+
+def _train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by a content-independent hash of
+    the doc id — the md5-prefix trick (see simhash_docs) computed identically
+    in both engines, so the assignment is reproducible anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        docs.select(
+            F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+            tokens.alias("toks"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_MD5_60_DOCID_SQL = " + ".join(
+    f"(instr('0123456789abcdef',"
+    f" substring(md5(CAST(doc_id AS VARCHAR)), {j + 1}, 1)) - 1)"
+    f" * {16 ** (14 - j)}"
+    for j in range(15)
+)
+
+_register(
+    "train_val_split",
+    _train_val_split,
+    f"""
+WITH b AS (
+  SELECT CASE WHEN ({_MD5_60_DOCID_SQL}) % 100 < 90
+              THEN 'train' ELSE 'val' END AS split,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+  FROM documents
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens
+FROM b GROUP BY split
+""",
+)
+
+
+# ===========================================================================
 # Driver-priority ordering
 # ===========================================================================
 # The driver correctness-checks only the FIRST 50 registered queries (in
