@@ -279,6 +279,57 @@ def minhash_signature_oph(
     return maps.select(F.col(id_col), sig.alias("sig"))
 
 
+def minhash_signature_oph_np(
+    shingle_sets: DataFrame,
+    id_col: str,
+    shingles_col: str = "shingles",
+    n_hashes: int = 128,
+) -> DataFrame:
+    """Map-only OPH MinHash over pre-hashed (int64) shingles.
+
+    Same sketch as :func:`minhash_signature_oph` — one-permutation binning
+    with rotation densification — but computed per document inside an
+    Arrow batch instead of explode → groupBy → groupBy: a per-doc-local
+    computation needs ZERO shuffles, and at 100 TB the two saved shuffles
+    (doc×shingle rows, then doc×bin rows) are the dominant cost. The bin is
+    taken from the logical (unsigned) top bits and the value from the low
+    31 bits of the already-hashed shingle, so no re-hash either. Docs with
+    empty shingle sets produce no signature row (matching the exploded
+    formulation, where they vanish at the explode).
+    """
+    import numpy as np
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, arr in zip(pdf[id_col], pdf[shingles_col]):
+                h = np.asarray(arr, dtype=np.int64)
+                if h.size == 0:
+                    continue
+                bins = ((h.view(np.uint64) >> np.uint64(33)).astype(np.int64)
+                        % n_hashes)
+                vals = h & _MERSENNE_31
+                order = np.lexsort((vals, bins))
+                b_sorted, v_sorted = bins[order], vals[order]
+                present, first = np.unique(b_sorted, return_index=True)
+                mins = v_sorted[first]  # per-bin minima, bins ascending
+                # rotation densification: bin i borrows from the circularly
+                # next non-empty bin, offset-encoded by the distance
+                i = np.arange(n_hashes)
+                nxt = np.searchsorted(present, i)
+                wrap = nxt == present.size
+                nxt[wrap] = 0
+                dist = (present[nxt] - i) % n_hashes
+                sig = mins[nxt] + dist * np.int64(1 << 31)
+                ids.append(doc_id)
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return shingle_sets.mapInPandas(gen, f"{id_col} long, sig array<long>")
+
+
 def lsh_candidate_pairs_from_array(
     signatures: DataFrame, id_col: str, n_hashes: int = 128, n_bands: int = 32
 ) -> DataFrame:

@@ -534,7 +534,7 @@ from tidb_large_table_compare_spark.operators.dedup import (  # noqa: E402
     hashed_word_ngrams,
     jaccard_verified_pairs,
     lsh_candidate_pairs_from_array,
-    minhash_signature_oph,
+    minhash_signature_oph_np,
     simhash,
     word_ngrams,
 )
@@ -626,7 +626,7 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_sets = corpus.select(
         "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
     ).persist()
-    sigs = minhash_signature_oph(shingle_sets, "doc_id")
+    sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
     cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
     return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.8)
 
