@@ -81,3 +81,112 @@ def test_multiset_counts_with_duplicate_keys(spark, dup_fraction, n_removed, n_a
     row = compare_tables(spark, m, s, None, table_name="ms").summary().collect()[0]
     assert row.upcount == n_removed
     assert row.downcount == n_added
+
+
+# --- numpy kernels vs their SQL formulations --------------------------------
+
+VEC = st.lists(st.integers(min_value=-1_000_000, max_value=1_000_000),
+               min_size=4, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(VEC, min_size=1, max_size=12),
+    cents=st.lists(VEC, min_size=1, max_size=6),
+    metric=st.sampled_from(["cosine", "l2"]),
+)
+def test_topk_cells_matches_sql_argmax(spark, vecs, cents, metric):
+    """The Arrow/numpy argmax must reproduce the SQL formulation exactly,
+    including the (score, centroid-id ASC) tie-break — randomized vectors,
+    duplicates and ties included."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import window as W
+
+    from tidb_large_table_compare_spark.operators.similarity import (
+        cosine_q,
+        topk_cells,
+    )
+
+    # avoid zero vectors for the cosine metric (norm 0 → NaN on both paths,
+    # but NaN ordering is not the property under test)
+    if metric == "cosine":
+        vecs = [v if any(v) else [1, 0, 0, 0] for v in vecs]
+        cents = [c if any(c) else [0, 1, 0, 0] for c in cents]
+    vdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, qv array<long>"
+    )
+    cent_rows = [(i, c) for i, c in enumerate(cents)]
+    got = {
+        (r["id"], r["cell"])
+        for r in topk_cells(vdf, "id", "qv", cent_rows, k=1, metric=metric).collect()
+    }
+    cdf = spark.createDataFrame(cent_rows, "cent_id long, cv array<long>")
+    if metric == "cosine":
+        score = cosine_q(F.col("qv"), F.col("cv"))
+        order = [F.desc("score"), F.asc("cent_id")]
+    else:
+        score = F.aggregate(
+            F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        order = [F.asc("score"), F.asc("cent_id")]
+    w = W.Window.partitionBy("id").orderBy(*order)
+    want = {
+        (r["id"], r["cent_id"])
+        for r in vdf.join(F.broadcast(cdf))
+        .withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=-(2**62), max_value=2**62),
+                 min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_numpy_oph_matches_reference_formula(spark, docs):
+    """minhash_signature_oph_np against a direct Python evaluation of the
+    OPH + rotation-densification definition on the same pre-hashed longs."""
+    n = 16
+    from tidb_large_table_compare_spark.operators.dedup import (
+        _MERSENNE_31,
+        minhash_signature_oph_np,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, shingles array<long>"
+    )
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signature_oph_np(df, "doc_id", n_hashes=n).collect()
+    }
+    for i, d in enumerate(docs):
+        if not d:
+            assert i not in got
+            continue
+        bins: dict[int, int] = {}
+        for h in d:
+            b = ((h & ((1 << 64) - 1)) >> 33) % n  # unsigned top bits
+            v = h & _MERSENNE_31
+            bins[b] = min(v, bins.get(b, v))
+        want = []
+        for j in range(n):
+            dist = min((k - j) % n for k in bins)
+            want.append(bins[(j + dist) % n] + dist * (1 << 31))
+        assert got[i] == want, f"doc {i}"

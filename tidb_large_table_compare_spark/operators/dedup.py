@@ -325,7 +325,8 @@ def minhash_signature_oph_np(
                 sig = mins[nxt] + dist * np.int64(1 << 31)
                 ids.append(doc_id)
                 sigs.append(sig.tolist())
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
+            if ids:  # an empty frame's float64 columns can't cast to the
+                yield pd.DataFrame({id_col: ids, "sig": sigs})  # arrow schema
 
     return shingle_sets.mapInPandas(gen, f"{id_col} long, sig array<long>")
 
