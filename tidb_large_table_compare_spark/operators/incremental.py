@@ -1,0 +1,127 @@
+"""Incremental comparison via persisted bucket digests.
+
+The reference re-runs the full comparison every time (``run_all.sh`` →
+serial sync-diff per table). At 1e9+ rows the nightly reality is that most
+chunks did not change — so persist the per-bucket digests of a verified
+snapshot, and on the next run compare *digests* first: only buckets whose
+(count, xor, sum) triple drifted need the expensive cross-side work. This
+is the CDC-shaped complement of :mod:`.compare`:
+
+- ``write_digests``: one narrow aggregation of the table → a tiny parquet
+  artifact (O(n_buckets) rows, ~40 bytes each — ~8 MB for 1e9 rows at the
+  reference's 5000-row chunks);
+- ``changed_buckets``: recompute current digests (one linear scan, zero
+  joins against the other side) and anti-diff them against the stored ones;
+- ``incremental_compare``: a full row-level :class:`TableCompare` scoped to
+  the changed buckets only — the drill-down never touches clean chunks.
+
+The digest artifact pins ``n_buckets`` (bucket ids are only comparable at
+the same bucketing), and the scoped compare re-checks that pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.compare import (
+    CompareOptions,
+    TableCompare,
+    compare_tables,
+)
+
+__all__ = ["write_digests", "read_digests", "changed_buckets", "incremental_compare"]
+
+
+def write_digests(
+    spark: SparkSession,
+    df: DataFrame,
+    pk: list[str],
+    path: str,
+    options: CompareOptions = CompareOptions(),
+) -> int:
+    """Persist the per-bucket digest of ``df`` to ``path``; returns the
+    pinned bucket count. Columns: (__bucket, cnt, xor_digest, sum_digest,
+    n_buckets)."""
+    cmp = TableCompare(spark, df, df, pk, options)
+    n_buckets = cmp._n_buckets()
+    (
+        cmp.bucket_digests("left")
+        .withColumn("n_buckets", F.lit(n_buckets))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return n_buckets
+
+
+def read_digests(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
+    """Load a digest artifact; returns (digests, pinned n_buckets)."""
+    df = spark.read.parquet(path)
+    n_buckets = df.select("n_buckets").first()["n_buckets"]
+    return df.drop("n_buckets"), n_buckets
+
+
+def changed_buckets(
+    spark: SparkSession,
+    digests_path: str,
+    current: DataFrame,
+    pk: list[str],
+    options: CompareOptions = CompareOptions(),
+) -> DataFrame:
+    """Bucket ids whose digests drifted since the stored snapshot.
+
+    One linear scan of ``current`` (map-side combine → O(n_buckets) shuffle)
+    plus a join against the tiny stored artifact. New and vanished buckets
+    both count as changed (full-outer semantics).
+    """
+    stored, n_buckets = read_digests(spark, digests_path)
+    opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
+    cur = TableCompare(spark, current, current, pk, opts).bucket_digests("left")
+    l = stored.withColumnsRenamed(
+        {"cnt": "l_cnt", "xor_digest": "l_xor", "sum_digest": "l_sum"}
+    )
+    r = cur.withColumnsRenamed(
+        {"cnt": "r_cnt", "xor_digest": "r_xor", "sum_digest": "r_sum"}
+    )
+    joined = l.join(r, "__bucket", "full_outer")
+    drifted = (
+        ~F.col("l_cnt").eqNullSafe(F.col("r_cnt"))
+        | ~F.col("l_xor").eqNullSafe(F.col("r_xor"))
+        | ~F.col("l_sum").eqNullSafe(F.col("r_sum"))
+    )
+    return joined.filter(drifted).select("__bucket")
+
+
+def incremental_compare(
+    spark: SparkSession,
+    left: DataFrame,
+    right: DataFrame,
+    pk: list[str],
+    digests_path: str,
+    options: CompareOptions = CompareOptions(),
+    table_name: str = "table",
+) -> TableCompare:
+    """Row-level compare scoped to buckets that drifted since the snapshot.
+
+    Sound when the snapshot was taken from a verified-equivalent state of
+    ``left``: clean buckets digest-match the snapshot on both sides, so
+    every differing row lives in a drifted bucket. The returned compare
+    pins the snapshot's bucket count so bucket ids line up.
+    """
+    _, n_buckets = read_digests(spark, digests_path)
+    changed = changed_buckets(spark, digests_path, right, pk, options)
+    ids = [r["__bucket"] for r in changed.collect()]
+    opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
+    cmp = compare_tables(spark, left, right, pk, opts, table_name)
+    # scope cmp.left/right (post-range_sql) rather than the raw inputs so a
+    # configured range predicate stays in force
+    if not ids:
+        cmp.left = cmp.left.limit(0)
+        cmp.right = cmp.right.limit(0)
+        return cmp
+    from tidb_large_table_compare_spark.functions.hashing import bucket_id
+
+    keep = bucket_id(pk, n_buckets).isin(ids)
+    cmp.left = cmp.left.filter(keep)
+    cmp.right = cmp.right.filter(keep)
+    return cmp
