@@ -111,6 +111,31 @@ _register("cmp_summary_orders_multiset",
           lambda spark, sf: _cmp(spark, sf, force_multiset=True).summary(),
           _CMP_SUMMARY_ORDERS_SQL)
 
+
+def _cmp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digest-snapshot incremental path: snapshot the verified master state,
+    detect drifted buckets in one linear scan of the perturbed side, then
+    row-level-compare ONLY those buckets. Must reach the full compare's
+    verdict — the oracle is the same full-compare SQL."""
+    import tempfile
+
+    from tidb_large_table_compare_spark.operators.incremental import (
+        incremental_compare,
+        write_digests,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    opts = CompareOptions(n_buckets=64)
+    path = tempfile.mkdtemp(prefix="digests_") + "/orders"
+    write_digests(spark, orders, ["o_orderkey"], path, opts)
+    return incremental_compare(
+        spark, orders, perturbed_orders(orders), ["o_orderkey"], path, opts,
+        "main.orders",
+    ).summary()
+
+
+_register("cmp_summary_incremental", _cmp_incremental, _CMP_SUMMARY_ORDERS_SQL)
+
 _register(
     "cmp_diff_rows_orders",
     lambda spark, sf: _cmp(spark, sf).diff_rows(),
