@@ -2313,11 +2313,14 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
+    # one tokenization pass and one lineage: df is the tf aggregate's row
+    # count per term (distinct docs), taken as a window count so the tf
+    # subtree isn't consumed twice — a tf/df self-join recomputes the whole
+    # explode+aggregate for each consumer (observed: 4 scans, 0 reuse)
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df_, "term").withColumn(
-        "score", F.col("tf").cast("double") / F.col("df")
-    )
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(W.Window.partitionBy("term"))
+    ).withColumn("score", F.col("tf").cast("double") / F.col("df"))
     w = W.Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
