@@ -206,3 +206,24 @@ def test_salted_aggregation_spreads_hot_key(spark):
         .select("__salt").distinct().count()
     )
     assert partials == 16
+
+
+def test_tfidf_single_tokenization_pass(spark):
+    """tf/df must come from ONE explode+aggregate lineage (a self-join
+    recomputes the tokenization per consumer) with the top-3 pushed down
+    as a WindowGroupLimit before the final shuffle."""
+    df = QUERIES["tfidf_top_terms"](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
+    assert "WindowGroupLimit" in final
+
+
+def test_contamination_filters_pushed_to_scan(spark):
+    plan = _plan(QUERIES["contamination_check"](spark, SF_SMALL))
+    # probe side and corpus side each push their doc_id % 97 predicate
+    assert "(doc_id" in plan and plan.count("FileScan parquet") == 2
+    assert any(
+        "% 97) = 0)" in l and "FileScan" in l for l in plan.splitlines()
+    ), "probe-side filter not pushed to the scan"
