@@ -2294,6 +2294,22 @@ FROM purchases p JOIN signups s
 )
 
 
+# Streaming dedup: two overlapping sources, watermark-bounded dedup state —
+# output must equal the batch table exactly.
+from tidb_large_table_compare_spark.streaming.events import (  # noqa: E402
+    streaming_dedup_events,
+)
+
+_register(
+    "streaming_dedup_events",
+    streaming_dedup_events,
+    """
+SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+FROM events
+""",
+)
+
+
 # ===========================================================================
 # 10. Training-data curation: TF-IDF terms, contamination check, hash split
 # ===========================================================================

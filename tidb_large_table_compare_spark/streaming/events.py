@@ -233,3 +233,55 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("p_id").alias("purchase_id"),
         F.col("s_id").alias("signup_id"),
     )
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicatesWithinWatermark`` over a
+    deliberately duplicated stream.
+
+    The events file is read by TWO independent streaming sources unioned
+    together, so every event arrives (at least) twice — the exactly-once
+    ingestion problem a streaming pipeline faces with replayed/overlapping
+    sources. Watermark-scoped dedup state makes it bounded: keys older than
+    the watermark are evicted, so state is O(events within the watermark),
+    never O(all history) — the property that keeps this viable on an
+    unbounded 100 TB firehose. Deduplication is row pass-through (not an
+    aggregation), so append mode emits immediately and the finite replay
+    loses no tail rows.
+
+    Output (event_id, event_type, cents) must equal the batch table exactly
+    — the oracle is a plain projection of ``events``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(_RAW_SCHEMA)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+
+    doubled = src().unionByName(src())
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    query = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(name)
