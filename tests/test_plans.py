@@ -227,3 +227,23 @@ def test_contamination_filters_pushed_to_scan(spark):
     assert any(
         "% 97) = 0)" in l and "FileScan" in l for l in plan.splitlines()
     ), "probe-side filter not pushed to the scan"
+
+
+def test_no_accidental_cartesian_products_anywhere(spark):
+    """Registry-wide guardrail: no query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed ONLY for the documented brute-force
+    ANN baseline (broadcast query set x corpus with a != condition).
+    Streaming entries are skipped — they execute fully on construction and
+    are plan-asserted by their own tests."""
+    ALLOWED_BNLJ = {"ann_cosine_topk"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
