@@ -2470,6 +2470,59 @@ FROM b GROUP BY split
 )
 
 
+def _quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite curation decision: keep/drop per document with the first
+    failing rule as the reason — the filter stage of a training-data
+    pipeline, composed from the map-only quality signals in
+    operators/textops.py. Ratio comparisons are double divisions of
+    identical integers, so the verdicts are engine-exact."""
+    from tidb_large_table_compare_spark.operators.textops import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = quality_features(F.col("text"))
+    reason = (
+        F.when(f["n_tokens"] < 25, F.lit("too_short"))
+        .when(f["n_tokens"] > 2000, F.lit("too_long"))
+        .when(f["punct_ratio"] > 0.1, F.lit("high_punct"))
+        .when(f["stopword_hits"] == 0, F.lit("no_stopwords"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )
+
+
+_register(
+    "quality_filter_verdicts",
+    _quality_filter_verdicts,
+    """
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+              AS DOUBLE) / length(text) AS punct_ratio,
+         CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT)
+           AS stopword_hits
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tokens < 25 THEN 'too_short'
+            WHEN n_tokens > 2000 THEN 'too_long'
+            WHEN punct_ratio > 0.1 THEN 'high_punct'
+            WHEN stopword_hits = 0 THEN 'no_stopwords'
+            ELSE 'ok' END AS reason,
+       (CASE WHEN n_tokens < 25 THEN 'too_short'
+             WHEN n_tokens > 2000 THEN 'too_long'
+             WHEN punct_ratio > 0.1 THEN 'high_punct'
+             WHEN stopword_hits = 0 THEN 'no_stopwords'
+             ELSE 'ok' END) = 'ok' AS keep
+FROM f
+""",
+)
+
+
 # ===========================================================================
 # Driver-priority ordering
 # ===========================================================================
