@@ -67,6 +67,6 @@ def test_window_carries_entries_needing_driver_signal():
 
 
 def test_reorder_lost_nothing():
-    assert len(QUERIES) == 95
+    assert len(QUERIES) == 96
     # every registered query carries a DuckDB oracle (round-2 invariant)
     assert set(ORACLES) == set(QUERIES)

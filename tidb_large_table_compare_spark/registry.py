@@ -810,10 +810,7 @@ _SIGN_BUCKET_SQL = " + ".join(
     for i in range(1, 6)
 )
 
-_register(
-    "embedding_neardup_pairs",
-    _embedding_neardups,
-    f"""
+_EMB_PAIRS_BODY = f"""
 WITH corpus AS (
   SELECT vec_id, embedding, label FROM embeddings
   UNION ALL
@@ -830,6 +827,41 @@ pairs AS (
   FROM p a JOIN p b ON a.lbl = b.lbl AND a.bucket = b.bucket AND a.id < b.id
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+"""
+
+_register("embedding_neardup_pairs", _embedding_neardups, _EMB_PAIRS_BODY)
+
+
+def _embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution in embedding space: the same iterative
+    min-label propagation used for text near-dups, over the sign-LSH
+    candidate pairs — (node, cluster_id) per clustered vector."""
+    from tidb_large_table_compare_spark.operators.clustering import (
+        connected_components,
+    )
+
+    pairs = _embedding_neardups(spark, sf_dir).select("id_a", "id_b").persist()
+    return connected_components(pairs)
+
+
+_register(
+    "embedding_dedup_clusters",
+    _embedding_clusters,
+    f"""
+WITH RECURSIVE epairs AS (
+  {_EMB_PAIRS_BODY}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM epairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM epairs
+),
+reach(node, lbl) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT node, CAST(MIN(lbl) AS BIGINT) AS cluster_id FROM reach GROUP BY node
 """,
 )
 
