@@ -45,11 +45,21 @@ NEVER_VERIFIED = {
     "q2_cheapest_part_per_brand", "q7_nation_pair_volume",
     "q8_brand_share_by_year", "q9_profit_by_nation_year",
     "q10_top_return_customers", "q11_important_part_stock",
+    "q15_top_supplier_by_revenue", "q17_small_quantity_revenue",
+    "q18_large_quantity_orders", "q20_suppliers_of_heavy_parts",
+    # late-round-2 non-shared implementations, never driver-verified
+    "cmp_summary_incremental", "embedding_dedup_clusters",
+    "streaming_dedup_events", "tfidf_top_terms", "contamination_check",
+    "train_val_split", "quality_filter_verdicts",
+}
+
+# Shared-SQL entries deliberately displaced past the cap: Spark executes the
+# identical SQL string, so they cannot drift; tests/test_oracle.py sweeps
+# them at the driver's own scale factor.
+DISPLACED_SHARED_SQL = {
     "q12_priority_line_counts", "q13_order_count_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier_by_revenue",
-    "q16_part_supplier_variety", "q17_small_quantity_revenue",
-    "q18_large_quantity_orders", "q19_disjunctive_revenue",
-    "q20_suppliers_of_heavy_parts", "q21_suppliers_with_problem_orders",
+    "q14_promo_revenue_share", "q16_part_supplier_variety",
+    "q19_disjunctive_revenue", "q21_suppliers_with_problem_orders",
     "q22_idle_rich_customers",
 }
 
@@ -64,6 +74,11 @@ def test_window_carries_entries_needing_driver_signal():
     window = set(list(QUERIES)[:WINDOW])
     for group in (TYPING_FIXES, FORMER_NO_ORACLE, NEVER_VERIFIED):
         assert group <= window, sorted(group - window)
+
+
+def test_displaced_shared_sql_still_registered():
+    assert DISPLACED_SHARED_SQL <= set(QUERIES)
+    assert DISPLACED_SHARED_SQL.isdisjoint(set(list(QUERIES)[:WINDOW]))
 
 
 def test_reorder_lost_nothing():

@@ -2602,24 +2602,28 @@ _DRIVER_PRIORITY: list[str] = [
     "top_tokens_documents",
     "redact_pii_documents",
     "dedup_final_corpus_stats",
-    # (c) never driver-verified: TPC-H-shaped sweep
+    # (c) never driver-verified: TPC-H-shaped sweep (representatives of the
+    # trickier shapes; the displaced q12/q13/q14/q16/q19/q21/q22 are pure
+    # shared-SQL simple-aggregate shapes that cannot drift and sit past the
+    # cap, covered by tests/test_oracle.py at the driver's own SF)
     "q2_cheapest_part_per_brand",
     "q7_nation_pair_volume",
     "q8_brand_share_by_year",
     "q9_profit_by_nation_year",
     "q10_top_return_customers",
     "q11_important_part_stock",
-    "q12_priority_line_counts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
     "q15_top_supplier_by_revenue",
-    "q16_part_supplier_variety",
     "q17_small_quantity_revenue",
     "q18_large_quantity_orders",
-    "q19_disjunctive_revenue",
     "q20_suppliers_of_heavy_parts",
-    "q21_suppliers_with_problem_orders",
-    "q22_idle_rich_customers",
+    # (c) never driver-verified: late-round-2 additions (non-shared impls)
+    "cmp_summary_incremental",
+    "embedding_dedup_clusters",
+    "streaming_dedup_events",
+    "tfidf_top_terms",
+    "contamination_check",
+    "train_val_split",
+    "quality_filter_verdicts",
     # (d) regression canaries: impls touched this round / riskiest paths
     "asof_purchase_last_signup",
     "neardup_minhash_lsh",
