@@ -45,12 +45,13 @@ NEVER_VERIFIED = {
     "q2_cheapest_part_per_brand", "q7_nation_pair_volume",
     "q8_brand_share_by_year", "q9_profit_by_nation_year",
     "q10_top_return_customers", "q11_important_part_stock",
-    "q15_top_supplier_by_revenue", "q17_small_quantity_revenue",
-    "q18_large_quantity_orders", "q20_suppliers_of_heavy_parts",
+    "q20_suppliers_of_heavy_parts",
     # late-round-2 non-shared implementations, never driver-verified
     "cmp_summary_incremental", "embedding_dedup_clusters",
     "streaming_dedup_events", "tfidf_top_terms", "contamination_check",
     "train_val_split", "quality_filter_verdicts",
+    "stratified_sample_docs", "repetition_filter_docs",
+    "sketch_daily_users_merged",
 }
 
 # Shared-SQL entries deliberately displaced past the cap: Spark executes the
@@ -58,9 +59,10 @@ NEVER_VERIFIED = {
 # them at the driver's own scale factor.
 DISPLACED_SHARED_SQL = {
     "q12_priority_line_counts", "q13_order_count_distribution",
-    "q14_promo_revenue_share", "q16_part_supplier_variety",
-    "q19_disjunctive_revenue", "q21_suppliers_with_problem_orders",
-    "q22_idle_rich_customers",
+    "q14_promo_revenue_share", "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety", "q17_small_quantity_revenue",
+    "q18_large_quantity_orders", "q19_disjunctive_revenue",
+    "q21_suppliers_with_problem_orders", "q22_idle_rich_customers",
 }
 
 
@@ -82,6 +84,6 @@ def test_displaced_shared_sql_still_registered():
 
 
 def test_reorder_lost_nothing():
-    assert len(QUERIES) == 96
+    assert len(QUERIES) == 99
     # every registered query carries a DuckDB oracle (round-2 invariant)
     assert set(ORACLES) == set(QUERIES)
