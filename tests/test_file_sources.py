@@ -1,0 +1,97 @@
+"""CSV/JSON flat-file sources: schema-first reads, round-trips, quarantine."""
+
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.sources.files import (
+    CORRUPT_COL,
+    quarantine,
+    read_csv,
+    read_json,
+)
+from tidb_large_table_compare_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+CUSTOMER_SCHEMA = (
+    "c_custkey bigint, c_name string, c_nationkey int, "
+    "c_acctbal double, c_mktsegment string"
+)
+
+
+def _customer(spark):
+    return load_table(spark, SF, "customer").select(
+        *[c.strip().split(" ")[0] for c in CUSTOMER_SCHEMA.split(",")]
+    )
+
+
+def test_csv_roundtrip_matches_parquet(spark, tmp_path):
+    src = _customer(spark)
+    path = str(tmp_path / "customer_csv")
+    src.write.option("header", True).csv(path)
+    back = read_csv(spark, path, CUSTOMER_SCHEMA)
+    clean, corrupt = quarantine(back)
+    assert corrupt.collect() == []
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip_matches_parquet(spark, tmp_path):
+    src = _customer(spark)
+    path = str(tmp_path / "customer_json")
+    src.write.json(path)
+    back = read_json(spark, path, CUSTOMER_SCHEMA)
+    clean, corrupt = quarantine(back)
+    assert corrupt.collect() == []
+    assert sorted(map(tuple, clean.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_csv_quarantine_captures_malformed_rows(spark, tmp_path):
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part-0.csv").write_text(
+        "id,name,score\n"
+        "1,alice,2.5\n"
+        'not,a,"valid,row",with,extra\n'
+        "2,bob,3.5\n"
+    )
+    df = read_csv(spark, str(p), "id bigint, name string, score double")
+    clean, corrupt = quarantine(df)
+    assert {tuple(r) for r in clean.collect()} == {(1, "alice", 2.5), (2, "bob", 3.5)}
+    bad = [r[CORRUPT_COL] for r in corrupt.collect()]
+    assert len(bad) == 1 and bad[0].startswith("not,a,")
+
+
+def test_json_quarantine_captures_malformed_rows(spark, tmp_path):
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"id": 1, "name": "alice"}\n'
+        "this is not json\n"
+        '{"id": 2, "name": "bob"}\n'
+    )
+    df = read_json(spark, str(p), "id bigint, name string")
+    clean, corrupt = quarantine(df)
+    assert {tuple(r) for r in clean.collect()} == {(1, "alice"), (2, "bob")}
+    bad = [r[CORRUPT_COL] for r in corrupt.collect()]
+    assert bad == ["this is not json"]
+
+
+def test_type_mismatch_rows_are_quarantined_not_nulled_silently(spark, tmp_path):
+    p = tmp_path / "drop"
+    p.mkdir()
+    (p / "part-0.csv").write_text("id,score\n1,2.5\nforty-two,oops\n")
+    df = read_csv(spark, str(p), "id bigint, score double")
+    clean, corrupt = quarantine(df)
+    assert [tuple(r) for r in clean.collect()] == [(1, 2.5)]
+    assert len(corrupt.collect()) == 1
+
+
+def test_quarantine_is_single_scan_with_pruned_columns(spark, tmp_path):
+    """Both split halves stay plain filters over one scan — the corrupt-row
+    path must not trigger a second pass shape (no join/aggregate)."""
+    src = _customer(spark)
+    path = str(tmp_path / "customer_csv")
+    src.write.option("header", True).csv(path)
+    clean, corrupt = quarantine(read_csv(spark, path, CUSTOMER_SCHEMA))
+    for df in (clean, corrupt):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan csv" in plan
+        assert "Join" not in plan and "Exchange" not in plan

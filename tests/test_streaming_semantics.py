@@ -121,3 +121,45 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
         "2024-01-01T00:00:00": 10,
         "2024-01-01T00:10:00": 10,
     }
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, tmp_path):
+    """Restarting a file-source query from its checkpoint must neither
+    reprocess already-committed input files nor lose new ones: the offset
+    log records which files each batch consumed, so the appended sink ends
+    up with every source row exactly once across two separate runs."""
+    import datetime as dt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id bigint, ts timestamp, v double"
+    base = dt.datetime(2024, 1, 1)
+
+    def append_file(start, n):
+        spark.createDataFrame(
+            [(i, base + dt.timedelta(minutes=i), float(i)) for i in range(start, start + n)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema).format("parquet").load(str(src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    append_file(0, 10)
+    run_once()  # first run commits rows 0-9
+    append_file(10, 15)
+    run_once()  # restart from checkpoint: only the new file is consumed
+
+    got = spark.read.parquet(out)
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == list(range(25))  # no loss, no duplicates

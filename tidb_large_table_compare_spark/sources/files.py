@@ -1,0 +1,80 @@
+"""CSV / JSON-lines sources with explicit schemas and corrupt-row quarantine.
+
+The reference ingests exactly one source (live MySQL-protocol tables,
+``step1_query_tables.sh:115-117``); a training-data pipeline additionally
+ingests flat-file drops. Two rules keep these scans 100 TB-safe:
+
+- **Explicit schema, never inference.** ``inferSchema``/sampled JSON schema
+  inference is a full extra pass over the data before the real scan even
+  starts; at scale that doubles ingest cost. Callers pass the DDL string.
+- **Quarantine, don't crash (or silently drop).** ``PERMISSIVE`` mode routes
+  unparseable lines into ``_corrupt_record`` so one bad row in a terabyte
+  drop neither kills the job (``FAILFAST``) nor vanishes (``DROPMALFORMED``);
+  :func:`quarantine` splits the stream so the bad rows land in a reviewable
+  sink. Both paths stay single-scan, filter-pushdown-friendly column reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_csv", "read_json", "quarantine", "CORRUPT_COL"]
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt_col(schema: str) -> str:
+    """The corrupt-record column must be part of the declared schema for
+    PERMISSIVE capture to retain the raw line."""
+    return f"{schema}, {CORRUPT_COL} string"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    timestamp_format: str | None = None,
+) -> DataFrame:
+    """CSV scan with explicit schema and corrupt-line capture."""
+    reader = (
+        spark.read.format("csv")
+        .schema(_with_corrupt_col(schema))
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    return reader.load(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines scan with explicit schema and corrupt-line capture."""
+    return (
+        spark.read.format("json")
+        .schema(_with_corrupt_col(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )
+
+
+def quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a PERMISSIVE scan into (clean_rows, corrupt_rows).
+
+    Clean rows drop the capture column; corrupt rows keep the full row (the
+    raw line in ``_corrupt_record`` plus whatever fields did parse) for the
+    review sink — Spark refuses scans whose referenced columns are *only*
+    the internal corrupt-record column ([UNSUPPORTED_FEATURE.
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN]), and the context fields are useful
+    there anyway. Both halves are filters over the same single scan — no
+    extra pass.
+    """
+    corrupt = df.filter(F.col(CORRUPT_COL).isNotNull())
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return clean, corrupt
