@@ -198,3 +198,26 @@ def test_map_double_values_canonicalized(spark):
     a = spark.createDataFrame([(1, {"k": -0.0})], "pk bigint, m map<string, double>")
     b = spark.createDataFrame([(1, {"k": 0.0})], "pk bigint, m map<string, double>")
     assert _summary(spark, a, b).equivalent
+
+
+def test_reconcile_repairs_drifted_side(spark):
+    """compare → apply_fixes → re-compare must reach equivalence, and the
+    repaired side must equal the master as an exact multiset."""
+    from tidb_large_table_compare_spark.operators.compare import compare_tables
+    from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+    from tidb_large_table_compare_spark.perturb import perturbed_orders
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    slave = perturbed_orders(orders)
+    tc = compare_tables(spark, orders, slave, ["o_orderkey"], table_name="o")
+    assert not tc.summary().collect()[0].equivalent  # drift present
+
+    repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
+    verdict = compare_tables(
+        spark, orders, repaired, ["o_orderkey"], table_name="o"
+    ).summary().collect()[0]
+    assert verdict.equivalent and verdict.upcount == 0 and verdict.downcount == 0
+    # exact multiset equality, independent of the compare operator
+    assert repaired.exceptAll(orders).count() == 0
+    assert orders.exceptAll(repaired).count() == 0

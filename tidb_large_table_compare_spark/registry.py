@@ -136,6 +136,65 @@ def _cmp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("cmp_summary_incremental", _cmp_incremental, _CMP_SUMMARY_ORDERS_SQL)
 
+
+def _cmp_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-loop repair: compute the row diff, apply it natively to the
+    drifted side (operators/reconcile.py), then re-compare — the summary
+    must come back equivalent. The oracle rebuilds the same patch in SQL
+    and recomputes the post-repair verdict, so the zeros are *derived* on
+    both engines, not asserted."""
+    from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+
+    orders = load_table(spark, sf_dir, "orders")
+    slave = perturbed_orders(orders)
+    tc = compare_tables(
+        spark, orders, slave, pk=["o_orderkey"], table_name="main.orders"
+    )
+    repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
+    return compare_tables(
+        spark, orders, repaired, pk=["o_orderkey"], table_name="main.orders"
+    ).summary()
+
+
+_register(
+    "cmp_reconcile_orders",
+    _cmp_reconcile,
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL}),
+diff AS (
+  SELECT m.o_orderkey AS l_pk, s.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+          ({_ORDERS_DIFF_PRED})) AS modified
+  FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+),
+del AS (SELECT r_pk AS pk FROM diff WHERE l_pk IS NULL OR modified),
+ins AS (SELECT l_pk AS pk FROM diff WHERE r_pk IS NULL OR modified),
+patched AS (
+  SELECT * FROM slave WHERE o_orderkey NOT IN (SELECT pk FROM del)
+  UNION ALL
+  SELECT * FROM orders WHERE o_orderkey IN (SELECT pk FROM ins)
+),
+j AS (
+  SELECT m.o_orderkey AS l_pk, p.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND p.o_orderkey IS NOT NULL AND (
+      m.o_custkey       IS DISTINCT FROM p.o_custkey OR
+      m.o_orderstatus   IS DISTINCT FROM p.o_orderstatus OR
+      m.o_totalprice    IS DISTINCT FROM p.o_totalprice OR
+      m.o_orderdate     IS DISTINCT FROM p.o_orderdate OR
+      m.o_orderpriority IS DISTINCT FROM p.o_orderpriority
+         )) AS modified
+  FROM orders m FULL OUTER JOIN patched p ON m.o_orderkey = p.o_orderkey
+)
+SELECT 'main.orders' AS "table",
+       TRUE AS structure_ok,
+       CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS upcount,
+       CAST(SUM(CASE WHEN l_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT) AS downcount,
+       (SUM(CASE WHEN l_pk IS NULL OR r_pk IS NULL OR modified THEN 1 ELSE 0 END) = 0)
+         AS equivalent
+FROM j
+""",
+)
+
 _register(
     "cmp_diff_rows_orders",
     lambda spark, sf: _cmp(spark, sf).diff_rows(),
@@ -2768,8 +2827,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q9_profit_by_nation_year",
     "q10_top_return_customers",
     "q11_important_part_stock",
-    "q20_suppliers_of_heavy_parts",
     # (c) never driver-verified: late-round-2 additions (non-shared impls)
+    "cmp_reconcile_orders",
     "cmp_summary_incremental",
     "embedding_dedup_clusters",
     "streaming_dedup_events",
