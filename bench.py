@@ -31,6 +31,7 @@ HEADLINE = [
     "cmp_summary_orders",
     "cmp_diff_rows_orders",
     "cmp_fix_sql_orders",
+    "cmp_reconcile_orders",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
@@ -42,6 +43,7 @@ HEADLINE = [
     "kmeans_cluster_sizes",
     "range_join_errors_busy_hours",
     "doc_fingerprints",
+    "tfidf_top_terms",
 ]
 
 
