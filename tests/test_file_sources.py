@@ -95,3 +95,41 @@ def test_quarantine_is_single_scan_with_pruned_columns(spark, tmp_path):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Scan csv" in plan
         assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_compare_engine_across_heterogeneous_sources(spark, tmp_path):
+    """Parquet master vs a drifted CSV drop: the digest compare is
+    source-agnostic — each side is just a DataFrame scan, so a flat-file
+    replica can be verified against the warehouse table directly."""
+    from tidb_large_table_compare_spark.operators.compare import compare_tables
+
+    master = _customer(spark)
+    drifted = (
+        master.filter(F.col("c_custkey") % 97 != 3)  # deletions
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") % 50 == 7, F.col("c_acctbal") + 1.0)
+            .otherwise(F.col("c_acctbal")),
+        )
+    )
+    path = str(tmp_path / "replica_csv")
+    drifted.write.option("header", True).csv(path)
+
+    replica, corrupt = quarantine(read_csv(spark, path, CUSTOMER_SCHEMA))
+    assert corrupt.collect() == []
+
+    n_deleted = master.filter(F.col("c_custkey") % 97 == 3).count()
+    n_modified = drifted.filter(
+        (F.col("c_custkey") % 50 == 7)
+    ).count() - drifted.filter(
+        (F.col("c_custkey") % 50 == 7) & (F.col("c_acctbal").isNull())
+    ).count()
+
+    row = (
+        compare_tables(spark, master, replica, ["c_custkey"], table_name="c")
+        .summary()
+        .collect()[0]
+    )
+    assert row.upcount == n_deleted + n_modified
+    assert row.downcount == n_modified
+    assert not row.equivalent

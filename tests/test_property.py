@@ -190,3 +190,35 @@ def test_numpy_oph_matches_reference_formula(spark, docs):
             dist = min((k - j) % n for k in bins)
             want.append(bins[(j + dist) % n] + dist * (1 << 31))
         assert got[i] == want, f"doc {i}"
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=perturbation_plan())
+def test_reconcile_always_restores_equivalence(spark, plan):
+    """For ANY perturbation (deletes + modifies + inserts, incl. NULL fields),
+    compare → apply_fixes → re-compare must land on the exact master multiset."""
+    from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+
+    n, missing, modified, n_extra = plan
+    schema = "pk bigint, s string, d double"
+    master = spark.createDataFrame(_master_rows(n), schema)
+    slave_rows = [
+        (pk, (s + "_x" if s else "mod") if pk in modified else s, d)
+        for pk, s, d in _master_rows(n)
+        if pk not in missing
+    ] + [(10_000 + i, "extra", None) for i in range(n_extra)]
+    slave = spark.createDataFrame(slave_rows, schema)
+
+    diff = compare_tables(spark, master, slave, ["pk"], table_name="t").diff_rows()
+    repaired = apply_fixes(master, slave, ["pk"], diff)
+    verdict = (
+        compare_tables(spark, master, repaired, ["pk"], table_name="t")
+        .summary()
+        .collect()[0]
+    )
+    assert verdict.equivalent
+    assert repaired.exceptAll(master).union(master.exceptAll(repaired)).count() == 0
