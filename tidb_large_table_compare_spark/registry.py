@@ -2614,6 +2614,62 @@ FROM f
 )
 
 
+def _pack_training_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    layout): documents are concatenated in a deterministic order and the
+    token stream is cut every ``cap`` tokens; each document maps to the
+    chunk range its tokens land in. One running-sum window over the doc
+    order — no shuffle beyond the sort. At 100 TB the same computation runs
+    per shard (pack within date/source partitions so the window never spans
+    the whole corpus), which only changes the partitionBy of the window."""
+    cap = 2048
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    sized = docs.select("doc_id", toks.alias("n_toks"))
+    packed = sized.select(
+        "doc_id",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_toks",
+        "start_tok",
+        F.floor(F.col("start_tok") / cap).cast("long").alias("first_chunk"),
+        F.floor((F.col("start_tok") + F.col("n_toks") - 1) / cap)
+        .cast("long")
+        .alias("last_chunk"),
+    )
+
+
+_register(
+    "pack_training_chunks",
+    _pack_training_chunks,
+    """
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_toks,
+         SUM(n_toks) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_toks AS start_tok
+  FROM sized
+)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(FLOOR(start_tok / 2048) AS BIGINT) AS first_chunk,
+       CAST(FLOOR((start_tok + n_toks - 1) / 2048) AS BIGINT) AS last_chunk
+FROM packed
+""",
+)
+
+
 def _stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source stratified sampling with deterministic, content-independent
     assignment — the curation pass that rebalances a mixed corpus (upsample
@@ -2826,9 +2882,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q8_brand_share_by_year",
     "q9_profit_by_nation_year",
     "q10_top_return_customers",
-    "q11_important_part_stock",
     # (c) never driver-verified: late-round-2 additions (non-shared impls)
     "cmp_reconcile_orders",
+    "pack_training_chunks",
     "cmp_summary_incremental",
     "embedding_dedup_clusters",
     "streaming_dedup_events",
