@@ -1,0 +1,71 @@
+"""End-to-end corpus curation pipeline: attrition, determinism, layout."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.plans.curate import curate_corpus
+from tidb_large_table_compare_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_with_dups(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near_copies = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xtra xtra")).alias("text"),
+    )
+    return docs.unionByName(exact_copies).unionByName(near_copies)
+
+
+def test_curate_corpus_end_to_end(spark, tmp_path):
+    docs = _corpus_with_dups(spark)
+    manifest = curate_corpus(spark, docs, str(tmp_path / "curated"))
+
+    st = manifest["stages"]
+    n_exact_copies = docs.groupBy("text").count().filter("count > 1").count()
+    # every injected exact copy is dropped, nothing else at that stage
+    assert st["after_exact_dedup"] == st["input"] - n_exact_copies
+    # near-dup stage removes at least the injected near-copies' duplicates
+    assert st["after_neardup_dedup"] < st["after_exact_dedup"]
+    assert st["after_quality_filter"] <= st["after_neardup_dedup"]
+    # split totals account for every surviving doc
+    assert (
+        sum(s["n_docs"] for s in manifest["splits"].values())
+        == st["after_quality_filter"]
+    )
+
+    # written corpus layout: partitioned by split, packing columns present
+    out = spark.read.parquet(manifest["corpus_path"])
+    assert {"doc_id", "n_toks", "start_tok", "first_chunk", "split"} <= set(out.columns)
+    # packing invariant per split: start_tok is the running sum of n_toks
+    for split in manifest["splits"]:
+        rows = sorted(
+            (r.doc_id, r.n_toks, r.start_tok)
+            for r in out.filter(F.col("split") == split).collect()
+        )
+        running = 0
+        for _, n_toks, start in rows:
+            assert start == running
+            running += n_toks
+
+    # manifest persisted and loadable
+    on_disk = json.loads((tmp_path / "curated" / "manifest.json").read_text())
+    assert on_disk["stages"] == st
+
+
+def test_curate_corpus_is_deterministic(spark, tmp_path):
+    docs = _corpus_with_dups(spark)
+    m1 = curate_corpus(spark, docs, str(tmp_path / "a"))
+    m2 = curate_corpus(spark, docs, str(tmp_path / "b"))
+    assert m1["stages"] == m2["stages"]
+    assert m1["splits"] == m2["splits"]
+    ids1 = sorted(r.doc_id for r in spark.read.parquet(m1["corpus_path"]).collect())
+    ids2 = sorted(r.doc_id for r in spark.read.parquet(m2["corpus_path"]).collect())
+    assert ids1 == ids2

@@ -1,0 +1,150 @@
+"""End-to-end training-corpus curation: the LLM-pipeline analog of the
+reference's discover → plan → compare → report lifecycle (SURVEY.md §3).
+
+One call chains the extension operators the registry verifies individually —
+exact dedup, MinHash/LSH near-dup cluster resolution, composite quality
+filtering, deterministic train/val hash split, concat-and-chunk packing —
+and writes the surviving corpus as parquet partitioned by split, plus a
+JSON manifest of per-stage attrition (the curation "report").
+
+Every stage is the scale-safe formulation already used by its registry
+entry: hash-groupBy exact dedup, banded-LSH candidates (never all-pairs),
+label-propagation components over candidate edges only, map-only quality
+and split expressions, one running-sum window for packing. The pipeline
+adds no new shuffle shapes — it only sequences verified ones.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.clustering import connected_components
+from tidb_large_table_compare_spark.operators.dedup import (
+    hashed_word_ngrams,
+    jaccard_verified_pairs,
+    lsh_candidate_pairs_from_array,
+    minhash_signature_oph_np,
+)
+from tidb_large_table_compare_spark.operators.textops import quality_features
+
+__all__ = ["curate_corpus"]
+
+
+def _quality_keep(text_col: Column) -> Column:
+    """Same rule chain as the oracle-checked ``quality_filter_verdicts``."""
+    f = quality_features(text_col)
+    return (
+        (f["n_tokens"] >= 25)
+        & (f["n_tokens"] <= 2000)
+        & (f["punct_ratio"] <= 0.1)
+        & (f["stopword_hits"] > 0)
+    )
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.8,
+    val_permille: int = 100,
+    chunk_cap: int = 2048,
+) -> dict:
+    """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
+
+    Returns the manifest dict (also written to ``out_dir/manifest.json``);
+    the curated corpus lands in ``out_dir/corpus`` partitioned by ``split``.
+    """
+    n_input = docs.count()
+
+    # 1. exact dedup: keep the lowest doc_id per identical text
+    w_exact = Window.partitionBy("text").orderBy("doc_id")
+    exact = (
+        docs.withColumn("__rn", F.row_number().over(w_exact))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    n_exact = exact.count()
+
+    # 2. near-dup: OPH MinHash → banded LSH → exact-Jaccard verify →
+    #    connected components → keep each cluster's representative (min id)
+    shingle_sets = exact.select(
+        "doc_id", hashed_word_ngrams(F.col("text"), shingle_n).alias("shingles")
+    ).persist()
+    sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
+    cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
+    pairs = jaccard_verified_pairs(
+        cands, shingle_sets, "doc_id", jaccard_threshold
+    ).select("id_a", "id_b")
+    clusters = connected_components(pairs.persist())
+    drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    neardup = exact.join(drop, "doc_id", "left_anti")
+    n_neardup = neardup.count()
+    shingle_sets.unpersist()
+
+    # 3. composite quality filter (map-only)
+    quality = neardup.filter(_quality_keep(F.col("text")))
+    n_quality = quality.count()
+
+    # 4. deterministic content-independent split (md5-prefix hash of doc_id)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    split_col = (
+        F.when(bucket < 1000 - val_permille, F.lit("train")).otherwise(F.lit("val"))
+    )
+    tagged = quality.withColumn("split", split_col)
+
+    # 5. concat-and-chunk packing within each split (one window each; at
+    #    larger scale partition the window further by shard key)
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    w_pack = Window.partitionBy("split").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = tagged.withColumn("n_toks", toks).withColumn(
+        "start_tok", F.sum("n_toks").over(w_pack) - F.col("n_toks")
+    ).withColumn(
+        "first_chunk", F.floor(F.col("start_tok") / chunk_cap).cast("long")
+    )
+
+    corpus_path = str(Path(out_dir) / "corpus")
+    packed.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
+
+    out = spark.read.parquet(corpus_path)
+    split_counts = {
+        r["split"]: {"n_docs": r["n_docs"], "n_tokens": r["n_tokens"]}
+        for r in out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .collect()
+    }
+    manifest = {
+        "stages": {
+            "input": n_input,
+            "after_exact_dedup": n_exact,
+            "after_neardup_dedup": n_neardup,
+            "after_quality_filter": n_quality,
+        },
+        "splits": split_counts,
+        "params": {
+            "shingle_n": shingle_n,
+            "jaccard_threshold": jaccard_threshold,
+            "val_permille": val_permille,
+            "chunk_cap": chunk_cap,
+        },
+        "corpus_path": corpus_path,
+    }
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    (Path(out_dir) / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return manifest
