@@ -69,3 +69,21 @@ def test_curate_corpus_is_deterministic(spark, tmp_path):
     ids1 = sorted(r.doc_id for r in spark.read.parquet(m1["corpus_path"]).collect())
     ids2 = sorted(r.doc_id for r in spark.read.parquet(m2["corpus_path"]).collect())
     assert ids1 == ids2
+
+
+def test_curate_cli_end_to_end(spark, tmp_path):
+    """The CLI wrapper: reads parquet, writes the curated corpus + manifest,
+    prints the manifest JSON, exits 0."""
+    import json as _json
+
+    from tidb_large_table_compare_spark import curate_cli
+
+    src = str(tmp_path / "docs.parquet")
+    _corpus_with_dups(spark).write.parquet(src)
+    out_dir = str(tmp_path / "curated")
+
+    rc = curate_cli.main(["--input", src, "--out", out_dir])
+    assert rc == 0
+    manifest = _json.loads((tmp_path / "curated" / "manifest.json").read_text())
+    assert manifest["stages"]["after_quality_filter"] > 0
+    assert (tmp_path / "curated" / "corpus").exists()
