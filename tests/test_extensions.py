@@ -9,11 +9,13 @@ from pyspark.sql import functions as F
 import pytest
 
 from tidb_large_table_compare_spark.operators.dedup import (
+    hashed_word_ngrams,
     lsh_candidate_pairs,
     lsh_candidate_pairs_from_array,
     minhash_signature,
     minhash_signature_from_sets,
     minhash_signature_oph,
+    minhash_signature_oph_np,
     simhash,
     word_ngrams,
 )
@@ -165,3 +167,32 @@ def test_hashed_word_ngrams_same_sets(spark):
     ).collect()
     assert all(r.ns == r.nh for r in both)
     assert [r.nh for r in both] == [3, 6, 0]
+
+
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """A boilerplate cluster (identical signatures) self-joins quadratically;
+    max_bucket_size must drop the hot buckets while distinct near-dup pairs
+    elsewhere in the corpus keep their candidates."""
+    boiler = [(i, "lorem ipsum dolor sit amet " * 20) for i in range(200)]
+    # two genuine near-dup pairs with distinct content
+    a1 = " ".join(f"alpha{j}" for j in range(40))
+    b1 = " ".join(f"beta{j}" for j in range(40))
+    pairs = [
+        (1000, a1), (1001, a1 + " tail tail"),
+        (2000, b1), (2001, b1 + " tail tail"),
+    ]
+    docs = spark.createDataFrame(boiler + pairs, "doc_id long, text string")
+    shingle_sets = docs.select(
+        "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
+    ).persist()
+    sigs = minhash_signature_oph_np(shingle_sets, "doc_id").persist()
+
+    uncapped = lsh_candidate_pairs_from_array(sigs, "doc_id")
+    capped = lsh_candidate_pairs_from_array(sigs, "doc_id", max_bucket_size=50)
+
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    assert n_uncapped >= 200 * 199 // 2  # quadratic boilerplate blow-up
+    assert n_capped < 200                # hot buckets gone
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert {(1000, 1001), (2000, 2001)} <= got  # true pairs survive the cap

@@ -332,9 +332,25 @@ def minhash_signature_oph_np(
 
 
 def lsh_candidate_pairs_from_array(
-    signatures: DataFrame, id_col: str, n_hashes: int = 128, n_bands: int = 32
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Banded LSH over an array-form signature (see :func:`minhash_signature_oph`)."""
+    """Banded LSH over an array-form signature (see :func:`minhash_signature_oph`).
+
+    ``max_bucket_size`` guards the 100 TB failure mode of banded LSH: one
+    boilerplate-heavy ``(band, bucket)`` shared by k documents self-joins
+    into k² candidate pairs — a single hot bucket with 10⁶ members would
+    emit 10¹² pairs. Capping drops buckets larger than the bound *before*
+    the self-join (one extra narrow aggregation over the exploded band
+    table). Recall cost is small by construction: a true near-dup pair
+    (Jaccard ≥ threshold) collides in many of the ``n_bands`` bands, so
+    losing its hottest shared bucket still leaves the other collisions;
+    buckets that big are boilerplate clusters, not near-dup families.
+    Default ``None`` preserves exact parity with the all-candidates oracle.
+    """
     rows = n_hashes // n_bands
     bands = F.array(
         *[
@@ -348,6 +364,12 @@ def lsh_candidate_pairs_from_array(
     exploded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__sz")
+        )
+        small = sizes.filter(F.col("__sz") <= max_bucket_size).select("band", "bucket")
+        exploded = exploded.join(small, ["band", "bucket"], "left_semi")
     a = exploded.withColumnRenamed(id_col, "id_a")
     b = exploded.withColumnRenamed(id_col, "id_b")
     return (

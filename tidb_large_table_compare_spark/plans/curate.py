@@ -52,6 +52,7 @@ def curate_corpus(
     *,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
+    lsh_max_bucket_size: int | None = 10_000,
     val_permille: int = 100,
     chunk_cap: int = 2048,
 ) -> dict:
@@ -77,7 +78,11 @@ def curate_corpus(
         "doc_id", hashed_word_ngrams(F.col("text"), shingle_n).alias("shingles")
     ).persist()
     sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
-    cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
+    # the bucket cap guards against boilerplate clusters exploding the
+    # candidate self-join quadratically (see lsh_candidate_pairs_from_array)
+    cands = lsh_candidate_pairs_from_array(
+        sigs, "doc_id", max_bucket_size=lsh_max_bucket_size
+    )
     pairs = jaccard_verified_pairs(
         cands, shingle_sets, "doc_id", jaccard_threshold
     ).select("id_a", "id_b")
@@ -140,6 +145,7 @@ def curate_corpus(
         "params": {
             "shingle_n": shingle_n,
             "jaccard_threshold": jaccard_threshold,
+            "lsh_max_bucket_size": lsh_max_bucket_size,
             "val_permille": val_permille,
             "chunk_cap": chunk_cap,
         },
