@@ -87,3 +87,29 @@ def test_curate_cli_end_to_end(spark, tmp_path):
     manifest = _json.loads((tmp_path / "curated" / "manifest.json").read_text())
     assert manifest["stages"]["after_quality_filter"] > 0
     assert (tmp_path / "curated" / "corpus").exists()
+
+
+def test_curate_decontamination_drops_benchmark_overlap(spark, tmp_path):
+    """Docs sharing shingles with the benchmark probe must not survive."""
+    docs = _corpus_with_dups(spark)
+    benchmark = (
+        load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("text")
+    )
+    contaminated_ids = {
+        r.doc_id
+        for r in load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id")
+        .collect()
+    }
+    manifest = curate_corpus(
+        spark, docs, str(tmp_path / "curated"), benchmark=benchmark
+    )
+    st = manifest["stages"]
+    assert st["after_decontamination"] < st["after_neardup_dedup"]
+    out_ids = {
+        r.doc_id for r in spark.read.parquet(manifest["corpus_path"]).collect()
+    }
+    assert out_ids.isdisjoint(contaminated_ids)

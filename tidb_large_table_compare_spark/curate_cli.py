@@ -33,6 +33,9 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--shingle-n", type=int, default=5)
     p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--benchmark", default=None,
+                   help="parquet path of benchmark docs (text column); "
+                        "enables the decontamination stage")
     p.add_argument("--val-permille", type=int, default=100)
     p.add_argument("--chunk-cap", type=int, default=2048)
     p.add_argument("--lock-file", default=None)
@@ -62,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
             args.out,
             shingle_n=args.shingle_n,
             jaccard_threshold=args.jaccard,
+            benchmark=(
+                spark.read.parquet(args.benchmark) if args.benchmark else None
+            ),
             val_permille=args.val_permille,
             chunk_cap=args.chunk_cap,
         )

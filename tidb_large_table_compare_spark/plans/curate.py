@@ -53,10 +53,18 @@ def curate_corpus(
     shingle_n: int = 5,
     jaccard_threshold: float = 0.8,
     lsh_max_bucket_size: int | None = 10_000,
+    benchmark: DataFrame | None = None,
+    contamination_min_shared: int = 2,
     val_permille: int = 100,
     chunk_cap: int = 2048,
 ) -> dict:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
+
+    ``benchmark`` (rows with a ``text`` column) enables the decontamination
+    stage: any corpus document sharing ≥ ``contamination_min_shared``
+    3-gram shingles with the benchmark set is dropped — a bucketed
+    equi-join on the shingle, never an all-pairs scan (same shape as the
+    oracle-checked ``contamination_check`` registry entry).
 
     Returns the manifest dict (also written to ``out_dir/manifest.json``);
     the curated corpus lands in ``out_dir/corpus`` partitioned by ``split``.
@@ -94,11 +102,33 @@ def curate_corpus(
     n_neardup = neardup.count()
     shingle_sets.unpersist()
 
-    # 3. composite quality filter (map-only)
+    # 3. decontamination: drop docs whose 3-gram shingles overlap the
+    #    benchmark probe (equi-join on the shingle hash — candidates only)
+    if benchmark is not None:
+        probe = (
+            benchmark.select(
+                F.explode(hashed_word_ngrams(F.col("text"), 3)).alias("gram")
+            )
+            .distinct()
+        )
+        grams = neardup.select(
+            "doc_id", F.explode(hashed_word_ngrams(F.col("text"), 3)).alias("gram")
+        ).distinct()
+        contaminated = (
+            grams.join(probe, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("__shared"))
+            .filter(F.col("__shared") >= contamination_min_shared)
+            .select("doc_id")
+        )
+        neardup = neardup.join(contaminated, "doc_id", "left_anti")
+    n_decontaminated = neardup.count()
+
+    # 4. composite quality filter (map-only)
     quality = neardup.filter(_quality_keep(F.col("text")))
     n_quality = quality.count()
 
-    # 4. deterministic content-independent split (md5-prefix hash of doc_id)
+    # 5. deterministic content-independent split (md5-prefix hash of doc_id)
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long"),
@@ -109,7 +139,7 @@ def curate_corpus(
     )
     tagged = quality.withColumn("split", split_col)
 
-    # 5. concat-and-chunk packing within each split (one window each; at
+    # 6. concat-and-chunk packing within each split (one window each; at
     #    larger scale partition the window further by shard key)
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     w_pack = Window.partitionBy("split").orderBy("doc_id").rowsBetween(
@@ -139,6 +169,7 @@ def curate_corpus(
             "input": n_input,
             "after_exact_dedup": n_exact,
             "after_neardup_dedup": n_neardup,
+            "after_decontamination": n_decontaminated,
             "after_quality_filter": n_quality,
         },
         "splits": split_counts,
@@ -146,6 +177,8 @@ def curate_corpus(
             "shingle_n": shingle_n,
             "jaccard_threshold": jaccard_threshold,
             "lsh_max_bucket_size": lsh_max_bucket_size,
+            "decontaminated": benchmark is not None,
+            "contamination_min_shared": contamination_min_shared,
             "val_permille": val_permille,
             "chunk_cap": chunk_cap,
         },
