@@ -196,3 +196,35 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert n_capped < 200                # hot buckets gone
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert {(1000, 1001), (2000, 2001)} <= got  # true pairs survive the cap
+
+
+def test_ivf_index_persistence_matches_inline(spark, tmp_path):
+    """build_ivf_index + ivf_query_index over the persisted artifact must
+    reproduce the inline ivf_topk results exactly (same quantizer, same
+    tie-breaks), with the index reusable across query calls."""
+    from tidb_large_table_compare_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(emb).collect()
+    }
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, path)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    from_index = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_query_index(spark, path, queries).collect()
+    }
+    assert from_index == inline
+
+    # reuse: a second, different query set probes the same artifact
+    second = emb.filter(F.col("vec_id") % 100 == 1)
+    out2 = ivf_query_index(spark, path, second, k=3).collect()
+    assert len(out2) > 0 and all(r.rank <= 3 for r in out2)

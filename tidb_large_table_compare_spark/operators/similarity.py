@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import window as W
 
@@ -260,6 +260,75 @@ def ivf_topk(
         "rank",
         F.row_number().over(
             w.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", "cosine", "rank"
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+) -> None:
+    """Persist the IVF structure: build once, probe many (the ANN serving
+    shape — the inline :func:`ivf_topk` recomputes assignments per call).
+
+    Writes ``path/centroids`` (the coarse quantizer, tiny by construction)
+    and ``path/assignments`` (every corpus vector with its nearest-cell id,
+    quantized). At 100 TB write the assignments ``bucketBy(cell)`` so probe
+    joins co-locate; the layout here is the plain-parquet equivalent.
+    Mirrors the incremental-compare digest snapshots
+    (`operators/incremental.py`): a verified pipeline stage turned into a
+    reusable on-disk artifact.
+    """
+    prepped = corpus.select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    )
+    cents = prepped.filter(F.col("id") % centroid_mod == 0)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cent_rows = [(r["id"], r["qv"]) for r in cents.collect()]
+    assigned = topk_cells(prepped, "id", "qv", cent_rows, k=1, out_col="cell")
+    assigned.write.mode("overwrite").parquet(f"{path}/assignments")
+
+
+def ivf_query_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Probe a persisted IVF index (see :func:`build_ivf_index`) with a
+    fresh query set. Same candidate bound as the inline path: per query,
+    ``n_probe`` cells' members, never the full corpus."""
+    cent_rows = [
+        (r["id"], r["qv"]) for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    assigned = spark.read.parquet(f"{path}/assignments")
+    qprep = queries.select(
+        F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("query_v")
+    )
+    probes = topk_cells(
+        qprep, "query_id", "query_v", cent_rows, k=n_probe, out_col="cell"
+    )
+    cands = probes.join(assigned, "cell").filter(F.col("id") != F.col("query_id"))
+    ranked = cands.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        cosine_q(F.col("query_v"), F.col("qv")).alias("cosine"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            W.Window.partitionBy("query_id").orderBy(
+                F.desc("cosine"), F.asc("neighbor_id")
+            )
         ),
     )
     return ranked.filter(F.col("rank") <= k).select(
