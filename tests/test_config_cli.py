@@ -261,3 +261,30 @@ def test_cli_detach_spawns_background_run(tmp_path, capsys):
         _time.sleep(0.1)
     else:
         raise AssertionError("detached child never wrote to its log")
+
+
+def test_cli_reconcile_out_writes_repaired_table(spark, tmp_path):
+    """--reconcile-out: the written right side must equal the master exactly
+    (the fix-SQL loop applied natively instead of by a human)."""
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.filter(F.col("o_orderkey") % 50 != 7).write.parquet(
+        str(slave_dir / "orders.parquet")
+    )
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--reconcile-out", str(tmp_path / "repaired"),
+        ]
+    )
+    assert code == 0
+    repaired = spark.read.parquet(str(tmp_path / "repaired" / "main_orders_repaired"))
+    assert repaired.exceptAll(orders).count() == 0
+    assert orders.exceptAll(repaired).count() == 0

@@ -68,6 +68,9 @@ def _parse_args(argv: list[str] | None):
                    help="force the keyless multiset diff for all tables")
     p.add_argument("--parallelism", type=int, default=4)
     p.add_argument("--fix-sql-out", default=None, help="dir for fix-SQL text output")
+    p.add_argument("--reconcile-out", default=None,
+                   help="dir to write each table's repaired right side "
+                        "(the native application of the fix-SQL diff)")
     p.add_argument("--report-out", default=None, help="file for the rendered report")
     p.add_argument("--lock-file", default=None,
                    help="run-lock path (default: per-comparison file in tmpdir)")
@@ -210,6 +213,21 @@ def _run(args) -> int:
             )
             out = f"{args.fix_sql_out}/{job.table.replace('.', '_')}_fix"
             fix_sql(cmp).coalesce(1).write.mode("overwrite").text(out)
+
+    # native repair application (closing the fix-SQL loop): write the right
+    # side patched to match the left, per keyed table with diffs
+    if args.reconcile_out:
+        from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+
+        for job in jobs:
+            if not job.pk:
+                continue
+            cmp = compare_tables(
+                spark, job.left, job.right, job.pk, job.options, job.table
+            )
+            repaired = apply_fixes(job.left, job.right, job.pk, cmp.diff_rows())
+            out = f"{args.reconcile_out}/{job.table.replace('.', '_')}_repaired"
+            repaired.write.mode("overwrite").parquet(out)
 
     if run.fail_count:
         print(f"FAILED tables: {', '.join(run.failed_tables)}", file=sys.stderr)
