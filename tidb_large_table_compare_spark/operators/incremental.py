@@ -30,7 +30,13 @@ from tidb_large_table_compare_spark.operators.compare import (
     compare_tables,
 )
 
-__all__ = ["write_digests", "read_digests", "changed_buckets", "incremental_compare"]
+__all__ = [
+    "write_digests",
+    "read_digests",
+    "changed_buckets",
+    "incremental_compare",
+    "apply_changes_to_digests",
+]
 
 
 def write_digests(
@@ -125,3 +131,78 @@ def incremental_compare(
     cmp.left = cmp.left.filter(keep)
     cmp.right = cmp.right.filter(keep)
     return cmp
+
+
+def apply_changes_to_digests(
+    spark: SparkSession,
+    digests_path: str,
+    out_path: str,
+    pk: list[str],
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    options: CompareOptions = CompareOptions(),
+) -> int:
+    """Maintain a digest snapshot from a change feed — no master rescan.
+
+    The per-bucket digest triple is an abelian group: ``cnt``/``sum_digest``
+    add, ``xor_digest`` is its own inverse. So a CDC batch folds in exactly:
+    inserted rows add their digests, deleted rows subtract (xor again, count
+    down), and an update is delete-old + insert-new. Cost is one narrow
+    aggregation over the *change batch* plus a join against the tiny stored
+    artifact — O(changes + n_buckets), independent of table size. This is
+    the continuous-verification shape at 100 TB: the nightly full scan
+    becomes a per-batch fold, and :func:`changed_buckets` /
+    :func:`incremental_compare` consume the maintained snapshot unchanged.
+
+    Writes the updated artifact to ``out_path`` (a fresh path — parquet
+    cannot be overwritten while being read) and returns the pinned bucket
+    count. Buckets whose count reaches zero are dropped, matching what a
+    fresh :func:`write_digests` of the changed table would produce.
+    """
+    stored, n_buckets = read_digests(spark, digests_path)
+    opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
+
+    def _delta(df: DataFrame, sign: int) -> DataFrame:
+        d = TableCompare(spark, df, df, pk, opts).bucket_digests("left")
+        return d.select(
+            "__bucket",
+            (F.col("cnt") * sign).alias("d_cnt"),
+            F.col("xor_digest").alias("d_xor"),  # xor is its own inverse
+            (F.col("sum_digest") * sign).alias("d_sum"),
+        )
+
+    parts = []
+    if inserts is not None:
+        parts.append(_delta(inserts, 1))
+    if deletes is not None:
+        parts.append(_delta(deletes, -1))
+    if not parts:
+        stored.withColumn("n_buckets", F.lit(n_buckets)).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        return n_buckets
+    delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    delta = delta.groupBy("__bucket").agg(
+        F.sum("d_cnt").alias("d_cnt"),
+        F.bit_xor("d_xor").alias("d_xor"),
+        F.sum("d_sum").alias("d_sum"),
+    )
+
+    merged = stored.join(delta, "__bucket", "full_outer").select(
+        "__bucket",
+        (F.coalesce("cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0))).alias("cnt"),
+        F.coalesce("xor_digest", F.lit(0))
+        .bitwiseXOR(F.coalesce("d_xor", F.lit(0)))
+        .alias("xor_digest"),
+        (
+            F.coalesce(F.col("sum_digest"), F.lit(0).cast("decimal(38,0)"))
+            + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(38,0)"))
+        ).alias("sum_digest"),
+    )
+    (
+        merged.filter(F.col("cnt") > 0)
+        .withColumn("n_buckets", F.lit(n_buckets))
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return n_buckets
