@@ -166,3 +166,74 @@ def test_digest_maintenance_noop_batch(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(base).collect()}
     b = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert a == b
+
+
+def test_streaming_digest_maintenance_tracks_change_feed(spark, tmp_path):
+    """Two streamed CDC batches folded via foreachBatch: the LATEST artifact
+    must equal a fresh rescan of the final table state, and the per-epoch
+    layout must leave the lineage on disk."""
+    from tidb_large_table_compare_spark.operators.incremental import write_digests
+    from tidb_large_table_compare_spark.sources.tables import load_table
+    from tidb_large_table_compare_spark.streaming.digest_maintenance import (
+        OP_COL,
+        latest_digest_path,
+        start_digest_maintenance,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    opts = CompareOptions(n_buckets=32)
+    root = tmp_path / "digests"
+    root.mkdir()
+    init = str(root / "epoch_init")
+    write_digests(spark, orders, ["o_orderkey"], init, opts)
+    (root / "LATEST").write_text(init)
+
+    # change feed: batch 1 deletes %97==3; batch 2 re-prices %89==5
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    schema_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    b1 = orders.filter(F.col("o_orderkey") % 97 == 3).withColumn(OP_COL, F.lit("D"))
+    b1.select(OP_COL, *schema_cols).coalesce(1).write.mode("append").parquet(
+        str(feed_dir)
+    )
+    kept = orders.filter(F.col("o_orderkey") % 97 != 3)
+    mod_old = kept.filter(F.col("o_orderkey") % 89 == 5)
+    mod_new = mod_old.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+    b2 = mod_old.withColumn(OP_COL, F.lit("D")).unionByName(
+        mod_new.withColumn(OP_COL, F.lit("I"))
+    )
+
+    feed_schema = f"{OP_COL} string, o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    stream = spark.readStream.schema(feed_schema).parquet(str(feed_dir))
+    q = start_digest_maintenance(
+        spark, stream, str(root), ["o_orderkey"],
+        checkpoint=str(tmp_path / "ckpt"), options=opts,
+    )
+    q.awaitTermination(120)
+
+    # second batch arrives; restart from checkpoint processes only it
+    b2.select(OP_COL, *schema_cols).coalesce(1).write.mode("append").parquet(
+        str(feed_dir)
+    )
+    stream2 = spark.readStream.schema(feed_schema).parquet(str(feed_dir))
+    q2 = start_digest_maintenance(
+        spark, stream2, str(root), ["o_orderkey"],
+        checkpoint=str(tmp_path / "ckpt"), options=opts,
+    )
+    q2.awaitTermination(120)
+
+    final_state = kept.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 5, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice")),
+    )
+    fresh = str(tmp_path / "fresh")
+    write_digests(spark, final_state, ["o_orderkey"], fresh, opts)
+
+    maintained = {
+        tuple(r) for r in spark.read.parquet(latest_digest_path(str(root))).collect()
+    }
+    expect = {tuple(r) for r in spark.read.parquet(fresh).collect()}
+    assert maintained == expect
