@@ -7,6 +7,7 @@ and the compare drill-down no longer recomputing the digest subtree.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidb_large_table_compare_spark.operators.compare import compare_tables
@@ -247,3 +248,27 @@ def test_no_accidental_cartesian_products_anywhere(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in ALLOWED_BNLJ:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+@pytest.mark.parametrize(
+    "name,needed,forbidden",
+    [
+        ("stratified_sample_docs", ["doc_id", "source"], ["text", "lang"]),
+        ("repetition_filter_docs", ["doc_id", "text"], ["source", "lang"]),
+        ("pack_training_chunks", ["doc_id", "text"], ["source", "lang"]),
+        ("quality_filter_verdicts", ["doc_id", "text"], ["source", "lang"]),
+    ],
+)
+def test_curation_ops_prune_document_scan(spark, name, needed, forbidden):
+    """Map-side curation ops must prune the documents scan to the columns
+    they actually use — reading `text` for a sampling decision (or `lang`
+    for anything) would multiply scan bytes at 100 TB."""
+    plan = _plan(QUERIES[name](spark, SF_SMALL))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    doc_scans = [s for s in scans if "documents" in s]
+    assert doc_scans, plan[:1500]
+    for s in doc_scans:
+        for col in needed:
+            assert col in s, f"{name}: scan lost {col}: {s}"
+        for col in forbidden:
+            assert col not in s, f"{name}: scan reads unneeded {col}: {s}"
