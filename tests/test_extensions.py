@@ -228,3 +228,34 @@ def test_ivf_index_persistence_matches_inline(spark, tmp_path):
     second = emb.filter(F.col("vec_id") % 100 == 1)
     out2 = ivf_query_index(spark, path, second, k=3).collect()
     assert len(out2) > 0 and all(r.rank <= 3 for r in out2)
+
+
+def test_multimodal_features_feed_similarity_stack(spark):
+    """binary payload → Arrow-batched feature vectors → ANN: identical
+    payloads must be mutual nearest neighbors at cosine 1.0, and the
+    features must compose with brute_force_topk unchanged."""
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from tidb_large_table_compare_spark.operators.similarity import brute_force_topk
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(50)
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    corpus = attach_binary_payload(docs.unionByName(copies))
+    feats = extract_features(corpus).persist()
+    assert feats.schema["embedding"].dataType.simpleString() == "array<float>"
+
+    queries = feats.filter(F.col("doc_id") >= 500_000)
+    top1 = brute_force_topk(
+        feats, queries, id_col="doc_id", vec_col="embedding", k=1
+    )
+    got = {(r.query_id, r.neighbor_id, round(r.cosine, 9)) for r in top1.collect()}
+    expected = {
+        (r.doc_id + 500_000, r.doc_id, 1.0)
+        for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    assert expected <= got, expected - got

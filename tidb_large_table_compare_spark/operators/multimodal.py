@@ -16,7 +16,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["attach_binary_payload", "binary_metadata", "decode_media"]
+__all__ = [
+    "attach_binary_payload",
+    "binary_metadata",
+    "decode_media",
+    "sample_frames",
+    "extract_features",
+]
 
 META_SCHEMA = "doc_id bigint, n_bytes bigint, head_byte bigint, media_format string"
 
@@ -103,3 +109,37 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(sample, FRAME_SCHEMA)
+
+
+FEATURE_SCHEMA = "doc_id bigint, embedding array<float>"
+FEATURE_DIMS = 64
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction: binary payload → embedding column.
+
+    The feature map is a 64-dim folded byte histogram normalized by payload
+    length — a deterministic STAND-IN for a learned encoder (CLIP/CLAP-style
+    models are not in this environment), but the Spark shape is the real
+    one: per-partition Arrow batches in, ``array<float>`` embeddings out,
+    no shuffle, and the output composes directly with the similarity stack
+    (`operators/similarity.py`: ``brute_force_topk``, ``build_ivf_index``)
+    — identical payloads map to identical embeddings (cosine 1.0).
+    """
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size == 0:
+                    vec = np.zeros(FEATURE_DIMS, dtype=np.float32)
+                else:
+                    hist = np.bincount(arr % FEATURE_DIMS, minlength=FEATURE_DIMS)
+                    vec = (hist / arr.size).astype(np.float32)
+                ids.append(doc_id)
+                vecs.append(vec.tolist())
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return df.select(id_col, "payload").mapInPandas(featurize, FEATURE_SCHEMA)
