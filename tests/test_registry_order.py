@@ -44,9 +44,8 @@ NEVER_VERIFIED = {
     "dedup_final_corpus_stats",
     "q2_cheapest_part_per_brand", "q7_nation_pair_volume",
     "q8_brand_share_by_year", "q9_profit_by_nation_year",
-    "q10_top_return_customers",
     # late-round-2 non-shared implementations, never driver-verified
-    "cmp_reconcile_orders", "pack_training_chunks",
+    "cmp_reconcile_orders", "pack_training_chunks", "neardup_simhash_pairs",
     "cmp_summary_incremental", "embedding_dedup_clusters",
     "streaming_dedup_events", "tfidf_top_terms", "contamination_check",
     "train_val_split", "quality_filter_verdicts",
@@ -58,7 +57,7 @@ NEVER_VERIFIED = {
 # identical SQL string, so they cannot drift; tests/test_oracle.py sweeps
 # them at the driver's own scale factor.
 DISPLACED_SHARED_SQL = {
-    "q11_important_part_stock", "q20_suppliers_of_heavy_parts",
+    "q10_top_return_customers", "q11_important_part_stock", "q20_suppliers_of_heavy_parts",
     "q12_priority_line_counts", "q13_order_count_distribution",
     "q14_promo_revenue_share", "q15_top_supplier_by_revenue",
     "q16_part_supplier_variety", "q17_small_quantity_revenue",
@@ -85,6 +84,6 @@ def test_displaced_shared_sql_still_registered():
 
 
 def test_reorder_lost_nothing():
-    assert len(QUERIES) == 101
+    assert len(QUERIES) == 102
     # every registered query carries a DuckDB oracle (round-2 invariant)
     assert set(ORACLES) == set(QUERIES)

@@ -822,6 +822,92 @@ FROM bits
 )
 
 
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via band blocking: split the 60-bit
+    fingerprint into 4×15-bit bands, bucket-join on (band, key) — the
+    web-scale dedup blocking scheme — then verify candidates with the exact
+    hamming distance (pigeonhole guarantees capture for ≤3 differing bits;
+    above that, blocking is the documented recall/cost trade). All integer
+    ops, so the pair set is engine-exact."""
+    fps = _simhash_docs(spark, sf_dir)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), 15 * b)
+                .bitwiseAND(F.lit(32767))
+                .alias("bkey"),
+            )
+            for b in range(4)
+        ]
+    )
+    exploded = fps.select(
+        "doc_id", "simhash", F.explode(bands).alias("bb")
+    ).select(
+        "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "bkey"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"), "band", "bkey"
+    )
+    cands = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 12)
+    )
+
+
+_SIMHASH_FP_CTES = f"""
+corpus AS ({_NEAR_DUP_CTE}),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus
+),
+hashed AS (
+  SELECT doc_id, ({_MD5_60_SQL}) AS h FROM toks
+),
+bits AS (
+  SELECT doc_id,
+         {_SIMHASH_BIT_SUMS}
+  FROM hashed GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         CAST({_SIMHASH_FINGERPRINT} AS BIGINT) AS simhash
+  FROM bits
+)"""
+
+_register(
+    "neardup_simhash_pairs",
+    _simhash_pairs,
+    f"""
+WITH {_SIMHASH_FP_CTES},
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (15 * b.band)) & 32767 AS bkey
+  FROM fp, LATERAL (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS fp_a, b.simhash AS fp_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= 12
+""",
+)
+
+
 def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
@@ -2881,8 +2967,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q7_nation_pair_volume",
     "q8_brand_share_by_year",
     "q9_profit_by_nation_year",
-    "q10_top_return_customers",
     # (c) never driver-verified: late-round-2 additions (non-shared impls)
+    "neardup_simhash_pairs",
     "cmp_reconcile_orders",
     "pack_training_chunks",
     "cmp_summary_incremental",
