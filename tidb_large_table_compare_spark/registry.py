@@ -31,6 +31,11 @@ from tidb_large_table_compare_spark.perturb import (
     PERTURBED_ORDERS_SQL,
     perturbed_orders,
 )
+from tidb_large_table_compare_spark.functions.layout import morton_key, morton_key_sql
+from tidb_large_table_compare_spark.operators.spans import (
+    chunk_tokens,
+    duplicated_spans,
+)
 from tidb_large_table_compare_spark.plans.discover import discover, stale_entries
 from tidb_large_table_compare_spark.plans.report import report_totals, render_report
 from tidb_large_table_compare_spark.sources.catalog import (
@@ -2908,6 +2913,175 @@ _register(
 SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
        TRUE AS within_2pct
 FROM events
+""",
+)
+
+
+# ===========================================================================
+# Round-3 extensions: span-level dedup, RAG chunking, Z-order layout,
+# bounded approximate quantiles, sliding windows
+# ===========================================================================
+
+# Substring-level dedup (LLM-pipeline ext): token 8-gram spans shared by 2+
+# distinct documents — boilerplate/license/template detection below the
+# whole-document granularity of `dedup_exact_docs`/`neardup_minhash_lsh`.
+# Plan: map-side per-doc distinct n-grams → ONE shuffle keyed by span →
+# hash-groupBy counts. At 100 TB flip `hashed=True` so the shuffle key is
+# the 8-byte xxhash64 of the span (the registry keeps literal strings so
+# DuckDB value-checks them).
+_register(
+    "dup_span_docs",
+    lambda spark, sf: duplicated_spans(
+        load_table(spark, sf, "documents"), "doc_id", "text", n=8, min_docs=2
+    ).select(
+        "span",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "first_doc",
+    ),
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS span
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t) - 8 + 2)
+                   ELSE [] END) AS u(i)
+)
+SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM grams
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+
+# RAG chunking: 64-token windows, stride 48 (16-token overlap), tail always
+# covered; md5 of the chunk text is the cross-engine content witness. Pure
+# per-row array arithmetic — map-only at any scale.
+_register(
+    "rag_chunk_docs",
+    lambda spark, sf: chunk_tokens(
+        load_table(spark, sf, "documents"), "doc_id", "text", size=64, stride=48
+    ),
+    """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS t FROM documents
+),
+nc AS (
+  SELECT doc_id, t,
+         1 + CAST(floor((greatest(len(t) - 64, 0) + 47) / 48) AS INT)
+           AS n_chunks
+  FROM toks
+)
+SELECT doc_id,
+       CAST(k AS BIGINT) AS chunk_idx,
+       CAST(k * 48 + 1 AS BIGINT) AS start_tok,
+       CAST(len(t[k*48+1 : k*48+64]) AS BIGINT) AS n_chunk_toks,
+       md5(array_to_string(t[k*48+1 : k*48+64], ' ')) AS chunk_md5
+FROM nc, UNNEST(range(0, n_chunks)) AS u(k)
+""",
+)
+
+
+def _zorder_lineitem_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout witness: Morton-interleave (l_partkey, l_suppkey),
+    bucket the curve into segments (z >> 14 ≈ one segment per would-be
+    file), and report each segment's min/max extent on BOTH dimensions plus
+    row count — the exact numbers parquet min/max stats would expose for
+    pruning after `functions/layout.zorder_by`. The bit math is identical
+    SQL in both engines; the whole query is one scan + one hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    z = morton_key(F.col("l_partkey"), F.col("l_suppkey"), bits=16)
+    return (
+        li.withColumn("zseg", F.shiftright(z, 14))
+        .groupBy("zseg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+_register(
+    "zorder_lineitem_extents",
+    _zorder_lineitem_extents,
+    f"""
+WITH z AS (
+  SELECT {morton_key_sql('l_partkey', 'l_suppkey', 16)} >> 14 AS zseg,
+         l_partkey, l_suppkey
+  FROM lineitem
+)
+SELECT zseg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_partkey) AS min_part, MAX(l_partkey) AS max_part,
+       MIN(l_suppkey) AS min_supp, MAX(l_suppkey) AS max_supp
+FROM z GROUP BY zseg
+""",
+)
+
+
+def _approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded approximate quantiles (cf. ``approx_distinct_parts``):
+    ``percentile_approx`` (Greenwald-Khanna, mergeable — the 100 TB path:
+    fixed-size summaries per partition, no global sort) asserted within 1%
+    of the exact interpolated percentile; the oracle-checkable projection is
+    the exact values (bit-identical to DuckDB ``quantile_cont``, proven by
+    ``price_quantiles_by_status``) plus the stable bound booleans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("ap"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("exact_p90"),
+    )
+    return agg.select(
+        F.col("exact_p50"),
+        F.col("exact_p90"),
+        (F.abs(F.col("ap")[0] - F.col("exact_p50")) / F.col("exact_p50")
+         <= 0.01).alias("p50_within_1pct"),
+        (F.abs(F.col("ap")[1] - F.col("exact_p90")) / F.col("exact_p90")
+         <= 0.01).alias("p90_within_1pct"),
+    )
+
+
+_register(
+    "approx_price_quantiles",
+    _approx_price_quantiles,
+    """
+SELECT quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+       quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+       TRUE AS p50_within_1pct,
+       TRUE AS p90_within_1pct
+FROM lineitem
+""",
+)
+
+# Sliding (hopping) windows — the overlap generalization of the tumbling
+# `hourly_event_counts`: each event lands in width/slide = 2 windows; the
+# groupBy key count doubles, nothing else changes at scale.
+_register(
+    "sliding_event_counts",
+    lambda spark, sf: (
+        load_table(spark, sf, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    ),
+    """
+WITH w AS (
+  SELECT date_trunc('hour', ts) - to_hours(k) AS window_start, event_id
+  FROM events, UNNEST([0, 1]) AS t(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 2 HOUR AS window_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w GROUP BY window_start
 """,
 )
 
