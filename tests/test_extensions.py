@@ -87,6 +87,53 @@ def test_streaming_matches_batch(spark):
     assert stream_rows == batch_rows
 
 
+def test_streaming_sessions_match_batch_gap_sensitive(spark):
+    """Session counts are GAP-sensitive: a garbled time axis (e.g. timestamps
+    silently shrunk 1000×) collapses every user's events into one session
+    while gap-insensitive aggregates still pass. Round 2 proved the hazard —
+    ``streaming_session_counts`` was the only hash-fail while its sibling
+    entries passed on a broken axis — so the batch formulation here is the
+    independent lag-and-cumsum sessionization, not the streaming oracle SQL.
+    """
+    from pyspark.sql import window as W
+
+    from tidb_large_table_compare_spark.sources.tables import load_table
+    from tidb_large_table_compare_spark.streaming.events import (
+        streaming_session_counts,
+    )
+
+    stream = {
+        (r.user_id): (r.n_sessions, r.n_events)
+        for r in streaming_session_counts(spark, SF_SMALL).collect()
+    }
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = W.Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    batch_df = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > F.lit(gap_us))
+            ).cast("int"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    batch = {r.user_id: (r.n_sessions, r.n_events) for r in batch_df.collect()}
+    assert stream == batch
+    # a real time axis has many sessions per user; the collapsed-axis failure
+    # mode yields exactly one
+    assert max(n for n, _ in batch.values()) > 1
+
+
 def test_multimodal_metadata_values(spark):
     out = QUERIES["multimodal_binary_meta"](spark, SF_SMALL)
     row = out.orderBy("doc_id").first()

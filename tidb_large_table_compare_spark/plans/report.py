@@ -23,9 +23,42 @@ EQUIVALENT_MARKER = (
     "The table structure and data in following tables are equivalent"
 )  # step3_run_syncdiff.sh:204
 
+# Reference strings, byte-for-byte (step3_run_syncdiff.sh:190-241): the
+# STRUCTURE column prints 一致/差异, the header centers TABLE, and the volume
+# line counts TOTAL_UPCOUNT only, formatted "N M 行".
 REPORT_BORDER = "+-------------------+-----------+---------+-----------+"
-REPORT_HEADER = "| TABLE             | STRUCTURE | UPCOUNT | DOWNCOUNT |"
-REPORT_ROW_FMT = "| %-17s | %-9s | %7d | %9d |"
+REPORT_HEADER = "|       TABLE       | STRUCTURE | UPCOUNT | DOWNCOUNT |"
+STRUCTURE_OK_LABEL = "一致"  # step3_run_syncdiff.sh:206
+STRUCTURE_DIFF_LABEL = "差异"  # step3_run_syncdiff.sh:204
+
+
+def _pad_cell(col: F.Column, width: int, align: str = "left") -> F.Column:
+    """Pad a cell the way bash ``printf %Ns`` does — by BYTES, not characters.
+
+    ``printf "%-9s" 一致`` emits the 6 UTF-8 bytes plus 3 spaces; Java's
+    ``format_string`` would pad the 2 *characters* to 9 and break bit-parity
+    (step3_run_syncdiff.sh:221). Overlong values pass through unpadded,
+    matching printf (Spark's lpad/rpad would truncate them), and NULL cells
+    render as all-spaces like printf's empty string (A20: a summary whose
+    count failed the numeric guard still renders its row).
+    """
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    pad = F.repeat(F.lit(" "), F.greatest(F.lit(0), F.lit(width) - F.octet_length(s)))
+    return F.concat(pad, s) if align == "right" else F.concat(s, pad)
+
+
+def report_row_line(
+    table: F.Column, status: F.Column, up: F.Column, down: F.Column
+) -> F.Column:
+    """One rendered body row: ``| %-17s | %-9s | %7s | %9s |`` in printf-byte
+    semantics (step3_run_syncdiff.sh:221)."""
+    return F.concat(
+        F.lit("| "), _pad_cell(table, 17),
+        F.lit(" | "), _pad_cell(status, 9),
+        F.lit(" | "), _pad_cell(up, 7, "right"),
+        F.lit(" | "), _pad_cell(down, 9, "right"),
+        F.lit(" |"),
+    )
 
 
 def latest_run(summaries: DataFrame) -> DataFrame:
@@ -52,10 +85,10 @@ def report_totals(summaries: DataFrame) -> DataFrame:
         F.coalesce(F.sum(up), F.lit(0)).alias("total_upcount"),
         F.coalesce(F.sum(down), F.lit(0)).alias("total_downcount"),
     ).withColumn(
+        # "总数据量: $((TOTAL_UPCOUNT / 1000000))M 行" — upcount only, not
+        # up+down (step3_run_syncdiff.sh:241)
         "volume_label",
-        F.format_string(
-            "%dM", F.floor((F.col("total_upcount") + F.col("total_downcount")) / 1_000_000)
-        ),
+        F.format_string("%dM 行", F.floor(F.col("total_upcount") / 1_000_000)),
     )
 
 
@@ -68,13 +101,12 @@ def render_report(summaries: DataFrame) -> DataFrame:
     latest = latest_run(summaries)
     border = REPORT_BORDER
     header = REPORT_HEADER
+    status = F.when(F.col("structure_ok"), F.lit(STRUCTURE_OK_LABEL)).otherwise(
+        F.lit(STRUCTURE_DIFF_LABEL)
+    )
     body = latest.select(
-        F.format_string(
-            REPORT_ROW_FMT,
-            F.col("table"),
-            F.when(F.col("structure_ok"), F.lit("OK")).otherwise(F.lit("DIFF")),
-            F.col("upcount"),
-            F.col("downcount"),
+        report_row_line(
+            F.col("table"), status, F.col("upcount"), F.col("downcount")
         ).alias("line"),
         # explicit ordering key: union does not preserve row order, and a
         # rendered report is meaningless if its lines can interleave
@@ -86,3 +118,31 @@ def render_report(summaries: DataFrame) -> DataFrame:
     )
     tail = spark.createDataFrame([(border, "2_0")], "line string, __ord string")
     return frame.unionByName(body).unionByName(tail).orderBy("__ord").select("line")
+
+
+def render_summary_block(summaries: DataFrame) -> DataFrame:
+    """A21-A23 rendered as the reference's 汇总统计 tail block
+    (``step3_run_syncdiff.sh:237-243``; the ANSI color escapes around
+    ``[INFO]`` and the diff count are omitted — they are terminal dressing,
+    not report content).
+
+    The 结构差异 line appears only when the diff count is positive, exactly
+    like the reference's ``if [ "$STRUCTURE_DIFF" -gt 0 ]`` guard.
+    """
+    t = report_totals(summaries)
+    lines = t.select(
+        F.array_compact(
+            F.array(
+                F.format_string("[INFO] 汇总统计: 共 %d 张表", F.col("tables_checked")),
+                F.format_string("  结构一致: %d 张", F.col("structure_ok_cnt")),
+                F.when(
+                    F.col("structure_diff_cnt") > 0,
+                    F.format_string("  结构差异: %d 张", F.col("structure_diff_cnt")),
+                ),
+                F.format_string("  总数据量: %s", F.col("volume_label")),
+            )
+        ).alias("lines")
+    )
+    return lines.select(F.posexplode("lines").alias("__ord", "line")).orderBy(
+        "__ord"
+    ).select("line")

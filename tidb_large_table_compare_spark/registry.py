@@ -37,7 +37,11 @@ from tidb_large_table_compare_spark.operators.spans import (
     duplicated_spans,
 )
 from tidb_large_table_compare_spark.plans.discover import discover, stale_entries
-from tidb_large_table_compare_spark.plans.report import report_totals, render_report
+from tidb_large_table_compare_spark.plans.report import (
+    render_report,
+    render_summary_block,
+    report_totals,
+)
 from tidb_large_table_compare_spark.sources.catalog import (
     NONCLUSTERED_TABLES,
     parquet_catalog,
@@ -380,7 +384,7 @@ cmp AS (
 SELECT 2::BIGINT AS tables_checked, 2::BIGINT AS structure_ok_cnt,
        0::BIGINT AS structure_diff_cnt,
        up AS total_upcount, down AS total_downcount,
-       CAST(FLOOR((up + down) / 1000000) AS BIGINT) || 'M' AS volume_label
+       CAST(FLOOR(up / 1000000) AS BIGINT) || 'M 行' AS volume_label
 FROM cmp
 """,
 )
@@ -402,7 +406,6 @@ def _render_report_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 from tidb_large_table_compare_spark.plans.report import (  # noqa: E402
     REPORT_BORDER as _REPORT_BORDER,
     REPORT_HEADER as _REPORT_HEADER,
-    REPORT_ROW_FMT as _REPORT_ROW_FMT,
 )
 
 _register(
@@ -427,9 +430,50 @@ SELECT '{_REPORT_BORDER}' AS line
 UNION ALL SELECT '{_REPORT_HEADER}'
 UNION ALL SELECT '{_REPORT_BORDER}'
 UNION ALL
-SELECT printf('{_REPORT_ROW_FMT}', '`main`.`orders`', 'OK', up, down)
+-- printf-byte padding: 一致 is 6 UTF-8 bytes, so %-9s pads with 3 spaces
+-- (step3_run_syncdiff.sh:221); built by explicit concat because DuckDB's
+-- rpad counts characters, not bytes
+SELECT '| ' || rpad('`main`.`orders`', 17, ' ') || ' | ' || '一致   ' || ' | '
+       || lpad(up::VARCHAR, 7, ' ') || ' | ' || lpad(down::VARCHAR, 9, ' ') || ' |'
 FROM s
 UNION ALL SELECT '{_REPORT_BORDER}'
+""",
+)
+
+
+# 汇总统计 tail block (A21-A23 rendered; step3_run_syncdiff.sh:237-243): the
+# oracle rebuilds the reference's exact strings so the label parity (一致/张/
+# M 行) is value-checked, not just eyeballed.
+def _render_summary_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    summaries = (
+        compare_tables(spark, orders, perturbed_orders(orders), ["o_orderkey"],
+                       table_name="`main`.`orders`")
+        .summary().withColumn("run_ts", F.lit("20240202_000000"))
+        .select("run_ts", "table", "structure_ok", "upcount", "downcount")
+    )
+    return render_summary_block(summaries)
+
+
+_register(
+    "render_summary_lines",
+    _render_summary_lines,
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL}),
+j AS (
+  SELECT m.o_orderkey AS l_pk, s.o_orderkey AS r_pk,
+         (m.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL AND
+          ({_ORDERS_DIFF_PRED})) AS modified
+  FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN r_pk IS NULL OR modified THEN 1 ELSE 0 END) AS BIGINT)
+           AS up
+  FROM j
+)
+SELECT '[INFO] 汇总统计: 共 1 张表' AS line
+UNION ALL SELECT '  结构一致: 1 张'
+UNION ALL SELECT '  总数据量: ' || CAST(FLOOR(up / 1000000) AS BIGINT) || 'M 行' FROM s
 """,
 )
 
@@ -747,6 +791,30 @@ WHERE CAST(c.shared AS DOUBLE) / (sa.n + sb.n - c.shared) >= {threshold}
 _register(
     "neardup_minhash_lsh",
     _minhash_neardup,
+    _NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=4, threshold=0.8),
+)
+
+
+def _minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline with the hot-bucket guard ON (``max_bucket_size=10_000``,
+    the curate-pipeline default, ``plans/curate.py``) — the 100 TB-critical
+    code path: bucket sizes are counted and oversized buckets dropped BEFORE
+    the k² self-join. At driver SF no LSH bucket approaches 10k members, so
+    the capped output still equals the exact-Jaccard oracle — the driver
+    verifies that enabling the guard does not corrupt results.
+    """
+    corpus = _near_dup_corpus(spark, sf_dir)
+    shingle_sets = corpus.select(
+        "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
+    ).persist()
+    sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
+    cands = lsh_candidate_pairs_from_array(sigs, "doc_id", max_bucket_size=10_000)
+    return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.8)
+
+
+_register(
+    "neardup_minhash_lsh_capped",
+    _minhash_neardup_capped,
     _NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=4, threshold=0.8),
 )
 
@@ -3099,66 +3167,64 @@ FROM w GROUP BY window_start
 # drift (Spark executes the identical string) and sit past the cap.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) oracle-typing fixes that must flip to hash_match=true
-    "cmp_summary_orders",
-    "cmp_summary_orders_multiset",
-    "cmp_summary_composite_pk",
-    "report_latest_totals",
+    # (a) round-2 failures that must flip green after the events-ts loader
+    # fix (sources/tables.py::normalize_event_ts) — all 15 shared one root
+    # cause: the stale nanos-as-BIGINT assumption
     "order_priority_counts",
     "json_props_by_type",
     "string_ops_documents",
-    "streaming_user_totals_stateful",
-    "pivot_docs_by_source",
-    # (b) formerly oracle-less entries
-    "render_report_lines",
-    "simhash_docs",
-    "approx_distinct_parts",
-    # (c) never driver-verified: compare variants + report parser
-    "cmp_summary_orders_ranged",
-    "cmp_struct_only_drift",
-    "parsed_report_roundtrip",
     "extract_table_from_sql",
-    # (c) never driver-verified: novel / stateful operators
-    "ann_ivf_topk",
-    "kmeans_cluster_assignments",
-    "kmeans_cluster_sizes",
     "streaming_session_counts",
-    "streaming_purchase_signup_join",
     "range_join_errors_busy_hours",
     "lateral_top2_orders_per_customer",
     "price_quantiles_by_status",
-    "cmp_float_tolerance",
-    "multimodal_frame_samples",
-    "bpe_ish_token_counts",
-    "top_tokens_documents",
     "redact_pii_documents",
-    "dedup_final_corpus_stats",
-    # (c) never driver-verified: TPC-H-shaped sweep (representatives of the
-    # trickier shapes; the displaced q12-q22 entries are pure shared-SQL
-    # shapes that cannot drift and sit past the cap, covered by
-    # tests/test_oracle.py at the driver's own SF)
     "q2_cheapest_part_per_brand",
     "q7_nation_pair_volume",
     "q8_brand_share_by_year",
     "q9_profit_by_nation_year",
-    # (c) never driver-verified: late-round-2 additions (non-shared impls)
-    "neardup_simhash_pairs",
-    "cmp_reconcile_orders",
-    "pack_training_chunks",
-    "cmp_summary_incremental",
-    "embedding_dedup_clusters",
-    "streaming_dedup_events",
-    "tfidf_top_terms",
-    "contamination_check",
-    "train_val_split",
-    "quality_filter_verdicts",
-    "stratified_sample_docs",
-    "repetition_filter_docs",
     "sketch_daily_users_merged",
-    # (d) regression canaries: impls touched this round / riskiest paths
     "asof_purchase_last_signup",
+    # (b) never in any driver window (r1 ∪ r2) — after this rotation every
+    # registered entry has had a driver correctness signal in some round
+    "yearly_volume_by_nation",
+    "q10_top_return_customers",
+    "q11_important_part_stock",
+    "q12_priority_line_counts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q20_suppliers_of_heavy_parts",
+    "q21_suppliers_with_problem_orders",
+    "q22_idle_rich_customers",
+    "event_prop_keys",
+    "embedding_array_stats",
+    "repeat_purchase_custkeys",
+    "dup_span_docs",
+    "rag_chunk_docs",
+    "zorder_lineitem_extents",
+    "approx_price_quantiles",
+    "sliding_event_counts",
+    # (c) new in round 3: reference label parity + the hot-bucket guard path
+    "render_summary_lines",
+    "neardup_minhash_lsh_capped",
+    # (d) regression canaries: code touched this round (report labels,
+    # incremental IN-list cap, streaming ts normalization) + riskiest paths
+    "render_report_lines",
+    "report_latest_totals",
+    "cmp_summary_incremental",
+    "streaming_dedup_events",
+    "streaming_purchase_signup_join",
+    "streaming_user_totals_stateful",
+    "streaming_hourly_counts",
+    "ann_cosine_topk",
     "neardup_minhash_lsh",
-    "dedup_cluster_assignments",
+    "cmp_summary_orders",
+    "cmp_diff_rows_orders",
 ]
 
 

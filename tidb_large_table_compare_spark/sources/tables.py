@@ -32,20 +32,37 @@ def sf_dir_from_env() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to microsecond TIMESTAMP_NTZ, adapting to how
+    the parquet stored it.
+
+    Testdata generations differ: TIMESTAMP(NANOS) files are read as raw
+    BIGINT nanos (via ``spark.sql.legacy.parquet.nanosAsLong``) and need an
+    exact integer DIV 1000 (double division would lose precision above 2^53
+    nanoseconds); timestamp[us] files arrive as TIMESTAMP/TIMESTAMP_NTZ and
+    only need the NTZ cast. Branching on the observed dtype keeps the loader
+    correct against either generation.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    if dtype != "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # defensive: the driver may hand us a session without UTC pinned; every
     # timestamp comparison/truncation below assumes UTC ↔ DuckDB-naive parity
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-        # ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos and convert to
-        # microsecond-precision TIMESTAMP_NTZ with exact integer division
-        # (a double division would lose precision above 2^53 nanoseconds).
+        # allow TIMESTAMP(NANOS)-generation files to load (read as BIGINT
+        # instead of [PARQUET_TYPE_ILLEGAL]); a no-op for timestamp[us] files
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-        )
+        return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -13,20 +13,34 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# events.parquet physical schema: ts stored as TIMESTAMP(NANOS) → read as long
-# (spark.sql.legacy.parquet.nanosAsLong) and converted to µs timestamps.
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from tidb_large_table_compare_spark.sources.tables import normalize_event_ts
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events as a streaming source with ``ts`` normalized to TIMESTAMP_NTZ.
+
+    ``readStream`` needs an explicit schema, and the physical type of ``ts``
+    differs across testdata generations (TIMESTAMP(NANOS)-as-BIGINT vs
+    timestamp[us]) — so take the schema from a batch read of the same file
+    (schema-only, no data scan) and let :func:`normalize_event_ts` apply the
+    matching conversion. One helper, every reader: the batch loader and all
+    streaming entries agree on the time axis by construction.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # watermarks require TIMESTAMP (LTZ); with the session pinned to UTC the
+    # wall-clock values match the batch loader's TIMESTAMP_NTZ axis exactly
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        # the streaming parquet source requires a directory; the glob filter
+        # narrows it to the events file without touching sibling tables
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_event_ts(stream).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_hourly_counts(
@@ -40,16 +54,7 @@ def streaming_hourly_counts(
     the finished result. Columns match the batch oracle: (hour_start,
     event_type, n_events, total_value).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .format("parquet")
-        # the streaming parquet source requires a directory; the glob filter
-        # narrows it to the events file without touching sibling tables
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -90,13 +95,7 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    stream = _event_stream(spark, sf_dir)
 
     def update_totals(key, pdfs, state: GroupState):
         count, cents = state.get if state.exists else (0, 0)
@@ -151,14 +150,7 @@ def streaming_session_counts(
     batch lag-and-cumsum sessionization, so the batch SQL oracle checks the
     streaming session-window implementation.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _event_stream(spark, sf_dir)
     sessions = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
@@ -194,15 +186,9 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
     emission), so a full replay produces the complete join — which is why
     the batch SQL oracle can check a genuinely streaming execution.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def side(event_type: str, alias: str):
         return (
-            spark.readStream.schema(_RAW_SCHEMA)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            _event_stream(spark, sf_dir)
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{alias}_user"),
@@ -252,18 +238,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (event_id, event_type, cents) must equal the batch table exactly
     — the oracle is a plain projection of ``events``.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    def src() -> DataFrame:
-        return (
-            spark.readStream.schema(_RAW_SCHEMA)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
-
-    doubled = src().unionByName(src())
+    doubled = _event_stream(spark, sf_dir).unionByName(_event_stream(spark, sf_dir))
     deduped = (
         doubled.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
