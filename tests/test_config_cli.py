@@ -101,6 +101,40 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert fix_text.count("REPLACE INTO main.orders") == 30
 
 
+def test_cli_check_connection_smoke(spark, tmp_path, capsys):
+    """--check-connection (test_connection.sh analog, reference README.md:49-58):
+    all three checks pass against real dirs; a missing table on one side
+    fails with exit 1 while still reporting the checks that passed."""
+    from tidb_large_table_compare_spark.cli import main
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", SF_SMALL,
+            "--tables", "orders,nation",
+            "--check-connection",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert code == 0
+    assert "[ OK ] spark session started" in out
+    assert out.count("[ OK ]") == 6  # session + 2 sides x 2 tables + check-SQL
+    assert "[FAIL]" not in out
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(tmp_path),  # empty dir: tables unreadable
+            "--tables", "orders",
+            "--check-connection",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert code == 1
+    assert "[FAIL] right:" in out
+    assert "[ OK ] left:" in out
+
+
 def test_cli_discovery_threshold_filters_tables(spark, tmp_path, capsys):
     """--row-threshold routes through the A2 discovery predicate: tiny tables
     drop out of the work list entirely."""

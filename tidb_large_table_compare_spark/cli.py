@@ -39,7 +39,11 @@ from tidb_large_table_compare_spark.operators.compare import (
 from tidb_large_table_compare_spark.operators.fixsql import fix_sql
 from tidb_large_table_compare_spark.plans.discover import discover
 from tidb_large_table_compare_spark.plans.pipeline import CompareJob, run_jobs
-from tidb_large_table_compare_spark.plans.report import render_report, report_totals
+from tidb_large_table_compare_spark.plans.report import (
+    render_report,
+    render_summary_block,
+    report_totals,
+)
 from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
 from tidb_large_table_compare_spark.session import get_spark
 from tidb_large_table_compare_spark.sources.catalog import parquet_catalog
@@ -74,6 +78,10 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--report-out", default=None, help="file for the rendered report")
     p.add_argument("--lock-file", default=None,
                    help="run-lock path (default: per-comparison file in tmpdir)")
+    p.add_argument("--check-connection", action="store_true",
+                   help="connectivity smoke only: session, source dirs, "
+                        "check-SQL (the reference README's test_connection.sh, "
+                        "documented at README.md:49-58 but never shipped)")
     p.add_argument("--detach", action="store_true",
                    help="run in the background; print PID + log monitoring hints")
     p.add_argument("--yes", action="store_true",
@@ -117,8 +125,49 @@ def _detach(argv: list[str], log_dir: str) -> int:
     return 0
 
 
+def _check_connection(args) -> int:
+    """test_connection.sh analog (reference README.md:49-58): the three
+    checks map as client-installed → session starts, connection-works →
+    both source dirs list the requested tables, check-SQL-correct → the
+    discovery catalog query itself executes. Exit 0 only if all pass."""
+    tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+    failures = 0
+
+    try:
+        spark = get_spark("table-compare-check")
+        print("[ OK ] spark session started")
+    except Exception as exc:  # pragma: no cover - environment failure
+        print(f"[FAIL] spark session: {exc}")
+        return 1
+
+    for side, root in (("left", args.left_dir), ("right", args.right_dir)):
+        for t in tables:
+            path = f"{root}/{t}.parquet"
+            try:
+                spark.read.parquet(path).schema
+                print(f"[ OK ] {side}: {path} readable")
+            except Exception as exc:
+                print(f"[FAIL] {side}: {path}: {str(exc).splitlines()[0]}")
+                failures += 1
+
+    try:
+        catalog = parquet_catalog(
+            spark, args.left_dir, tables, schema_name=args.schema
+        )
+        n = discover(catalog, row_threshold=0).count()
+        print(f"[ OK ] check-SQL: discovery query ran ({n} tables visible)")
+    except Exception as exc:
+        print(f"[FAIL] check-SQL: {str(exc).splitlines()[0]}")
+        failures += 1
+
+    return 1 if failures else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
+
+    if args.check_connection:
+        return _check_connection(args)
 
     if args.detach:
         # confirmation before a long background run (run_all.sh:76-84)
@@ -189,8 +238,11 @@ def _run(args) -> int:
         progress=lambda line: print(line, file=sys.stderr),
     )
 
-    # report (A16-A25)
+    # report (A16-A25): the rendered table, the reference's 汇总统计 tail
+    # block (step3_run_syncdiff.sh:237-243), then a machine-readable line
     lines = [r.line for r in render_report(run.summaries).collect()]
+    lines += [""]
+    lines += [r.line for r in render_summary_block(run.summaries).collect()]
     totals = report_totals(run.summaries).collect()[0]
     report = "\n".join(lines) + (
         f"\ntables={totals.tables_checked} structure_ok={totals.structure_ok_cnt} "

@@ -2361,13 +2361,19 @@ from tidb_large_table_compare_spark.operators.rangejoin import interval_join  # 
 
 
 def _errors_in_busy_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each error event joined to the busy intervals (hours with > 5 events
-    for that user, padded ±10 minutes) that contain it."""
+    """Each error event joined to the busy intervals (hours with 2+ events
+    for that user, padded ±10 minutes) that contain it.
+
+    The busy threshold is calibrated to the real time axis: the synthetic
+    events run 2-4 per user-hour at every SF, so 2+ marks the denser hours
+    while keeping the interval table non-empty (a 0-row range join checks
+    nothing).
+    """
     ev = load_table(spark, sf_dir, "events")
     busy = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 5)
+        .filter(F.col("n") >= 2)
         .select(
             "user_id",
             (F.col("h") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
@@ -2399,7 +2405,7 @@ busy AS (
          date_trunc('hour', ts) + INTERVAL 70 MINUTE AS end_ts
   FROM events_n
   GROUP BY user_id, date_trunc('hour', ts)
-  HAVING COUNT(*) > 5
+  HAVING COUNT(*) >= 2
 ),
 errors AS (
   SELECT user_id, ts, event_id AS error_id FROM events_n
