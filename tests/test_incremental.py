@@ -107,6 +107,38 @@ def test_incremental_respects_range_predicate(spark, tmp_path):
     assert odd == 0  # scoped rows stay within the configured range
 
 
+def test_incremental_wide_drift_takes_broadcast_path(spark, tmp_path, monkeypatch):
+    """When more buckets drift than the IN-list cap, the scoping must stay
+    distributed (broadcast semi-join), never a driver-side IN-list — the
+    wide-drift analog of ``test_compare_drilldown_scans_bounded``. The cap is
+    shrunk so the perturbation's drift exceeds it without needing 50k real
+    buckets; results must equal the full compare either way."""
+    from tidb_large_table_compare_spark.operators.compare import TableCompare
+
+    monkeypatch.setattr(TableCompare, "_MAX_INLIST", 2)
+    orders = _orders(spark)
+    path = str(tmp_path / "digests")
+    write_digests(spark, orders, ["o_orderkey"], path, OPTS)
+    inc = incremental_compare(
+        spark, orders, perturbed_orders(orders), ["o_orderkey"], path, OPTS, "t"
+    )
+    # the scoped side must carry the broadcast semi-join, not an IN-list
+    plan = inc.left._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "__bucket IN (" not in plan
+
+    full = compare_tables(
+        spark, orders, perturbed_orders(orders), ["o_orderkey"], OPTS, "t"
+    )
+    inc_rows = {
+        (r["o_orderkey"], r["diff_type"]) for r in inc.diff_rows().collect()
+    }
+    full_rows = {
+        (r["o_orderkey"], r["diff_type"]) for r in full.diff_rows().collect()
+    }
+    assert inc_rows == full_rows and inc_rows
+
+
 def test_digest_maintenance_from_change_feed(spark, tmp_path):
     """Folding a CDC batch (deletes + updates + inserts) into a stored digest
     snapshot must yield bit-for-bit the digests a full rescan of the changed
