@@ -67,7 +67,13 @@ def kmeans_assignments(
     Initial centroids are the corpus vectors with ``id % centroid_mod == 0``
     (deterministic seeding); cluster ids are those seed vectors' ids.
     """
-    vectors = corpus.select(
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # spread single-row-group test inputs so each Lloyd's round's Arrow
+    # argmin runs on every core (no-op on real multi-split corpora)
+    vectors = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     ).persist()
     # centroids are driver-side state between rounds (O(k × dims) — the same

@@ -229,8 +229,14 @@ def ivf_topk(
     the probe join is equi-keyed on cell id — candidate volume ∝
     corpus/n_cells × n_probe, never the full corpus per query.
     """
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+    )
+
     w = W.Window
-    prepped = corpus.select(
+    # spread single-row-group test inputs so the Arrow GEMM stage runs on
+    # every core (no-op on real multi-split corpora)
+    prepped = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
     # the inverted file's coarse quantizer is tiny driver-side state by

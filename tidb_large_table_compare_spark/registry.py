@@ -32,6 +32,7 @@ from tidb_large_table_compare_spark.perturb import (
     perturbed_orders,
 )
 from tidb_large_table_compare_spark.functions.layout import morton_key, morton_key_sql
+from tidb_large_table_compare_spark.functions.partitioning import ensure_min_partitions
 from tidb_large_table_compare_spark.operators.spans import (
     chunk_tokens,
     duplicated_spans,
@@ -750,7 +751,9 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     output equals the exact-Jaccard oracle while never materializing the
     quadratic pair space (the 100 TB property).
     """
-    corpus = _near_dup_corpus(spark, sf_dir)
+    # single-row-group test files plan as ONE scan partition — spread them so
+    # the Arrow OPH stage uses every core (no-op on real multi-split inputs)
+    corpus = ensure_min_partitions(_near_dup_corpus(spark, sf_dir))
     # the shingle table feeds three consumers (signatures + both sides of the
     # verification join): persist it instead of re-shingling the corpus 3×
     # (at scale this is a checkpointed intermediate table, same idea).
@@ -803,7 +806,7 @@ def _minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     the capped output still equals the exact-Jaccard oracle — the driver
     verifies that enabling the guard does not corrupt results.
     """
-    corpus = _near_dup_corpus(spark, sf_dir)
+    corpus = ensure_min_partitions(_near_dup_corpus(spark, sf_dir))
     shingle_sets = corpus.select(
         "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
     ).persist()
