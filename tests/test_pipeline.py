@@ -132,6 +132,55 @@ def test_report_totals(summaries):
     assert row.volume_label == "1M 行"  # floor(1.5e6/1e6)
 
 
+def test_render_final_report_byte_parity(spark, summaries):
+    """The complete tee block must reproduce the reference's exact strings
+    (step3_run_syncdiff.sh:175-244, colors omitted): banner/title, the
+    found-files line over the LATEST run, table, blank-line placement, and
+    the 汇总统计 tail with the conditional 结构差异 line."""
+    from tidb_large_table_compare_spark.plans.report import (
+        NO_SUMMARY_LINE,
+        REPORT_BANNER,
+        render_final_report,
+    )
+
+    lines = [r.line for r in render_final_report(summaries).collect()]
+    assert lines == [
+        "═" * 60,
+        "                    最终比对报告                                    ",
+        "═" * 60,
+        "",
+        "[INFO] 找到 3 个 summary.txt 文件",
+        "",
+        "+-------------------+-----------+---------+-----------+",
+        "|       TABLE       | STRUCTURE | UPCOUNT | DOWNCOUNT |",
+        "+-------------------+-----------+---------+-----------+",
+        # 一致/差异 are 6 UTF-8 bytes → 3 pad spaces (+1 separator), per
+        # bash printf's byte-counting %-9s
+        "| `db`.`a`          | 一致    |       0 |         0 |",
+        "| `db`.`b`          | 差异    | 1500000 |   2000000 |",
+        "| `db`.`c`          | 一致    |         |         7 |",
+        "+-------------------+-----------+---------+-----------+",
+        "",
+        "[INFO] 汇总统计: 共 3 张表",
+        "  结构一致: 2 张",
+        "  结构差异: 1 张",
+        "  总数据量: 1M 行",
+        "",
+    ]
+
+    empty = spark.createDataFrame(
+        [],
+        "run_ts string, table string, structure_ok boolean, upcount bigint, downcount bigint",
+    )
+    assert [r.line for r in render_final_report(empty).collect()] == [
+        REPORT_BANNER,
+        "                    最终比对报告                                    ",
+        REPORT_BANNER,
+        "",
+        NO_SUMMARY_LINE,
+    ]
+
+
 def test_render_report_shape(summaries):
     lines = [r.line for r in render_report(summaries).collect()]
     assert lines[0].startswith("+") and lines[-1].startswith("+")

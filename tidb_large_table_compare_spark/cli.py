@@ -40,8 +40,7 @@ from tidb_large_table_compare_spark.operators.fixsql import fix_sql
 from tidb_large_table_compare_spark.plans.discover import discover
 from tidb_large_table_compare_spark.plans.pipeline import CompareJob, run_jobs
 from tidb_large_table_compare_spark.plans.report import (
-    render_report,
-    render_summary_block,
+    render_final_report,
     report_totals,
 )
 from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
@@ -238,11 +237,9 @@ def _run(args) -> int:
         progress=lambda line: print(line, file=sys.stderr),
     )
 
-    # report (A16-A25): the rendered table, the reference's 汇总统计 tail
-    # block (step3_run_syncdiff.sh:237-243), then a machine-readable line
-    lines = [r.line for r in render_report(run.summaries).collect()]
-    lines += [""]
-    lines += [r.line for r in render_summary_block(run.summaries).collect()]
+    # report (A16-A25): the reference's complete final-report block
+    # (step3_run_syncdiff.sh:175-244), then a machine-readable line
+    lines = [r.line for r in render_final_report(run.summaries).collect()]
     totals = report_totals(run.summaries).collect()[0]
     report = "\n".join(lines) + (
         f"\ntables={totals.tables_checked} structure_ok={totals.structure_ok_cnt} "

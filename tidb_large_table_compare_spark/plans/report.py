@@ -23,13 +23,16 @@ EQUIVALENT_MARKER = (
     "The table structure and data in following tables are equivalent"
 )  # step3_run_syncdiff.sh:204
 
-# Reference strings, byte-for-byte (step3_run_syncdiff.sh:190-241): the
+# Reference strings, byte-for-byte (step3_run_syncdiff.sh:176-244): the
 # STRUCTURE column prints 一致/差异, the header centers TABLE, and the volume
 # line counts TOTAL_UPCOUNT only, formatted "N M 行".
 REPORT_BORDER = "+-------------------+-----------+---------+-----------+"
 REPORT_HEADER = "|       TABLE       | STRUCTURE | UPCOUNT | DOWNCOUNT |"
 STRUCTURE_OK_LABEL = "一致"  # step3_run_syncdiff.sh:206
 STRUCTURE_DIFF_LABEL = "差异"  # step3_run_syncdiff.sh:204
+REPORT_BANNER = "═" * 60  # step3_run_syncdiff.sh:176
+REPORT_TITLE = "                    最终比对报告                                    "
+NO_SUMMARY_LINE = "没有找到 summary.txt 文件"  # step3_run_syncdiff.sh:182
 
 
 def _pad_cell(col: F.Column, width: int, align: str = "left") -> F.Column:
@@ -129,6 +132,10 @@ def render_summary_block(summaries: DataFrame) -> DataFrame:
     The 结构差异 line appears only when the diff count is positive, exactly
     like the reference's ``if [ "$STRUCTURE_DIFF" -gt 0 ]`` guard.
     """
+    return _summary_block_ordered(summaries).orderBy("__ord").select("line")
+
+
+def _summary_block_ordered(summaries: DataFrame, prefix: str = "") -> DataFrame:
     t = report_totals(summaries)
     lines = t.select(
         F.array_compact(
@@ -143,6 +150,56 @@ def render_summary_block(summaries: DataFrame) -> DataFrame:
             )
         ).alias("lines")
     )
-    return lines.select(F.posexplode("lines").alias("__ord", "line")).orderBy(
-        "__ord"
-    ).select("line")
+    return lines.select(F.posexplode("lines").alias("__pos", "line")).select(
+        "line", F.format_string(f"{prefix}%d", F.col("__pos")).alias("__ord")
+    )
+
+
+def render_final_report(summaries: DataFrame) -> DataFrame:
+    """The reference's complete tee block (``step3_run_syncdiff.sh:175-244``,
+    ANSI colors omitted): banner + title, the found-files line, the rendered
+    table, and the 汇总统计 tail — or the no-summaries message when there is
+    nothing to report. One ``line`` column, sink-ready.
+
+    The found-files count is the number of latest-run summary rows (one per
+    parsed summary.txt in the text-parser path, one per compared table
+    natively) — ``SUMMARY_FILES`` is already latest-run-filtered when
+    ``SUMMARY_COUNT=$(... | wc -l)`` runs (step3:169-172, 185).
+    """
+    spark = summaries.sparkSession
+    n_files = latest_run(summaries).count()
+    head = [
+        (REPORT_BANNER, "0_0"),
+        (REPORT_TITLE, "0_1"),
+        (REPORT_BANNER, "0_2"),
+        ("", "0_3"),
+    ]
+    schema = "line string, __ord string"
+    if n_files == 0:
+        head.append((NO_SUMMARY_LINE, "0_4"))
+        return spark.createDataFrame(head, schema).orderBy("__ord").select("line")
+    head += [
+        (f"[INFO] 找到 {n_files} 个 summary.txt 文件", "0_4"),
+        ("", "0_5"),
+        (REPORT_BORDER, "1_0"),
+        (REPORT_HEADER, "1_1"),
+        (REPORT_BORDER, "1_2"),
+        (REPORT_BORDER, "3_0"),
+        ("", "4_0"),
+        ("", "6_0"),
+    ]
+    frame = spark.createDataFrame(head, schema)
+    latest = latest_run(summaries)
+    status = F.when(F.col("structure_ok"), F.lit(STRUCTURE_OK_LABEL)).otherwise(
+        F.lit(STRUCTURE_DIFF_LABEL)
+    )
+    body = latest.select(
+        report_row_line(
+            F.col("table"), status, F.col("upcount"), F.col("downcount")
+        ).alias("line"),
+        F.concat(F.lit("2_"), F.col("table")).alias("__ord"),
+    )
+    tail = _summary_block_ordered(summaries, prefix="5_")
+    return (
+        frame.unionByName(body).unionByName(tail).orderBy("__ord").select("line")
+    )
