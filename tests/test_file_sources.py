@@ -133,3 +133,64 @@ def test_compare_engine_across_heterogeneous_sources(spark, tmp_path):
     assert row.upcount == n_deleted + n_modified
     assert row.downcount == n_modified
     assert not row.equivalent
+
+
+def test_events_loader_adapts_to_both_ts_generations(spark, tmp_path):
+    """The testdata has shipped events.ts as both TIMESTAMP(NANOS) (read as
+    raw BIGINT via nanosAsLong) and timestamp[us]; round 2 died on a loader
+    hardcoded to one generation. normalize_event_ts must branch on the
+    observed dtype, so both physical encodings of the same instants load to
+    identical TIMESTAMP_NTZ values — batch and streaming alike."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1704067200_000_000 + i * 37_000_001 for i in range(64)]
+    base = {
+        "event_id": list(range(64)),
+        "user_id": [i % 5 for i in range(64)],
+        "event_type": ["view"] * 64,
+        "value": [float(i) for i in range(64)],
+        "props": ["{}"] * 64,
+    }
+
+    us_dir = tmp_path / "gen_us"
+    us_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(micros, pa.timestamp("us"))}),
+        str(us_dir / "events.parquet"),
+    )
+    ns_dir = tmp_path / "gen_ns"
+    ns_dir.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns"))}),
+        str(ns_dir / "events.parquet"),
+    )
+
+    loaded = {}
+    for name, d in (("us", us_dir), ("ns", ns_dir)):
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        loaded[name] = sorted((r.event_id, r.ts) for r in df.collect())
+    assert loaded["us"] == loaded["ns"]
+
+    from tidb_large_table_compare_spark.streaming.events import _event_stream
+
+    streamed = {}
+    for name, d in (("us", us_dir), ("ns", ns_dir)):
+        stream = _event_stream(spark, str(d))
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"gen_{name}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        streamed[name] = sorted(
+            (r.event_id, r.ts) for r in spark.table(f"gen_{name}").collect()
+        )
+    assert streamed["us"] == streamed["ns"]
+    # the streaming axis (LTZ pinned UTC) matches the batch axis wall-clock
+    assert [t for _, t in streamed["us"]] == [t for _, t in loaded["us"]]
