@@ -272,3 +272,20 @@ def test_curation_ops_prune_document_scan(spark, name, needed, forbidden):
             assert col in s, f"{name}: scan lost {col}: {s}"
         for col in forbidden:
             assert col not in s, f"{name}: scan reads unneeded {col}: {s}"
+
+
+def test_ensure_min_partitions_is_noop_on_wide_inputs(spark):
+    """The small-input spread must never repartition an already-parallel
+    input — at scale the guard's no-op branch is the only branch that runs,
+    so no shuffle of a large table is ever introduced."""
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    spread = ensure_min_partitions(narrow)
+    assert spread.rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target + 8)
+    assert ensure_min_partitions(wide) is wide  # identical plan, no shuffle
