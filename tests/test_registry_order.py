@@ -32,7 +32,11 @@ R2_FAILS = {
 }
 
 # New round-3 entries that have never had any driver signal.
-NEW_IN_R3 = {"render_summary_lines", "neardup_minhash_lsh_capped"}
+NEW_IN_R3 = {
+    "render_summary_lines",
+    "neardup_minhash_lsh_capped",
+    "knn_label_classify",
+}
 
 
 def _checked_in_prior_rounds() -> set[str]:

@@ -1018,6 +1018,85 @@ WHERE rank <= 5
 )
 
 
+def _knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction over the embedding space — the
+    classifier step of an embedding-based curation pipeline (label a corpus
+    by nearest labeled neighbors, then filter/route on the predicted label).
+
+    Exact twin of `ann_cosine_topk`'s candidate machinery: top-5 neighbors
+    by quantized-integer cosine, then a (query, label) vote count with
+    deterministic ties (most votes, then smallest label). The neighbor-label
+    lookup is an equi-join on vec_id — at 100 TB that is a plain co-located
+    join against the labeled subset, never a second distance pass. Output
+    includes the query's own label so downstream can measure agreement.
+    """
+    from pyspark.sql import window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = brute_force_topk(emb, queries, k=5)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = W.Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    pred = votes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        F.col("label").cast("long").alias("predicted_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        F.col("true_label").cast("long").alias("true_label"),
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    )
+
+
+_register(
+    "knn_label_classify",
+    _knn_label_classify,
+    f"""
+WITH q AS (SELECT vec_id AS query_id, {_QUANT} AS qv
+           FROM embeddings WHERE vec_id % 100 = 0),
+c AS (SELECT vec_id AS neighbor_id, label AS nlabel, {_QUANT} AS cv
+      FROM embeddings),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, c.nlabel,
+         CAST(list_sum(list_transform(list_zip(q.qv, c.cv), p -> p[1] * p[2])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(c.cv, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM q, c WHERE q.query_id <> c.neighbor_id
+),
+top5 AS (
+  SELECT query_id, nlabel FROM (
+    SELECT query_id, nlabel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+  ) t WHERE rank <= 5
+),
+votes AS (SELECT query_id, nlabel, COUNT(*) AS n_votes
+          FROM top5 GROUP BY query_id, nlabel),
+pred AS (
+  SELECT query_id, nlabel, n_votes FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, nlabel) AS rk
+    FROM votes
+  ) v WHERE rk = 1
+)
+SELECT p.query_id,
+       CAST(p.nlabel AS BIGINT) AS predicted_label,
+       CAST(p.n_votes AS BIGINT) AS n_votes,
+       CAST(e.label AS BIGINT) AS true_label,
+       p.nlabel = e.label AS correct
+FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+""",
+)
+
+
 def _embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     copies = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -3218,9 +3297,11 @@ _DRIVER_PRIORITY: list[str] = [
     "zorder_lineitem_extents",
     "approx_price_quantiles",
     "sliding_event_counts",
-    # (c) new in round 3: reference label parity + the hot-bucket guard path
+    # (c) new in round 3: reference label parity, the hot-bucket guard path,
+    # and the embedding kNN classifier
     "render_summary_lines",
     "neardup_minhash_lsh_capped",
+    "knn_label_classify",
     # (d) regression canaries: code touched this round (report labels,
     # incremental IN-list cap, streaming ts normalization) + riskiest paths
     "render_report_lines",
@@ -3232,7 +3313,6 @@ _DRIVER_PRIORITY: list[str] = [
     "streaming_hourly_counts",
     "ann_cosine_topk",
     "neardup_minhash_lsh",
-    "cmp_summary_orders",
     "cmp_diff_rows_orders",
 ]
 
