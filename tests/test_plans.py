@@ -236,7 +236,9 @@ def test_no_accidental_cartesian_products_anywhere(spark):
     ANN baseline (broadcast query set x corpus with a != condition).
     Streaming entries are skipped — they execute fully on construction and
     are plan-asserted by their own tests."""
-    ALLOWED_BNLJ = {"ann_cosine_topk"}
+    # knn_label_classify reuses the same brute_force_topk broadcast scan as
+    # its candidate stage, so it carries the identical (documented) BNLJ
+    ALLOWED_BNLJ = {"ann_cosine_topk", "knn_label_classify"}
     offenders = []
     for name, fn in QUERIES.items():
         if name.startswith("streaming_"):
