@@ -82,7 +82,13 @@ def curate_corpus(
 
     # 2. near-dup: OPH MinHash → banded LSH → exact-Jaccard verify →
     #    connected components → keep each cluster's representative (min id)
-    shingle_sets = exact.select(
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # small single-row-group corpora otherwise serialize the Arrow OPH stage
+    # on one core (no-op on real multi-split inputs)
+    shingle_sets = ensure_min_partitions(exact).select(
         "doc_id", hashed_word_ngrams(F.col("text"), shingle_n).alias("shingles")
     ).persist()
     sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
