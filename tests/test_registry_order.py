@@ -36,6 +36,7 @@ NEW_IN_R3 = {
     "render_summary_lines",
     "neardup_minhash_lsh_capped",
     "knn_label_classify",
+    "knn_label_classify_ivf",
 }
 
 

@@ -1018,23 +1018,15 @@ WHERE rank <= 5
 )
 
 
-def _knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """kNN majority-vote label prediction over the embedding space — the
-    classifier step of an embedding-based curation pipeline (label a corpus
-    by nearest labeled neighbors, then filter/route on the predicted label).
-
-    Exact twin of `ann_cosine_topk`'s candidate machinery: top-5 neighbors
-    by quantized-integer cosine, then a (query, label) vote count with
-    deterministic ties (most votes, then smallest label). The neighbor-label
-    lookup is an equi-join on vec_id — at 100 TB that is a plain co-located
-    join against the labeled subset, never a second distance pass. Output
-    includes the query's own label so downstream can measure agreement.
-    """
+def _majority_vote(topk: DataFrame, emb: DataFrame) -> DataFrame:
+    """(query_id, predicted_label, n_votes, true_label, correct) from any
+    candidate stage emitting (query_id, neighbor_id, ...): join neighbor
+    labels, count votes, break ties deterministically (most votes, then
+    smallest label). The label lookup is an equi-join on vec_id — at 100 TB
+    a plain co-located join against the labeled subset, never a second
+    distance pass."""
     from pyspark.sql import window as W
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    topk = brute_force_topk(emb, queries, k=5)
     labeled = topk.join(
         emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
     )
@@ -1053,6 +1045,22 @@ def _knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("long").alias("true_label"),
         (F.col("label") == F.col("true_label")).alias("correct"),
     )
+
+
+def _knn_label_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction over the embedding space — the
+    classifier step of an embedding-based curation pipeline (label a corpus
+    by nearest labeled neighbors, then filter/route on the predicted label).
+
+    Exact twin of `ann_cosine_topk`'s candidate machinery: top-5 neighbors
+    by quantized-integer cosine, then the deterministic majority vote.
+    `knn_label_classify_ivf` is the probe-bounded scale path; this entry is
+    its exact-recall reference. Output includes the query's own label so
+    downstream can measure agreement.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return _majority_vote(brute_force_topk(emb, queries, k=5), emb)
 
 
 _register(
@@ -1905,10 +1913,9 @@ GROUP BY c.c_nationkey
 # IVF-style ANN: deterministic coarse quantizer + probed-cell exact ranking.
 from tidb_large_table_compare_spark.operators.similarity import ivf_topk  # noqa: E402
 
-_register(
-    "ann_ivf_topk",
-    lambda spark, sf: ivf_topk(load_table(spark, sf, "embeddings")),
-    f"""
+# Shared oracle CTEs up through per-query ranked candidates; consumed by
+# both the top-k entry and the IVF-based kNN classifier below.
+_IVF_RANKED_CTES = f"""
 WITH prepped AS (SELECT vec_id AS id, {_QUANT} AS qv FROM embeddings),
 cents AS (SELECT id AS cent_id, qv AS cent_v FROM prepped WHERE id % 25 = 0),
 cell_scores AS (
@@ -1939,12 +1946,61 @@ ranked AS (
             * sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))) AS cosine
   FROM probes p JOIN assigned a ON p.cell = a.cell
   WHERE a.id <> p.query_id
-)
+)"""
+
+_register(
+    "ann_ivf_topk",
+    lambda spark, sf: ivf_topk(load_table(spark, sf, "embeddings")),
+    f"""
+{_IVF_RANKED_CTES}
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM ranked
 ) t WHERE rank <= 5
+""",
+)
+
+
+def _knn_label_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN classifier's 100 TB path: candidates come from the IVF probe
+    (`ivf_topk` — broadcast-centroid assignment, probe-limited scan, never
+    the full corpus per query) instead of the brute-force broadcast scan;
+    the majority vote is identical to `knn_label_classify`, whose exact
+    output doubles as this entry's recall reference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _majority_vote(ivf_topk(emb), emb)
+
+
+_register(
+    "knn_label_classify_ivf",
+    _knn_label_classify_ivf,
+    f"""
+{_IVF_RANKED_CTES},
+top5 AS (
+  SELECT r.query_id, e.label AS nlabel FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM ranked
+  ) r JOIN embeddings e ON r.neighbor_id = e.vec_id
+  WHERE r.rank <= 5
+),
+votes AS (SELECT query_id, nlabel, COUNT(*) AS n_votes
+          FROM top5 GROUP BY query_id, nlabel),
+pred AS (
+  SELECT query_id, nlabel, n_votes FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, nlabel) AS rk
+    FROM votes
+  ) v WHERE rk = 1
+)
+SELECT p.query_id,
+       CAST(p.nlabel AS BIGINT) AS predicted_label,
+       CAST(p.n_votes AS BIGINT) AS n_votes,
+       CAST(e.label AS BIGINT) AS true_label,
+       p.nlabel = e.label AS correct
+FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
 """,
 )
 
@@ -3302,6 +3358,7 @@ _DRIVER_PRIORITY: list[str] = [
     "render_summary_lines",
     "neardup_minhash_lsh_capped",
     "knn_label_classify",
+    "knn_label_classify_ivf",
     # (d) regression canaries: code touched this round (report labels,
     # incremental IN-list cap, streaming ts normalization) + riskiest paths
     "render_report_lines",
@@ -3309,7 +3366,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_summary_incremental",
     "streaming_dedup_events",
     "streaming_purchase_signup_join",
-    "streaming_user_totals_stateful",
     "streaming_hourly_counts",
     "ann_cosine_topk",
     "neardup_minhash_lsh",
