@@ -69,6 +69,20 @@ def normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def compare_query(spark, query_fn, sql: str, sf_dir: str) -> tuple[bool, str]:
     sdf = query_fn(spark, sf_dir)
+    # The driver's canonicalizer sorts through pandas, which cannot hash
+    # list/dict cells — an oracle-backed entry returning a raw array/map
+    # column can never go green (r1-r3 `unhashable type: 'list'`). Catch it
+    # here instead of in CORRECTNESS_r{N}.json.
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = [
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    if bad:
+        return False, (
+            f"driver-unverifiable output columns {bad}: serialize arrays/maps "
+            "to scalars (array_join/concat_ws) or explode to element rows"
+        )
     s_cols = list(sdf.columns)
     s_rows = [tuple(r) for r in sdf.collect()]
     o_cols, o_rows = run_oracle(sql, sf_dir)
