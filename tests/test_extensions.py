@@ -200,6 +200,38 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall@5 collapsed: {recall:.2f}"
 
 
+def test_ivf_trained_centroids_recall_at_least_modulo_baseline(spark):
+    """k-means → IVF composition: feeding the trainer's centroids into the
+    IVF index must not lose recall vs the `id % 25` sampling stand-in (the
+    trained quantizer balances cells, so probes cover truer neighborhoods)."""
+    from tidb_large_table_compare_spark.operators.kmeans import trained_centroids
+    from tidb_large_table_compare_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    assert exact
+    modulo = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, k=5).collect()}
+    cents = trained_centroids(emb, iterations=3)
+    trained = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, k=5, centroids=cents).collect()
+    }
+    recall_modulo = len(exact & modulo) / len(exact)
+    recall_trained = len(exact & trained) / len(exact)
+    assert recall_trained >= recall_modulo, (
+        f"trained-centroid IVF regressed recall: "
+        f"{recall_trained:.2f} < {recall_modulo:.2f}"
+    )
+
+
 def test_hashed_word_ngrams_same_sets(spark):
     """hashed shingles are a bijective image of string shingles (modulo
     2^-64 collisions): same counts, same pairwise overlaps."""
@@ -275,6 +307,35 @@ def test_ivf_index_persistence_matches_inline(spark, tmp_path):
     second = emb.filter(F.col("vec_id") % 100 == 1)
     out2 = ivf_query_index(spark, path, second, k=3).collect()
     assert len(out2) > 0 and all(r.rank <= 3 for r in out2)
+
+
+def test_ivf_index_persists_trained_centroids(spark, tmp_path):
+    """The k-means → IVF composition survives the persisted-index path:
+    build_ivf_index(centroids=trained_centroids(...)) + ivf_query_index
+    reproduces the inline trained-quantizer ivf_topk exactly."""
+    from tidb_large_table_compare_spark.operators.kmeans import trained_centroids
+    from tidb_large_table_compare_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+        ivf_topk,
+    )
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cents = trained_centroids(emb, iterations=3)
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(emb, centroids=cents).collect()
+    }
+
+    path = str(tmp_path / "ivf_trained")
+    build_ivf_index(spark, emb, path, centroids=cents)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    from_index = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_query_index(spark, path, queries).collect()
+    }
+    assert from_index == inline
 
 
 def test_multimodal_features_feed_similarity_stack(spark):

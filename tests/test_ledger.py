@@ -1,0 +1,46 @@
+"""The driver-window ledger derives per-entry history from CORRECTNESS files."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from tidb_large_table_compare_spark import ledger as L
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_is_green_classification():
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    rows_only = {"rows_match": True, "schema_match": None, "hash_match": None, "err": None}
+    hash_fail = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    errored = {"rows_match": None, "schema_match": None, "hash_match": None, "err": "boom"}
+    empty = {"rows_match": None, "schema_match": None, "hash_match": None, "err": None}
+    assert L.is_green(ok)
+    assert L.is_green(rows_only)
+    assert not L.is_green(hash_fail)
+    assert not L.is_green(errored)
+    assert not L.is_green(empty)
+
+
+def test_ledger_tracks_latest_rounds():
+    rounds = {
+        1: {"a": {"hash_match": True, "err": None}, "b": {"err": "x"}},
+        2: {"b": {"hash_match": True, "err": None}, "c": {"err": "x"}},
+    }
+    led = L.ledger(rounds)
+    assert led["a"] == {"last_checked": 1, "last_green": 1}
+    assert led["b"] == {"last_checked": 2, "last_green": 2}
+    assert led["c"] == {"last_checked": 2, "last_green": None}
+    # never-green first, then oldest green
+    assert L.rotation_candidates(rounds) == ["c", "a", "b"]
+
+
+def test_repo_ledger_covers_every_recorded_entry():
+    rounds = L.load_rounds(REPO)
+    assert rounds, "driver correctness files should exist from round 1 on"
+    led = L.ledger(rounds)
+    # every entry the driver ever checked has a ledger row with a round number
+    assert all(r["last_checked"] in rounds for r in led.values())
+    # the render is parseable markdown with one row per entry
+    table = L.render(rounds)
+    assert table.count("\n") == len(led) + 1

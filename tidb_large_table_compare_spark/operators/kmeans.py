@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from tidb_large_table_compare_spark.operators.similarity import quantize, topk_cells
 
-__all__ = ["kmeans_assignments"]
+__all__ = ["kmeans_assignments", "trained_centroids"]
 
 
 def _assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> DataFrame:
@@ -55,6 +55,40 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def _prep_vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # spread single-row-group test inputs so each Lloyd's round's Arrow
+    # argmin runs on every core (no-op on real multi-split corpora)
+    return ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
+    )
+
+
+def _train(
+    vectors: DataFrame, centroid_mod: int, iterations: int
+) -> list[tuple[int, list[int]]]:
+    """Seed + (iterations-1) assign/update rounds → final centroid rows.
+
+    These are the centroids the ``iterations``-th assignment pass would use —
+    centroids are driver-side state between rounds (O(k × dims), the same
+    shape MLlib keeps on the driver); each round is one map-side numpy
+    argmin over the corpus plus one (cluster, dim) aggregation.
+    """
+    centroid_rows = [
+        (r["id"], r["qv"])
+        for r in vectors.filter(F.col("id") % centroid_mod == 0).collect()
+    ]
+    for _ in range(iterations - 1):
+        assigned = _assign(vectors, centroid_rows)
+        centroid_rows = [
+            (r["cluster_id"], r["cv"]) for r in _update(assigned).collect()
+        ]
+    return centroid_rows
+
+
 def kmeans_assignments(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -67,27 +101,30 @@ def kmeans_assignments(
     Initial centroids are the corpus vectors with ``id % centroid_mod == 0``
     (deterministic seeding); cluster ids are those seed vectors' ids.
     """
-    from tidb_large_table_compare_spark.functions.partitioning import (
-        ensure_min_partitions,
-    )
-
-    # spread single-row-group test inputs so each Lloyd's round's Arrow
-    # argmin runs on every core (no-op on real multi-split corpora)
-    vectors = ensure_min_partitions(corpus).select(
-        F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
-    ).persist()
-    # centroids are driver-side state between rounds (O(k × dims) — the same
-    # shape MLlib keeps on the driver); each round is one map-side numpy
-    # argmin over the corpus plus one (cluster, dim) aggregation
-    centroid_rows = [
-        (r["id"], r["qv"])
-        for r in vectors.filter(F.col("id") % centroid_mod == 0).collect()
-    ]
-    assigned = None
-    for i in range(iterations):
-        assigned = _assign(vectors, centroid_rows)
-        if i < iterations - 1:
-            centroid_rows = [
-                (r["cluster_id"], r["cv"]) for r in _update(assigned).collect()
-            ]
+    vectors = _prep_vectors(corpus, id_col, vec_col).persist()
+    centroid_rows = _train(vectors, centroid_mod, iterations)
+    assigned = _assign(vectors, centroid_rows)
     return assigned.select(F.col("id").alias(id_col), "cluster_id")
+
+
+def trained_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 25,
+    iterations: int = 2,
+) -> list[tuple[int, list[int]]]:
+    """Train and return the final (cluster_id, quantized-vector) centroids.
+
+    The composition seam between the trainer and the ANN index: feed the
+    result to :func:`..similarity.ivf_topk` / :func:`..similarity.build_ivf_index`
+    as their coarse quantizer instead of the ``id % centroid_mod`` sampling
+    stand-in. The list is O(k × dims) driver state — the same size the
+    trainer already keeps between rounds, so handing it across operators
+    adds no new scale constraint.
+    """
+    vectors = _prep_vectors(corpus, id_col, vec_col).persist()
+    try:
+        return _train(vectors, centroid_mod, iterations)
+    finally:
+        vectors.unpersist()

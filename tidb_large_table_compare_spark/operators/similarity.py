@@ -217,17 +217,20 @@ def ivf_topk(
     centroid_mod: int = 25,
     n_probe: int = 3,
     k: int = 5,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantize → probe nearest cells → exact top-k.
 
-    The inverted-file structure uses a deterministic coarse quantizer
-    (corpus vectors with ``vec_id % centroid_mod == 0`` are the centroids —
-    a stand-in for trained k-means centroids that keeps the whole pipeline
-    oracle-reproducible). Every vector is assigned to its nearest centroid;
-    queries probe their ``n_probe`` nearest cells and rank only those cells'
-    members. At 100 TB the cell assignment is a map-side broadcast argmax and
-    the probe join is equi-keyed on cell id — candidate volume ∝
-    corpus/n_cells × n_probe, never the full corpus per query.
+    The inverted-file structure's coarse quantizer is either caller-supplied
+    ``centroids`` — (cell_id, quantized-vector) rows, e.g. from
+    :func:`..kmeans.trained_centroids` — or, by default, the corpus vectors
+    with ``vec_id % centroid_mod == 0`` (a sampling stand-in that keeps the
+    pipeline oracle-reproducible without unrolling the trainer). Every
+    vector is assigned to its nearest centroid; queries probe their
+    ``n_probe`` nearest cells and rank only those cells' members. At 100 TB
+    the cell assignment is a map-side broadcast argmax and the probe join is
+    equi-keyed on cell id — candidate volume ∝ corpus/n_cells × n_probe,
+    never the full corpus per query.
     """
     from tidb_large_table_compare_spark.functions.partitioning import (
         ensure_min_partitions,
@@ -242,7 +245,7 @@ def ivf_topk(
     # the inverted file's coarse quantizer is tiny driver-side state by
     # construction (O(cells × dims)); one small collect feeds both the
     # assignment and the probe selection below
-    cent_rows = [
+    cent_rows = centroids if centroids is not None else [
         (r["id"], r["qv"])
         for r in prepped.filter(F.col("id") % centroid_mod == 0).collect()
     ]
@@ -280,14 +283,17 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_mod: int = 25,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> None:
     """Persist the IVF structure: build once, probe many (the ANN serving
     shape — the inline :func:`ivf_topk` recomputes assignments per call).
 
     Writes ``path/centroids`` (the coarse quantizer, tiny by construction)
     and ``path/assignments`` (every corpus vector with its nearest-cell id,
-    quantized). At 100 TB write the assignments ``bucketBy(cell)`` so probe
-    joins co-locate; the layout here is the plain-parquet equivalent.
+    quantized). The quantizer is caller-supplied ``centroids`` (e.g.
+    :func:`..kmeans.trained_centroids`) or the ``id % centroid_mod``
+    sampling default. At 100 TB write the assignments ``bucketBy(cell)`` so
+    probe joins co-locate; the layout here is the plain-parquet equivalent.
     Mirrors the incremental-compare digest snapshots
     (`operators/incremental.py`): a verified pipeline stage turned into a
     reusable on-disk artifact.
@@ -295,7 +301,12 @@ def build_ivf_index(
     prepped = corpus.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
-    cents = prepped.filter(F.col("id") % centroid_mod == 0)
+    if centroids is not None:
+        cents = spark.createDataFrame(
+            [(int(i), list(v)) for i, v in centroids], "id long, qv array<long>"
+        )
+    else:
+        cents = prepped.filter(F.col("id") % centroid_mod == 0)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cent_rows = [(r["id"], r["qv"]) for r in cents.collect()]
     assigned = topk_cells(prepped, "id", "qv", cent_rows, k=1, out_col="cell")
