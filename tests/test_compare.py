@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from tidb_large_table_compare_spark.operators.compare import (
     CompareOptions,
+    TableCompare,
     compare_tables,
 )
 from tidb_large_table_compare_spark.operators.fixsql import fix_sql
@@ -60,6 +61,29 @@ def test_bucket_count_invariance(spark, master, slave):
     for chunk in (50, 5000, 1_000_000):
         row = _summary(spark, master, slave, chunk_size=chunk)
         assert (row.upcount, row.downcount) == (70, 50), f"chunk={chunk}"
+
+
+def test_row_count_hint_sizes_buckets_without_any_job(spark, master, slave, monkeypatch):
+    """Catalog-supplied stats (the reference's TABLE_ROWS read,
+    step1_query_tables.sh:115-117) must size buckets with zero Spark jobs —
+    even when the py4j plan-stats probe is unavailable (Spark Connect)."""
+    opts = CompareOptions(row_count_hint=1_000_000)
+    cmp = TableCompare(spark, master, slave, pk=["pk"], options=opts)
+
+    def _no_jdf(self):
+        raise RuntimeError("py4j internals unavailable (Connect-style session)")
+
+    # patch the concrete DataFrame class (pyspark.sql.DataFrame is abstract in
+    # Spark 4); a property is a data descriptor, so it shadows the instance attr
+    impl = type(cmp.left)
+    monkeypatch.setattr(impl, "_jdf", property(_no_jdf), raising=False)
+    monkeypatch.setattr(
+        impl,
+        "count",
+        lambda self: pytest.fail("count() sizing job ran despite row_count_hint"),
+    )
+    # 1e6 rows / 5000-row chunks (+1) — derived purely from the hint
+    assert cmp._n_buckets() == 201
 
 
 def test_row_order_invariance(spark, master, slave):

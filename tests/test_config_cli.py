@@ -118,7 +118,10 @@ def test_cli_check_connection_smoke(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert code == 0
     assert "[ OK ] spark session started" in out
-    assert out.count("[ OK ]") == 6  # session + 2 sides x 2 tables + check-SQL
+    # session + 2 sides x 2 tables + check-SQL per side (left AND right)
+    assert out.count("[ OK ]") == 7
+    assert "check-SQL (left)" in out and "check-SQL (right)" in out
+    assert "tables readable" in out
     assert "[FAIL]" not in out
 
     code = main(

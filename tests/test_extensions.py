@@ -367,3 +367,81 @@ def test_multimodal_features_feed_similarity_stack(spark):
         for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
     }
     assert expected <= got, expected - got
+
+
+def test_connected_components_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The small-graph driver union-find and the distributed label
+    propagation are the same operator at two scales — identical output on
+    the same edges (chain, clique, singleton-pair, two components)."""
+    from tidb_large_table_compare_spark.operators import clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> component 1
+         (10, 11), (10, 12), (11, 12),  # clique -> component 10
+         (20, 21)],                     # pair  -> component 20
+        "id_a bigint, id_b bigint",
+    )
+    via_driver = {
+        (r.node, r.cluster_id) for r in clustering.connected_components(edges).collect()
+    }
+    monkeypatch.setattr(clustering, "DRIVER_EDGE_THRESHOLD", 0)
+    via_dist = {
+        (r.node, r.cluster_id) for r in clustering.connected_components(edges).collect()
+    }
+    expected = {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+    assert via_driver == expected
+    assert via_dist == expected
+
+
+def _length_parity_encoder(payload: bytes) -> list[float]:
+    """A toy custom encoder (module-level so cloudpickle ships it cleanly):
+    8 dims from byte-length parity and simple byte stats."""
+    n = len(payload)
+    s = sum(payload[:16]) if n else 0
+    return [float(n), float(n % 2), float(n % 3), float(s % 7),
+            1.0, float(n % 5), float(s % 11), float(n % 13)]
+
+
+def test_multimodal_custom_encoder_flows_through_similarity_stack(spark, tmp_path):
+    """The encoder-injection seam: a caller-supplied bytes->vector callable
+    must replace the byte-histogram stand-in and its output must feed
+    brute_force_topk and build_ivf_index unchanged."""
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+    from tidb_large_table_compare_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_query_index,
+    )
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(40)
+    corpus = attach_binary_payload(docs)
+    feats = extract_features(corpus, encoder=_length_parity_encoder).persist()
+
+    # the custom encoder's output is what actually lands in the column
+    sample = feats.limit(5).collect()
+    texts = {r.doc_id: r.text for r in docs.limit(40).collect()}
+    for r in sample:
+        expect = _length_parity_encoder(texts[r.doc_id].encode("utf-8"))
+        assert [round(float(x), 5) for x in r.embedding] == [
+            round(x, 5) for x in expect
+        ]
+
+    # and it composes with both ANN paths without modification
+    queries = feats.limit(3)
+    top = brute_force_topk(feats, queries, id_col="doc_id", vec_col="embedding", k=2)
+    assert top.count() > 0
+    path = str(tmp_path / "ivf_custom")
+    build_ivf_index(spark, feats, path, id_col="doc_id", vec_col="embedding",
+                    centroid_mod=7)
+    out = ivf_query_index(spark, path, queries, id_col="doc_id",
+                          vec_col="embedding", k=2)
+    assert out.count() > 0
+    feats.unpersist()

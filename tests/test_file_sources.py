@@ -170,6 +170,8 @@ def test_events_loader_adapts_to_both_ts_generations(spark, tmp_path):
     for name, d in (("us", us_dir), ("ns", ns_dir)):
         df = load_table(spark, str(d), "events")
         assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        # collect() runs AFTER load_table restored nanosAsLong — regression
+        # for the scoped-conf read (the relation captures the conf eagerly)
         loaded[name] = sorted((r.event_id, r.ts) for r in df.collect())
     assert loaded["us"] == loaded["ns"]
 
@@ -194,3 +196,26 @@ def test_events_loader_adapts_to_both_ts_generations(spark, tmp_path):
     assert streamed["us"] == streamed["ns"]
     # the streaming axis (LTZ pinned UTC) matches the batch axis wall-clock
     assert [t for _, t in streamed["us"]] == [t for _, t in loaded["us"]]
+
+
+def test_load_table_leaves_session_conf_unchanged(spark):
+    """On an engine session (UTC already pinned by session.get_spark),
+    load_table must be side-effect free on the session conf: nanosAsLong is
+    scoped to the read and restored, the timezone is already UTC."""
+    keys = ["spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong"]
+
+    def snapshot():
+        out = {}
+        for k in keys:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    before = snapshot()
+    assert before["spark.sql.session.timeZone"] == "UTC"
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert snapshot() == before
+    assert df.count() > 0  # still executable after the conf restore
+    assert snapshot() == before

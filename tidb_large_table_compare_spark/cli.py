@@ -149,15 +149,23 @@ def _check_connection(args) -> int:
                 print(f"[FAIL] {side}: {path}: {str(exc).splitlines()[0]}")
                 failures += 1
 
-    try:
-        catalog = parquet_catalog(
-            spark, args.left_dir, tables, schema_name=args.schema
-        )
-        n = discover(catalog, row_threshold=0).count()
-        print(f"[ OK ] check-SQL: discovery query ran ({n} tables visible)")
-    except Exception as exc:
-        print(f"[FAIL] check-SQL: {str(exc).splitlines()[0]}")
-        failures += 1
+    # the catalog/check-SQL probe runs against BOTH dirs (the reference's
+    # smoke tests master and slave connections alike); the readable count is
+    # unfiltered — the discovery predicate (pk_type) is reported separately
+    # so a legitimately-empty discovery doesn't read as unreachable tables
+    for side, root in (("left", args.left_dir), ("right", args.right_dir)):
+        try:
+            catalog = parquet_catalog(spark, root, tables, schema_name=args.schema)
+            n_visible = catalog.count()
+            n_match = discover(catalog, row_threshold=0).count()
+            print(
+                f"[ OK ] check-SQL ({side}): catalog query ran — "
+                f"{n_visible} tables readable, "
+                f"{n_match} match the discovery predicate"
+            )
+        except Exception as exc:
+            print(f"[FAIL] check-SQL ({side}): {str(exc).splitlines()[0]}")
+            failures += 1
 
     return 1 if failures else 0
 

@@ -19,6 +19,37 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
 
+# Edge-count bound under which components resolve on the driver: 100k pairs
+# is ~1.6 MB of longs — the same bounded-driver-state budget as the compare
+# drill-down's IN-list cap. Candidate graphs from banded LSH are capped per
+# bucket upstream, so real corpora stay far below this until genuinely
+# massive dup populations, where the distributed path takes over.
+DRIVER_EDGE_THRESHOLD = 100_000
+
+
+def _driver_components(pairs: DataFrame) -> DataFrame:
+    """Union-find over a collected (small) edge list; min-id roots match the
+    label-propagation fixpoint exactly."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in pairs.select("id_a", "id_b").collect():
+        a, b = int(row[0]), int(row[1])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    out = [(n, find(n)) for n in sorted(parent)]
+    return pairs.sparkSession.createDataFrame(
+        out, "node bigint, cluster_id bigint"
+    )
+
 
 def connected_components(
     pairs: DataFrame, max_iterations: int = 20
@@ -28,7 +59,15 @@ def connected_components(
     ``pairs`` must have columns (id_a, id_b). Isolated endpoints appear with
     themselves as cluster id; nodes absent from ``pairs`` are not emitted
     (callers union in singletons if they need total coverage).
+
+    Small candidate graphs (≤ ``DRIVER_EDGE_THRESHOLD`` edges — one cheap
+    bounded count decides) resolve via driver-side union-find: dozens of
+    Spark jobs' worth of per-round scheduling collapses to one collect.
+    Larger graphs run the distributed min-label propagation below — each
+    round shuffles only (node, label) pairs, rounds ∝ graph diameter.
     """
+    if pairs.limit(DRIVER_EDGE_THRESHOLD + 1).count() <= DRIVER_EDGE_THRESHOLD:
+        return _driver_components(pairs)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -43,16 +82,21 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    cached_prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
+        # carry (old, new) label in one frame: the convergence probe reads it
+        # directly instead of re-joining the new labels against the old ones
+        # (one join and one wide recompute fewer per round)
+        merged = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -60,14 +104,11 @@ def connected_components(
             .persist()
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
+            merged.filter(F.col("label") != F.col("old_label")).limit(1).count()
         )
-        labels.unpersist()
-        labels = updated
+        cached_prev.unpersist()
+        cached_prev = merged
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -55,6 +55,12 @@ class CompareOptions:
     force_multiset: bool = False  # keyless/duplicate-PK fallback
     min_buckets: int = 32
     max_buckets: int = 1 << 20
+    # Caller/catalog-supplied row count for bucket sizing — the analog of the
+    # reference reading TABLE_ROWS from information_schema
+    # (step1_query_tables.sh:115-117). Takes precedence over the plan-stats
+    # probe and the count() fallback, so Connect-style sessions (where the
+    # py4j stats probe throws) run zero sizing jobs when stats are known.
+    row_count_hint: int | None = None
 
 
 def _narrow(df: DataFrame, pk: list[str], compare_cols: list[str], n_buckets: int,
@@ -135,6 +141,8 @@ class TableCompare:
     _MAX_INLIST = 50_000  # bad-bucket count above which we broadcast instead
 
     def _estimate_rows(self) -> int:
+        if self.options.row_count_hint is not None:  # catalog stats (TABLE_ROWS)
+            return max(1, self.options.row_count_hint)
         try:  # plan statistics via py4j internals — absent under Spark Connect
             stats = self.left._jdf.queryExecution().optimizedPlan().stats()
             if stats.rowCount().isDefined():

@@ -122,8 +122,11 @@ def incremental_compare(
 
     # Bounded driver collect (mirrors TableCompare.diff_rows): small drift
     # becomes an IN-list evaluated at the scan; wide drift — millions of
-    # bucket ids at 100× scale — never lands on the driver, it stays
-    # distributed as one persisted broadcast semi-join per side.
+    # bucket ids at 100× scale — switches to a broadcast semi-join per side,
+    # which avoids embedding a multi-MB IN-list literal in the plan (the
+    # broadcast build still stages the bucket set through the driver, but as
+    # compact exchange payload, not as a plan-tree literal Catalyst must
+    # re-analyze).
     cap = TableCompare._MAX_INLIST
     ids = [r["__bucket"] for r in changed.limit(cap + 1).collect()]
     # scope cmp.left/right (post-range_sql) rather than the raw inputs so a

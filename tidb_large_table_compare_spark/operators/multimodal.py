@@ -115,31 +115,46 @@ FEATURE_SCHEMA = "doc_id bigint, embedding array<float>"
 FEATURE_DIMS = 64
 
 
-def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Arrow-batched feature extraction: binary payload → embedding column.
+def byte_histogram_encoder(payload: bytes) -> list[float]:
+    """The default encoder: 64-dim folded byte histogram, length-normalized.
 
-    The feature map is a 64-dim folded byte histogram normalized by payload
-    length — a deterministic STAND-IN for a learned encoder (CLIP/CLAP-style
-    models are not in this environment), but the Spark shape is the real
-    one: per-partition Arrow batches in, ``array<float>`` embeddings out,
-    no shuffle, and the output composes directly with the similarity stack
-    (`operators/similarity.py`: ``brute_force_topk``, ``build_ivf_index``)
-    — identical payloads map to identical embeddings (cosine 1.0).
+    A deterministic STAND-IN for a learned encoder (CLIP/CLAP-style models
+    are not in this environment); identical payloads map to identical
+    embeddings (cosine 1.0), so the downstream similarity stack is testable.
     """
     import numpy as np
+
+    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+    if arr.size == 0:
+        return [0.0] * FEATURE_DIMS
+    hist = np.bincount(arr % FEATURE_DIMS, minlength=FEATURE_DIMS)
+    return (hist / arr.size).astype(np.float32).tolist()
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    encoder=None,
+) -> DataFrame:
+    """Arrow-batched feature extraction: binary payload → embedding column.
+
+    ``encoder`` is the pluggable seam for a real learned model: any picklable
+    ``bytes -> sequence[float]`` callable (cloudpickle ships it to executors;
+    heavyweight model handles should be lazily initialized inside the
+    callable, once per executor). Defaults to
+    :func:`byte_histogram_encoder`. The Spark shape is encoder-independent:
+    per-partition Arrow batches in, ``array<float>`` embeddings out, no
+    shuffle, and the output composes directly with the similarity stack
+    (`operators/similarity.py`: ``brute_force_topk``, ``build_ivf_index``).
+    """
+    enc = encoder if encoder is not None else byte_histogram_encoder
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if arr.size == 0:
-                    vec = np.zeros(FEATURE_DIMS, dtype=np.float32)
-                else:
-                    hist = np.bincount(arr % FEATURE_DIMS, minlength=FEATURE_DIMS)
-                    vec = (hist / arr.size).astype(np.float32)
                 ids.append(doc_id)
-                vecs.append(vec.tolist())
+                vecs.append([float(x) for x in enc(bytes(payload))])
             yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
 
     return df.select(id_col, "payload").mapInPandas(featurize, FEATURE_SCHEMA)

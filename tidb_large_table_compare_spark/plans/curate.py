@@ -99,14 +99,17 @@ def curate_corpus(
     )
     pairs = jaccard_verified_pairs(
         cands, shingle_sets, "doc_id", jaccard_threshold
-    ).select("id_a", "id_b")
-    clusters = connected_components(pairs.persist())
+    ).select("id_a", "id_b").persist()
+    clusters = connected_components(pairs)
     drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
-    neardup = exact.join(drop, "doc_id", "left_anti")
+    # the junction every later stage (decontamination, quality, write) hangs
+    # off — persisted so stage counts don't recompute the dedup chain
+    neardup = exact.join(drop, "doc_id", "left_anti").persist()
     n_neardup = neardup.count()
     shingle_sets.unpersist()
+    pairs.unpersist()
 
     # 3. decontamination: drop docs whose 3-gram shingles overlap the
     #    benchmark probe (equi-join on the shingle hash — candidates only)
@@ -128,11 +131,13 @@ def curate_corpus(
             .select("doc_id")
         )
         neardup = neardup.join(contaminated, "doc_id", "left_anti")
-    n_decontaminated = neardup.count()
+        n_decontaminated = neardup.count()
+    else:
+        n_decontaminated = n_neardup  # stage is a no-op without a benchmark
 
-    # 4. composite quality filter (map-only)
+    # 4. composite quality filter (map-only; its count is derived from the
+    # written corpus below — one job instead of an extra pre-write count)
     quality = neardup.filter(_quality_keep(F.col("text")))
-    n_quality = quality.count()
 
     # 5. deterministic content-independent split (md5-prefix hash of doc_id)
     bucket = F.pmod(
@@ -170,6 +175,8 @@ def curate_corpus(
         )
         .collect()
     }
+    n_quality = sum(s["n_docs"] for s in split_counts.values())
+    neardup.unpersist()
     manifest = {
         "stages": {
             "input": n_input,

@@ -167,7 +167,11 @@ def render_final_report(summaries: DataFrame) -> DataFrame:
     ``SUMMARY_COUNT=$(... | wc -l)`` runs (step3:169-172, 185).
     """
     spark = summaries.sparkSession
-    n_files = latest_run(summaries).count()
+    # one latest-run dedup feeds both the found-files count (eager, picks the
+    # report shape) and the body rows — persisted so the count job's work is
+    # reused when the caller materializes the report (ADVICE r3)
+    latest = latest_run(summaries).persist()
+    n_files = latest.count()
     head = [
         (REPORT_BANNER, "0_0"),
         (REPORT_TITLE, "0_1"),
@@ -176,6 +180,7 @@ def render_final_report(summaries: DataFrame) -> DataFrame:
     ]
     schema = "line string, __ord string"
     if n_files == 0:
+        latest.unpersist()
         head.append((NO_SUMMARY_LINE, "0_4"))
         return spark.createDataFrame(head, schema).orderBy("__ord").select("line")
     head += [
@@ -189,7 +194,6 @@ def render_final_report(summaries: DataFrame) -> DataFrame:
         ("", "6_0"),
     ]
     frame = spark.createDataFrame(head, schema)
-    latest = latest_run(summaries)
     status = F.when(F.col("structure_ok"), F.lit(STRUCTURE_OK_LABEL)).otherwise(
         F.lit(STRUCTURE_DIFF_LABEL)
     )

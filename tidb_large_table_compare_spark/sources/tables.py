@@ -8,6 +8,8 @@ an immutable parquet directory per scale factor (SURVEY.md §2.B B2).
 from __future__ import annotations
 
 import os
+import warnings
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,15 +55,57 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of the block, then restore it.
+
+    Safe for parquet reads because ``spark.read.parquet`` resolves the
+    relation (and captures the conf into its hadoop configuration) eagerly at
+    schema inference — later actions on the returned DataFrame do not
+    re-consult the session conf (verified empirically against a
+    TIMESTAMP(NANOS) file: collect() succeeds after restore).
+    """
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # defensive: the driver may hand us a session without UTC pinned; every
-    # timestamp comparison/truncation below assumes UTC ↔ DuckDB-naive parity
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Load one testdata table.
+
+    Session-conf policy: ``nanosAsLong`` is scoped to the read (restored
+    before returning — see :func:`_scoped_conf`), so callers' own parquet
+    semantics are untouched. The UTC timezone pin, by contrast, CANNOT be
+    scoped: ntz→ltz casts, ``unix_timestamp`` epochs, and streaming window
+    boundaries consult the session timezone at *execution* time (long after
+    this function returns), and the DuckDB oracle treats naive timestamps as
+    UTC — so a non-UTC session would silently change query results. On a
+    session that already runs UTC (every engine session —
+    ``session.get_spark`` pins it) this function therefore leaves the session
+    conf entirely unchanged; on a foreign non-UTC session it pins UTC once
+    and warns, which is the least-surprise alternative to wrong answers.
+    """
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        warnings.warn(
+            "pinning spark.sql.session.timeZone=UTC for cross-engine timestamp "
+            "parity (session-wide: execution-time semantics depend on it)",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # allow TIMESTAMP(NANOS)-generation files to load (read as BIGINT
         # instead of [PARQUET_TYPE_ILLEGAL]); a no-op for timestamp[us] files
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return normalize_event_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -14,24 +14,44 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StructType
+
 from tidb_large_table_compare_spark.sources.tables import normalize_event_ts
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events as a streaming source with ``ts`` normalized to TIMESTAMP_NTZ.
+def event_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """One parquet-footer schema probe, reusable across stream legs.
 
     ``readStream`` needs an explicit schema, and the physical type of ``ts``
     differs across testdata generations (TIMESTAMP(NANOS)-as-BIGINT vs
-    timestamp[us]) — so take the schema from a batch read of the same file
-    (schema-only, no data scan) and let :func:`normalize_event_ts` apply the
-    matching conversion. One helper, every reader: the batch loader and all
-    streaming entries agree on the time axis by construction.
+    timestamp[us]) — take it from a batch read of the same file (schema-only,
+    no data scan). Entries that build multiple legs over the same file (the
+    doubled dedup stream) probe once and pass the result to each
+    :func:`_event_stream` call instead of re-reading footers per leg.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def _event_stream(
+    spark: SparkSession, sf_dir: str, schema: StructType | None = None
+) -> DataFrame:
+    """Events as a streaming source with ``ts`` normalized to TIMESTAMP_NTZ.
+
+    The schema comes from :func:`event_stream_schema` (passed in by callers
+    building several legs, probed here otherwise); ``normalize_event_ts``
+    applies the conversion matching the observed dtype. One helper, every
+    reader: the batch loader and all streaming entries agree on the time
+    axis by construction. ``nanosAsLong`` stays set on the session (not
+    scoped like the batch loader's read) because streaming micro-batch scans
+    consult it at execution time, long after this builder returns.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # watermarks require TIMESTAMP (LTZ); with the session pinned to UTC the
     # wall-clock values match the batch loader's TIMESTAMP_NTZ axis exactly
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if schema is None:
+        schema = event_stream_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -238,7 +258,10 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (event_id, event_type, cents) must equal the batch table exactly
     — the oracle is a plain projection of ``events``.
     """
-    doubled = _event_stream(spark, sf_dir).unionByName(_event_stream(spark, sf_dir))
+    schema = event_stream_schema(spark, sf_dir)  # one footer probe for both legs
+    doubled = _event_stream(spark, sf_dir, schema).unionByName(
+        _event_stream(spark, sf_dir, schema)
+    )
     deduped = (
         doubled.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
