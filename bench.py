@@ -162,35 +162,43 @@ def main() -> None:
             print(f"# {name}: setup failed: {exc}", file=sys.stderr)
     cold_start = round(cold_start + (time.monotonic() - t_extra_setup), 3)
 
+    # One failing query must not zero out the whole round's numbers (round 2
+    # lost its bench to a single shared loader defect): failures are recorded
+    # per query and the JSON line still prints.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
+    errors: dict[str, str] = {}
+
+    def measure(name, thunk):
         t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            n = thunk()
+        except Exception as exc:
+            errors[name] = str(exc).splitlines()[0][:200]
+            print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
+            return
         timings[name] = round(time.monotonic() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    for name in HEADLINE:
+        measure(name, lambda name=name: QUERIES[name](spark, sf_dir).count())
     for name, run in extra_runs.items():
-        t0 = time.monotonic()
-        n = run()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        measure(name, run)
     shutil.rmtree(workdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_start_sec": cold_start,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_start_sec": cold_start,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)  # numbers above are still recorded; the rc flags trouble
 
 
 if __name__ == "__main__":

@@ -11,6 +11,17 @@ The MySQL driver is not shipped here, but the path itself is NOT gated: any
 JDBC driver on Spark's classpath works via the ``url``/``driver`` overrides
 (the integration tests exercise a real ``spark.read.jdbc`` roundtrip through
 the embedded Derby driver Spark ships for its Hive metastore).
+
+CAVEAT — environment-bounded testing: the reference's actual wire target is
+the MySQL protocol against a live TiDB (including ``TIDB_PK_TYPE`` in
+``information_schema.tables``), which cannot be reached from this sandbox.
+What IS tested end-to-end is the generic JDBC contract (URL construction,
+driver override, predicate/column pushdown into the remote query, PK-range
+``numPartitions`` parallel reads) via embedded Derby; MySQL-dialect
+specifics — type mapping of TiDB decimals/datetimes, ``useSSL``/auth
+options, the TIDB_PK_TYPE column itself — are declared but unverified
+against a live server. A deployment should smoke them with
+``cli.py --check-connection`` before relying on catalog discovery.
 """
 
 from __future__ import annotations
