@@ -259,3 +259,62 @@ def test_report_row_line_pads_by_bytes(spark, table, status, up, down):
     expected = 55 + overflow(table, 17) + overflow(status, 9) \
         + overflow(up, 7) + overflow(down, 9)
     assert nbytes == expected, (row.line, nbytes, expected)
+
+
+@st.composite
+def _cdc_plan(draw):
+    n = draw(st.integers(min_value=10, max_value=80))
+    pks = list(range(1, n + 1))
+    deleted = sorted(draw(st.sets(st.sampled_from(pks), max_size=n // 2)))
+    survivors = [p for p in pks if p not in deleted]
+    modified = sorted(
+        draw(st.sets(st.sampled_from(survivors), max_size=len(survivors) // 2))
+        if survivors else set()
+    )
+    n_new = draw(st.integers(min_value=0, max_value=12))
+    return n, deleted, modified, n_new
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=_cdc_plan())
+def test_cdc_digest_fold_equals_full_rescan(spark, plan):
+    """Abelian-group property of the (cnt, xor_digest, sum_digest) triple
+    under ANY change batch: folding deletes+inserts into a stored snapshot
+    must reproduce bit-for-bit the digests of a fresh rescan of the changed
+    table — including emptied buckets being dropped."""
+    import tempfile
+
+    from tidb_large_table_compare_spark.operators.incremental import (
+        apply_changes_to_digests,
+        write_digests,
+    )
+
+    n, deleted, modified, n_new = plan
+    schema = "pk bigint, s string"
+    base_rows = [(pk, f"v{pk}" if pk % 3 else None) for pk in range(1, n + 1)]
+    base = spark.createDataFrame(base_rows, schema)
+    final_rows = [
+        (pk, (s + "_m" if s else "m") if pk in modified else s)
+        for pk, s in base_rows
+        if pk not in deleted
+    ] + [(10_000 + i, f"new{i}") for i in range(n_new)]
+    final = spark.createDataFrame(final_rows, schema)
+
+    deletes = base.exceptAll(final)
+    inserts = final.exceptAll(base)
+    opts = CompareOptions(n_buckets=8)
+
+    with tempfile.TemporaryDirectory() as d:
+        write_digests(spark, base, ["pk"], f"{d}/base", opts)
+        apply_changes_to_digests(
+            spark, f"{d}/base", f"{d}/maintained", ["pk"],
+            inserts=inserts, deletes=deletes, options=opts,
+        )
+        write_digests(spark, final, ["pk"], f"{d}/fresh", opts)
+        maintained = {tuple(r) for r in spark.read.parquet(f"{d}/maintained").collect()}
+        fresh = {tuple(r) for r in spark.read.parquet(f"{d}/fresh").collect()}
+    assert maintained == fresh
