@@ -1545,6 +1545,22 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
 )
 
+# CUBE completes the §2.C multi-dimensional aggregation row (rollup and
+# grouping sets above); GROUPING() flags distinguish subtotal NULLs from
+# data NULLs in both engines.
+_shared_sql(
+    "cube_order_price_stats",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+
 _register(
     "salted_lineitem_counts",
     lambda spark, sf: salted_count_by_key(
@@ -3370,8 +3386,10 @@ _DRIVER_PRIORITY: list[str] = [
     # columns; this round their outputs are serialized to scalars
     "event_prop_keys",
     "embedding_array_stats",
-    # (b) new in round 4: the k-means → IVF composition
+    # (b) new in round 4: the k-means → IVF composition and the CUBE
+    # completion of the multi-dimensional aggregation row
     "ann_ivf_trained_topk",
+    "cube_order_price_stats",
     # (c) every entry whose latest green signal is round 1 (ledger-derived:
     # 32 entries) — the ts loader and session knobs changed since they were
     # last checked, so their signals are the stalest in the registry
@@ -3418,7 +3436,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_diff_rows_orders",
     "render_report_lines",
     "report_latest_totals",
-    "parsed_report_roundtrip",
     "streaming_dedup_events",
     "streaming_hourly_counts",
     "ann_ivf_topk",
