@@ -3044,6 +3044,76 @@ FROM packed
 )
 
 
+def _pack_training_chunks_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing scale path made concrete: the running-sum window
+    partitions by a deterministic content-independent shard key (md5-prefix
+    of doc_id, the same trick as the train/val split), so no single window
+    task ever spans the corpus — the unsharded twin above sorts globally,
+    which a 100 TB corpus cannot. Chunk ids stay globally unique via
+    ``shard * 2^32 + local_chunk``; within a shard the packing invariant is
+    identical to the unsharded formulation."""
+    cap = 2048
+    n_shards = 8
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(n_shards),
+    )
+    toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sized = docs.select("doc_id", shard.alias("shard"), toks.alias("n_toks"))
+    packed = sized.select(
+        "doc_id",
+        "shard",
+        "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok"),
+    )
+    base = F.col("shard") * F.lit(1 << 32)
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_toks",
+        "start_tok",
+        (base + F.floor(F.col("start_tok") / cap)).cast("long").alias("first_chunk"),
+        (base + F.floor((F.col("start_tok") + F.col("n_toks") - 1) / cap))
+        .cast("long")
+        .alias("last_chunk"),
+    )
+
+
+_register(
+    "pack_training_chunks_sharded",
+    _pack_training_chunks_sharded,
+    f"""
+WITH sized AS (
+  SELECT doc_id,
+         ({_MD5_60_DOCID_SQL}) % 8 AS shard,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, n_toks,
+         SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_toks AS start_tok
+  FROM sized
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(shard * 4294967296 + FLOOR(start_tok / 2048) AS BIGINT) AS first_chunk,
+       CAST(shard * 4294967296 + FLOOR((start_tok + n_toks - 1) / 2048) AS BIGINT)
+         AS last_chunk
+FROM packed
+""",
+)
+
+
 def _stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source stratified sampling with deterministic, content-independent
     assignment — the curation pass that rebalances a mixed corpus (upsample
@@ -3386,10 +3456,12 @@ _DRIVER_PRIORITY: list[str] = [
     # columns; this round their outputs are serialized to scalars
     "event_prop_keys",
     "embedding_array_stats",
-    # (b) new in round 4: the k-means → IVF composition and the CUBE
-    # completion of the multi-dimensional aggregation row
+    # (b) new in round 4: the k-means → IVF composition, the CUBE completion
+    # of the multi-dimensional aggregation row, and the sharded packing
+    # scale path
     "ann_ivf_trained_topk",
     "cube_order_price_stats",
+    "pack_training_chunks_sharded",
     # (c) every entry whose latest green signal is round 1 (ledger-derived:
     # 32 entries) — the ts loader and session knobs changed since they were
     # last checked, so their signals are the stalest in the registry
@@ -3430,7 +3502,6 @@ _DRIVER_PRIORITY: list[str] = [
     # reuse, trained-centroid IVF siblings, scoped load_table session conf,
     # multimodal encoder seam
     "cmp_summary_orders",
-    "cmp_summary_orders_ranged",
     "cmp_summary_incremental",
     "cmp_reconcile_orders",
     "cmp_diff_rows_orders",
