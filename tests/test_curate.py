@@ -113,3 +113,33 @@ def test_curate_decontamination_drops_benchmark_overlap(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(manifest["corpus_path"]).collect()
     }
     assert out_ids.isdisjoint(contaminated_ids)
+
+
+def test_curate_sharded_packing_same_corpus_and_invariant(spark, tmp_path):
+    """pack_shards > 1 must keep the corpus membership identical to the
+    single-window layout (packing is a layout choice, not a filter) and
+    preserve the running-sum invariant within every (split, shard) window,
+    with shard-offset chunk ids."""
+    docs = _corpus_with_dups(spark)
+    m1 = curate_corpus(spark, docs, str(tmp_path / "flat"))
+    m8 = curate_corpus(spark, docs, str(tmp_path / "sharded"), pack_shards=8)
+    assert m1["stages"] == m8["stages"]
+    assert m8["params"]["pack_shards"] == 8
+
+    flat = spark.read.parquet(m1["corpus_path"])
+    sharded = spark.read.parquet(m8["corpus_path"])
+    assert {r.doc_id for r in flat.select("doc_id").collect()} == {
+        r.doc_id for r in sharded.select("doc_id").collect()
+    }
+
+    # per-(split, shard-of-chunk) running-sum invariant; shard = chunk >> 32
+    rows = sorted(
+        (r.split, r.first_chunk >> 32, r.doc_id, r.n_toks, r.start_tok)
+        for r in sharded.collect()
+    )
+    running: dict = {}
+    for split, shard, _doc, n_toks, start in rows:
+        assert start == running.get((split, shard), 0)
+        running[(split, shard)] = start + n_toks
+    # more than one shard actually materialized
+    assert len({s for _, s, _, _, _ in rows}) > 1

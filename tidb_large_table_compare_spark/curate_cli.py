@@ -38,6 +38,8 @@ def _parse_args(argv: list[str] | None):
                         "enables the decontamination stage")
     p.add_argument("--val-permille", type=int, default=100)
     p.add_argument("--chunk-cap", type=int, default=2048)
+    p.add_argument("--pack-shards", type=int, default=1,
+                   help="packing windows per split (>1 = sharded scale path)")
     p.add_argument("--lock-file", default=None)
     return p.parse_args(argv)
 
@@ -70,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             val_permille=args.val_permille,
             chunk_cap=args.chunk_cap,
+            pack_shards=args.pack_shards,
         )
         print(json.dumps(manifest, indent=2))
         return 0

@@ -57,6 +57,7 @@ def curate_corpus(
     contamination_min_shared: int = 2,
     val_permille: int = 100,
     chunk_cap: int = 2048,
+    pack_shards: int = 1,
 ) -> dict:
     """Run the full curation pipeline over ``docs`` (doc_id, text, ...).
 
@@ -65,6 +66,13 @@ def curate_corpus(
     3-gram shingles with the benchmark set is dropped — a bucketed
     equi-join on the shingle, never an all-pairs scan (same shape as the
     oracle-checked ``contamination_check`` registry entry).
+
+    ``pack_shards`` > 1 switches packing to the sharded scale path (the
+    oracle-checked ``pack_training_chunks_sharded`` shape): the running-sum
+    window partitions by (split, md5-prefix shard) so no window task spans
+    a whole split, and chunk ids are shard-offset globally unique. The
+    default of 1 keeps the exact single-window layout; at 100 TB set it to
+    O(corpus tokens / executor memory).
 
     Returns the manifest dict (also written to ``out_dir/manifest.json``);
     the curated corpus lands in ``out_dir/corpus`` partitioned by ``split``.
@@ -150,17 +158,34 @@ def curate_corpus(
     )
     tagged = quality.withColumn("split", split_col)
 
-    # 6. concat-and-chunk packing within each split (one window each; at
-    #    larger scale partition the window further by shard key)
+    # 6. concat-and-chunk packing within each split — single window per
+    #    split when pack_shards == 1 (exact layout), else the sharded scale
+    #    path: (split, shard) windows + shard-offset global chunk ids (the
+    #    pack_training_chunks_sharded registry shape)
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
-    w_pack = Window.partitionBy("split").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    if pack_shards > 1:
+        shard = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            F.lit(pack_shards),
+        )
+        tagged = tagged.withColumn("__shard", shard)
+        w_pack = Window.partitionBy("split", "__shard").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        chunk_id = (
+            F.col("__shard") * F.lit(1 << 32)
+            + F.floor(F.col("start_tok") / chunk_cap)
+        ).cast("long")
+    else:
+        w_pack = Window.partitionBy("split").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        chunk_id = F.floor(F.col("start_tok") / chunk_cap).cast("long")
     packed = tagged.withColumn("n_toks", toks).withColumn(
         "start_tok", F.sum("n_toks").over(w_pack) - F.col("n_toks")
-    ).withColumn(
-        "first_chunk", F.floor(F.col("start_tok") / chunk_cap).cast("long")
-    )
+    ).withColumn("first_chunk", chunk_id).drop("__shard")
 
     corpus_path = str(Path(out_dir) / "corpus")
     packed.write.mode("overwrite").partitionBy("split").parquet(corpus_path)
@@ -194,6 +219,7 @@ def curate_corpus(
             "contamination_min_shared": contamination_min_shared,
             "val_permille": val_permille,
             "chunk_cap": chunk_cap,
+            "pack_shards": pack_shards,
         },
         "corpus_path": corpus_path,
     }
