@@ -291,3 +291,20 @@ def test_ensure_min_partitions_is_noop_on_wide_inputs(spark):
 
     wide = spark.range(1000).repartition(target + 8)
     assert ensure_min_partitions(wide) is wide  # identical plan, no shuffle
+
+
+def test_sharded_packing_window_partitions_by_shard(spark):
+    """The sharded packing twin's running-sum window must hash-partition on
+    the shard key — one window task per shard, never a single global sort —
+    while the exact twin keeps the single global window it documents."""
+    from tests.conftest import SF_SMALL
+
+    sharded = QUERIES["pack_training_chunks_sharded"](spark, SF_SMALL)
+    plan = sharded._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(shard" in plan, plan
+    assert "Window" in plan
+
+    flat = QUERIES["pack_training_chunks"](spark, SF_SMALL)
+    flat_plan = flat._jdf.queryExecution().executedPlan().toString()
+    # global window => a single-partition exchange, by design in the exact twin
+    assert "Exchange SinglePartition" in flat_plan, flat_plan
