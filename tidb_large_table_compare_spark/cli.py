@@ -228,13 +228,17 @@ def _run(args) -> int:
     )
     if args.range_sql:
         opts["range_sql"] = args.range_sql
+    # the catalog's TABLE_ROWS (parquet footer counts — the reference's
+    # information_schema read, step1_query_tables.sh:115-117) sizes each
+    # job's digest buckets with zero extra Spark jobs (row_count_hint)
+    catalog_rows = {r.table_name: r.table_rows for r in catalog.collect()}
     jobs = [
         CompareJob(
             table=f"{args.schema}.{t}",
             left=spark.read.parquet(f"{args.left_dir}/{t}.parquet"),
             right=spark.read.parquet(f"{args.right_dir}/{t}.parquet"),
             pk=pk_map.get(t),
-            options=CompareOptions(**opts),
+            options=CompareOptions(**opts, row_count_hint=catalog_rows.get(t)),
         )
         for t in worklist
     ]
