@@ -60,6 +60,23 @@ def test_curate_corpus_end_to_end(spark, tmp_path):
     assert on_disk["stages"] == st
 
 
+def test_curate_pipeline_job_count_bounded(spark, tmp_path):
+    """Stage counts ride df.observe() on jobs the pipeline runs anyway; the
+    eager input/exact-dedup/decontamination count() jobs are gone. Measured
+    at this fixture (AQE splits actions into per-exchange jobs): 33 jobs vs
+    38 for the eager-count formulation. The cap fails if dedicated stage
+    counts creep back in."""
+    docs = _corpus_with_dups(spark)
+    sc = spark.sparkContext
+    sc.setJobGroup("curate-jobcount", "curate job-count bound")
+    try:
+        curate_corpus(spark, docs, str(tmp_path / "curated"))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    n_jobs = len(sc.statusTracker().getJobIdsForGroup("curate-jobcount"))
+    assert 0 < n_jobs <= 35, f"curation pipeline ran {n_jobs} jobs (cap 35)"
+
+
 def test_curate_corpus_is_deterministic(spark, tmp_path):
     docs = _corpus_with_dups(spark)
     m1 = curate_corpus(spark, docs, str(tmp_path / "a"))

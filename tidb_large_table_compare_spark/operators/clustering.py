@@ -52,7 +52,7 @@ def _driver_components(pairs: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame, max_iterations: int = 20, *, edge_count: int | None = None
 ) -> DataFrame:
     """(node, cluster_id) where cluster_id = min node id in the component.
 
@@ -65,8 +65,19 @@ def connected_components(
     Spark jobs' worth of per-round scheduling collapses to one collect.
     Larger graphs run the distributed min-label propagation below — each
     round shuffles only (node, label) pairs, rounds ∝ graph diameter.
+
+    ``edge_count``: callers that already know |pairs| (e.g. the curation
+    pipeline counts the persisted candidate frame to materialize it and fire
+    its stage observations) pass it here, skipping the bounded limit-probe
+    job. The probe's early-stop is also why observe() metrics attached below
+    ``pairs`` must not rely on it: a LIMIT may read only some partitions.
     """
-    if pairs.limit(DRIVER_EDGE_THRESHOLD + 1).count() <= DRIVER_EDGE_THRESHOLD:
+    known = (
+        edge_count
+        if edge_count is not None
+        else pairs.limit(DRIVER_EDGE_THRESHOLD + 1).count()
+    )
+    if known <= DRIVER_EDGE_THRESHOLD:
         return _driver_components(pairs)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

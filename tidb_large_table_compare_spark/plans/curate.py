@@ -12,14 +12,21 @@ entry: hash-groupBy exact dedup, banded-LSH candidates (never all-pairs),
 label-propagation components over candidate edges only, map-only quality
 and split expressions, one running-sum window for packing. The pipeline
 adds no new shuffle shapes — it only sequences verified ones.
+
+The attrition manifest is one-pass: stage counts are ``df.observe()``
+metrics collected by the jobs the pipeline must run anyway (candidate-pair
+materialization, junction count, corpus write, post-write read-back) —
+no dedicated count() jobs, and the job total is regression-capped in
+``tests/test_curate.py::test_curate_pipeline_job_count_bounded``.
 """
 
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tidb_large_table_compare_spark.operators.clustering import connected_components
@@ -32,6 +39,30 @@ from tidb_large_table_compare_spark.operators.dedup import (
 from tidb_large_table_compare_spark.operators.textops import quality_features
 
 __all__ = ["curate_corpus"]
+
+
+def _observed_count(obs: Observation, frame: DataFrame, timeout_sec: float = 30.0) -> int:
+    """Read an Observation's count metric, with a recompute fallback.
+
+    ``Observation.get`` blocks until the first action over the observed
+    frame finishes; by the time the pipeline reads a metric that action has
+    already run, so this returns immediately. The thread+timeout guard is a
+    belt against the one pathological case — an execution path where the
+    observed node ends up entirely behind a populated cache so its metrics
+    never surface — in which case the count is recomputed directly (costing
+    the one extra job the observation was meant to save, never a hang).
+    """
+    box: dict[str, int] = {}
+
+    def _grab() -> None:
+        box["n"] = int(obs.get["n"])
+
+    t = threading.Thread(target=_grab, daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    if "n" in box:
+        return box["n"]
+    return frame.count()
 
 
 def _quality_keep(text_col: Column) -> Column:
@@ -77,16 +108,22 @@ def curate_corpus(
     Returns the manifest dict (also written to ``out_dir/manifest.json``);
     the curated corpus lands in ``out_dir/corpus`` partitioned by ``split``.
     """
-    n_input = docs.count()
+    # Stage counts ride df.observe() metrics on the jobs the pipeline runs
+    # anyway (the candidate-pair materialization and the corpus write) —
+    # no dedicated count() jobs for input / exact-dedup / decontamination.
+    obs_input = Observation()
+    obs_exact = Observation()
+    obs_decon = Observation()
 
     # 1. exact dedup: keep the lowest doc_id per identical text
     w_exact = Window.partitionBy("text").orderBy("doc_id")
     exact = (
-        docs.withColumn("__rn", F.row_number().over(w_exact))
+        docs.observe(obs_input, F.count(F.lit(1)).alias("n"))
+        .withColumn("__rn", F.row_number().over(w_exact))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .observe(obs_exact, F.count(F.lit(1)).alias("n"))
     )
-    n_exact = exact.count()
 
     # 2. near-dup: OPH MinHash → banded LSH → exact-Jaccard verify →
     #    connected components → keep each cluster's representative (min id)
@@ -108,14 +145,21 @@ def curate_corpus(
     pairs = jaccard_verified_pairs(
         cands, shingle_sets, "doc_id", jaccard_threshold
     ).select("id_a", "id_b").persist()
-    clusters = connected_components(pairs)
+    # One full count of the persisted candidate frame: materializes the
+    # shingle/pair caches, executes the observed input/exact nodes end-to-end
+    # in a single full-scan action (a LIMIT probe could stop early and latch
+    # partial metrics), and doubles as connected_components' size probe.
+    n_pairs = pairs.count()
+    n_input = _observed_count(obs_input, docs)
+    n_exact = _observed_count(obs_exact, exact)
+    clusters = connected_components(pairs, edge_count=n_pairs)
     drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
     # the junction every later stage (decontamination, quality, write) hangs
-    # off — persisted so stage counts don't recompute the dedup chain
-    neardup = exact.join(drop, "doc_id", "left_anti").persist()
-    n_neardup = neardup.count()
+    # off — persisted so downstream branches don't recompute the dedup chain
+    neardup_cached = exact.join(drop, "doc_id", "left_anti").persist()
+    n_neardup = neardup_cached.count()
     shingle_sets.unpersist()
     pairs.unpersist()
 
@@ -128,7 +172,7 @@ def curate_corpus(
             )
             .distinct()
         )
-        grams = neardup.select(
+        grams = neardup_cached.select(
             "doc_id", F.explode(hashed_word_ngrams(F.col("text"), 3)).alias("gram")
         ).distinct()
         contaminated = (
@@ -138,14 +182,15 @@ def curate_corpus(
             .filter(F.col("__shared") >= contamination_min_shared)
             .select("doc_id")
         )
-        neardup = neardup.join(contaminated, "doc_id", "left_anti")
-        n_decontaminated = neardup.count()
+        survivors = neardup_cached.join(contaminated, "doc_id", "left_anti")
     else:
-        n_decontaminated = n_neardup  # stage is a no-op without a benchmark
+        survivors = neardup_cached  # stage is a no-op without a benchmark
+    # post-decontamination count observed on the write pass (fires there)
+    survivors = survivors.observe(obs_decon, F.count(F.lit(1)).alias("n"))
 
     # 4. composite quality filter (map-only; its count is derived from the
     # written corpus below — one job instead of an extra pre-write count)
-    quality = neardup.filter(_quality_keep(F.col("text")))
+    quality = survivors.filter(_quality_keep(F.col("text")))
 
     # 5. deterministic content-independent split (md5-prefix hash of doc_id)
     bucket = F.pmod(
@@ -201,7 +246,11 @@ def curate_corpus(
         .collect()
     }
     n_quality = sum(s["n_docs"] for s in split_counts.values())
-    neardup.unpersist()
+    # the write above is the first action over the observed survivors frame
+    n_decontaminated = _observed_count(obs_decon, survivors)
+    # dedicated handle: unpersisted regardless of the decontamination branch
+    # (rebinding `survivors` must not orphan the cached junction)
+    neardup_cached.unpersist()
     manifest = {
         "stages": {
             "input": n_input,
