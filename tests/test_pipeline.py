@@ -181,6 +181,19 @@ def test_render_final_report_byte_parity(spark, summaries):
     ]
 
 
+def test_render_final_report_leaves_nothing_cached(spark, summaries):
+    """The final report must not pin cached frames across renders (ADVICE
+    r4: a persist() on the latest-run dedup was never released on the
+    normal path — repeated report renders accumulated cached data)."""
+    from tidb_large_table_compare_spark.plans.report import render_final_report
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        render_final_report(summaries).collect()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before
+
+
 def test_render_report_shape(summaries):
     lines = [r.line for r in render_report(summaries).collect()]
     assert lines[0].startswith("+") and lines[-1].startswith("+")

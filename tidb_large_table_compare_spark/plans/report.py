@@ -167,11 +167,28 @@ def render_final_report(summaries: DataFrame) -> DataFrame:
     ``SUMMARY_COUNT=$(... | wc -l)`` runs (step3:169-172, 185).
     """
     spark = summaries.sparkSession
-    # one latest-run dedup feeds both the found-files count (eager, picks the
-    # report shape) and the body rows — persisted so the count job's work is
-    # reused when the caller materializes the report (ADVICE r3)
-    latest = latest_run(summaries).persist()
-    n_files = latest.count()
+    # One job renders and collects the body rows: the found-files count (which
+    # picks the report shape, so it must be eager) and the body lines come from
+    # the same pass — no persist, so nothing is left cached across renders
+    # (ADVICE r4: the previous persist was never released on the normal path).
+    # Driver state is bounded by construction: one ~60-byte rendered line per
+    # compared table of the latest run — the report is a terminal/tee artifact
+    # in the reference (step3_run_syncdiff.sh:175) and is driver-sized by
+    # definition, the same budget as the drill-down IN-list cap.
+    status = F.when(F.col("structure_ok"), F.lit(STRUCTURE_OK_LABEL)).otherwise(
+        F.lit(STRUCTURE_DIFF_LABEL)
+    )
+    body_rows = (
+        latest_run(summaries)
+        .select(
+            report_row_line(
+                F.col("table"), status, F.col("upcount"), F.col("downcount")
+            ).alias("line"),
+            F.concat(F.lit("2_"), F.col("table")).alias("__ord"),
+        )
+        .collect()
+    )
+    n_files = len(body_rows)
     head = [
         (REPORT_BANNER, "0_0"),
         (REPORT_TITLE, "0_1"),
@@ -180,7 +197,6 @@ def render_final_report(summaries: DataFrame) -> DataFrame:
     ]
     schema = "line string, __ord string"
     if n_files == 0:
-        latest.unpersist()
         head.append((NO_SUMMARY_LINE, "0_4"))
         return spark.createDataFrame(head, schema).orderBy("__ord").select("line")
     head += [
@@ -193,17 +209,8 @@ def render_final_report(summaries: DataFrame) -> DataFrame:
         ("", "4_0"),
         ("", "6_0"),
     ]
-    frame = spark.createDataFrame(head, schema)
-    status = F.when(F.col("structure_ok"), F.lit(STRUCTURE_OK_LABEL)).otherwise(
-        F.lit(STRUCTURE_DIFF_LABEL)
-    )
-    body = latest.select(
-        report_row_line(
-            F.col("table"), status, F.col("upcount"), F.col("downcount")
-        ).alias("line"),
-        F.concat(F.lit("2_"), F.col("table")).alias("__ord"),
+    frame = spark.createDataFrame(
+        head + [(r["line"], r["__ord"]) for r in body_rows], schema
     )
     tail = _summary_block_ordered(summaries, prefix="5_")
-    return (
-        frame.unionByName(body).unionByName(tail).orderBy("__ord").select("line")
-    )
+    return frame.unionByName(tail).orderBy("__ord").select("line")
