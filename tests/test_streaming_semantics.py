@@ -163,3 +163,33 @@ def test_checkpoint_recovery_is_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     ids = sorted(r.event_id for r in got.collect())
     assert ids == list(range(25))  # no loss, no duplicates
+
+
+def test_streaming_entry_restores_session_confs(spark):
+    """Streaming entries pin nanosAsLong + UTC for the life of the stream
+    only (_scoped_stream_confs): after the entry returns, the session confs
+    are back to their prior values — previously the sets were permanent,
+    the engine's last unscoped session mutation."""
+    from tidb_large_table_compare_spark.streaming.events import (
+        streaming_hourly_counts,
+    )
+
+    keys = ["spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"]
+
+    def snapshot():
+        out = {}
+        for k in keys:
+            try:
+                out[k] = spark.conf.get(k)
+            except Exception:
+                out[k] = None
+        return out
+
+    # known prior state: nanosAsLong explicitly unset (an earlier test may
+    # have driven a stream); the entry must re-unset it on exit, not leave
+    # its own "true" behind
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    before = snapshot()
+    rows = streaming_hourly_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0  # the stream actually ran under the pinned confs
+    assert snapshot() == before

@@ -10,6 +10,7 @@ streaming execution path itself.
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +18,45 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from tidb_large_table_compare_spark.sources.tables import normalize_event_ts
+
+# Confs every streaming entry needs while its micro-batches execute:
+# streaming parquet scans consult nanosAsLong at execution time (unlike the
+# batch loader's eagerly-captured read), and watermark/window boundaries
+# consult the session timezone per batch.
+_STREAM_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+@contextmanager
+def _scoped_stream_confs(spark: SparkSession):
+    """Pin the streaming confs for the life of a stream, then restore them.
+
+    The restore happens only after the wrapped entry has drained and stopped
+    its query (``processAllAvailable`` + ``stop`` run inside the block), so
+    every micro-batch executes under the pinned confs — the reason these
+    sets previously had to be permanent. Entries return memory-sink-backed
+    DataFrames, which no longer consult parquet confs after the restore.
+    (The session is UTC-pinned globally by ``session.get_spark``, so the
+    timezone restore is a no-op there — the scoping matters for sessions
+    the engine did not build itself.)
+    """
+    prior: dict[str, str | None] = {}
+    for key, value in _STREAM_CONFS.items():
+        try:
+            prior[key] = spark.conf.get(key)
+        except Exception:
+            prior[key] = None
+        spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        for key, prev in prior.items():
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def event_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
@@ -42,9 +82,11 @@ def _event_stream(
     building several legs, probed here otherwise); ``normalize_event_ts``
     applies the conversion matching the observed dtype. One helper, every
     reader: the batch loader and all streaming entries agree on the time
-    axis by construction. ``nanosAsLong`` stays set on the session (not
-    scoped like the batch loader's read) because streaming micro-batch scans
-    consult it at execution time, long after this builder returns.
+    axis by construction. The conf sets here must outlive this builder
+    (streaming micro-batch scans consult them at execution time, unlike the
+    batch loader's scoped read); the public entries wrap their whole
+    build→drain→stop lifecycle in :func:`_scoped_stream_confs`, which
+    restores the session confs once the stream has stopped.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # watermarks require TIMESTAMP (LTZ); with the session pinned to UTC the
@@ -74,26 +116,27 @@ def streaming_hourly_counts(
     the finished result. Columns match the batch oracle: (hour_start,
     event_type, n_events, total_value).
     """
-    stream = _event_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).alias("tv"),
+    with _scoped_stream_confs(spark):
+        stream = _event_stream(spark, sf_dir)
+        agg = (
+            stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).alias("tv"),
+            )
         )
-    )
-    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+        name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.table(name).select(
         F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
         "event_type",
@@ -115,8 +158,6 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    stream = _event_stream(spark, sf_dir)
-
     def update_totals(key, pdfs, state: GroupState):
         count, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
@@ -127,24 +168,26 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [count], "total_cents": [cents]}
         )
 
-    out = (
-        stream.groupBy("user_id")
-        .applyInPandasWithState(
-            update_totals,
-            outputStructType="user_id bigint, n_events bigint, total_cents bigint",
-            stateStructType="count bigint, cents bigint",
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    with _scoped_stream_confs(spark):
+        stream = _event_stream(spark, sf_dir)
+        out = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                update_totals,
+                outputStructType="user_id bigint, n_events bigint, total_cents bigint",
+                stateStructType="count bigint, cents bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
-    )
-    name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
-    query = (
-        out.writeStream.outputMode("update").format("memory").queryName(name).start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+        name = f"stream_user_totals_{uuid.uuid4().hex[:8]}"
+        query = (
+            out.writeStream.outputMode("update").format("memory").queryName(name).start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     # update-mode memory sink appends one row per (user, batch); keep the
     # latest (cumulative) row per user
     from pyspark.sql import window as W
@@ -170,23 +213,24 @@ def streaming_session_counts(
     batch lag-and-cumsum sessionization, so the batch SQL oracle checks the
     streaming session-window implementation.
     """
-    stream = _event_stream(spark, sf_dir)
-    sessions = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_in_session"))
-    )
-    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    query = (
-        sessions.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with _scoped_stream_confs(spark):
+        stream = _event_stream(spark, sf_dir)
+        sessions = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_in_session"))
+        )
+        name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+        query = (
+            sessions.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -218,22 +262,26 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
             .withWatermark(f"{alias}_ts", "1 hour")
         )
 
-    purchases = side("purchase", "p")
-    signups = side("signup", "s")
-    joined = purchases.join(
-        signups,
-        F.expr(
-            "p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 30 DAYS"
-        ),
-    )
-    name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
-    query = (
-        joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+    with _scoped_stream_confs(spark):
+        purchases = side("purchase", "p")
+        signups = side("signup", "s")
+        joined = purchases.join(
+            signups,
+            F.expr(
+                "p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 30 DAYS"
+            ),
+        )
+        name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
+        query = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.table(name).select(
         F.col("p_user").alias("user_id"),
         F.col("p_id").alias("purchase_id"),
@@ -258,28 +306,29 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output (event_id, event_type, cents) must equal the batch table exactly
     — the oracle is a plain projection of ``events``.
     """
-    schema = event_stream_schema(spark, sf_dir)  # one footer probe for both legs
-    doubled = _event_stream(spark, sf_dir, schema).unionByName(
-        _event_stream(spark, sf_dir, schema)
-    )
-    deduped = (
-        doubled.withWatermark("ts", "2 hours")
-        .dropDuplicatesWithinWatermark(["event_id"])
-        .select(
-            "event_id",
-            "event_type",
-            F.round(F.col("value") * 100).cast("long").alias("cents"),
+    with _scoped_stream_confs(spark):
+        schema = event_stream_schema(spark, sf_dir)  # one footer probe, both legs
+        doubled = _event_stream(spark, sf_dir, schema).unionByName(
+            _event_stream(spark, sf_dir, schema)
         )
-    )
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    query = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
+        deduped = (
+            doubled.withWatermark("ts", "2 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .select(
+                "event_id",
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+        )
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     return spark.table(name)
