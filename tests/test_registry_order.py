@@ -56,6 +56,23 @@ def test_every_entry_has_had_a_driver_window():
     assert set(QUERIES) <= covered, sorted(set(QUERIES) - covered)
 
 
+def test_window_rotates_stalest_entries():
+    """The rotation policy, mechanically: any entry whose latest green
+    signal lags the newest recorded round by 2+ rounds must hold a window
+    slot this round — signals may age one round (the window holds 50 of
+    114+), never two."""
+    rounds = L.load_rounds(REPO)
+    newest = max(rounds)
+    led = L.ledger(rounds)
+    window = set(list(QUERIES)[:WINDOW])
+    stale = {
+        n
+        for n, r in led.items()
+        if r["last_green"] is not None and r["last_green"] <= newest - 2
+    } & set(QUERIES)
+    assert stale <= window, sorted(stale - window)
+
+
 def test_reorder_lost_nothing():
     # structural invariants only — a hand-counted total rots every round
     assert len(QUERIES) >= WINDOW

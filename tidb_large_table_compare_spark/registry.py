@@ -3452,68 +3452,69 @@ FROM w GROUP BY window_start
 # identical string) and sit past the cap.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) the only never-green entries — r1-r3 errored on raw array<> output
-    # columns; this round their outputs are serialized to scalars
-    "event_prop_keys",
-    "embedding_array_stats",
-    # (b) new in round 4: the k-means → IVF composition, the CUBE completion
-    # of the multi-dimensional aggregation row, and the sharded packing
-    # scale path
-    "ann_ivf_trained_topk",
-    "cube_order_price_stats",
-    "pack_training_chunks_sharded",
-    # (c) every entry whose latest green signal is round 1 (ledger-derived:
-    # 32 entries) — the ts loader and session knobs changed since they were
-    # last checked, so their signals are the stalest in the registry
-    "base64_roundtrip_docs",
-    "catalog_discovery",
-    "cmp_diff_rows_composite_pk",
-    "cmp_fix_sql_orders",
-    "cmp_schema_diff_drift",
-    "cmp_summary_self",
-    "customers_never_finished",
-    "customers_with_both_statuses",
-    "dedup_corpus_stats",
-    "dedup_exact_docs",
-    "doc_fingerprints",
-    "doc_lang_guess",
-    "doc_quality_scores",
-    "doc_token_counts",
-    "embedding_neardup_pairs",
-    "event_ts_labels",
-    "grouping_sets_order_counts",
-    "hourly_event_counts",
-    "latest_event_per_user",
-    "multimodal_binary_meta",
-    "neardup_ngram_jaccard",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority_exists",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "rollup_quantity_by_flag_status",
-    "running_revenue_per_customer",
-    "salted_lineitem_counts",
-    "sessionize_events",
-    "stale_worklist",
-    "top3_customers_per_nation",
-    # (d) regression canaries for round-4 changes: compare bucket sizing
-    # (stats injection), report latest_run reuse, streaming schema-probe
-    # reuse, trained-centroid IVF siblings, scoped load_table session conf,
-    # multimodal encoder seam
-    "cmp_summary_orders",
-    "cmp_summary_incremental",
-    "cmp_reconcile_orders",
-    "cmp_diff_rows_orders",
+    # (a) every entry whose latest green signal is round 2 (ledger-derived:
+    # 23 entries) — two rounds stale, the oldest signals in the registry;
+    # test_registry_order.py::test_window_rotates_stalest_entries enforces
+    # that signals never age past two rounds outside the window
+    "approx_distinct_parts",
+    "bpe_ish_token_counts",
+    "cmp_float_tolerance",
+    "cmp_struct_only_drift",
+    "cmp_summary_composite_pk",
+    "cmp_summary_orders_multiset",
+    "cmp_summary_orders_ranged",
+    "contamination_check",
+    "dedup_cluster_assignments",
+    "dedup_final_corpus_stats",
+    "embedding_dedup_clusters",
+    "kmeans_cluster_assignments",
+    "neardup_simhash_pairs",
+    "pack_training_chunks",
+    "parsed_report_roundtrip",
+    "pivot_docs_by_source",
+    "quality_filter_verdicts",
+    "repetition_filter_docs",
+    "simhash_docs",
+    "stratified_sample_docs",
+    "streaming_user_totals_stateful",
+    "top_tokens_documents",
+    "train_val_split",
+    # (b) regression canaries for round-5 changes: the observe()-based
+    # one-pass curation manifest + connected_components edge_count hint
+    # (dedup/packing chain), the collect-based final report (report path),
+    # and the scoped streaming session confs (every streaming entry)
     "render_report_lines",
     "report_latest_totals",
-    "streaming_dedup_events",
+    "render_summary_lines",
     "streaming_hourly_counts",
-    "ann_ivf_topk",
-    "knn_label_classify_ivf",
-    "kmeans_cluster_sizes",
-    "multimodal_frame_samples",
-    "tfidf_top_terms",
+    "streaming_dedup_events",
+    "streaming_session_counts",
+    "streaming_purchase_signup_join",
+    "sliding_event_counts",
+    "neardup_minhash_lsh",
+    "neardup_minhash_lsh_capped",
+    "dedup_exact_docs",
+    "dedup_corpus_stats",
+    "pack_training_chunks_sharded",
+    "ann_cosine_topk",
+    "knn_label_classify",
+    # (c) oldest round-3 signals that fit in the remaining slots — the
+    # DataFrame-native operators first (as-of / range / lateral joins,
+    # sketches, text ops); the shared-ANSI-SQL TPC-H pile (q2, q7-q22)
+    # cannot drift (Spark executes the oracle's exact string) and waits
+    # for round 6
+    "asof_purchase_last_signup",
+    "range_join_errors_busy_hours",
+    "lateral_top2_orders_per_customer",
+    "extract_table_from_sql",
+    "approx_price_quantiles",
+    "dup_span_docs",
+    "json_props_by_type",
+    "redact_pii_documents",
+    "sketch_daily_users_merged",
+    "zorder_lineitem_extents",
+    "rag_chunk_docs",
+    "string_ops_documents",
 ]
 
 
