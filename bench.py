@@ -117,7 +117,11 @@ def main() -> None:
     spark = get_spark("bench")
 
     from tidb_large_table_compare_spark.registry import QUERIES
-    from tidb_large_table_compare_spark.sources.tables import TABLES, load_table
+    from tidb_large_table_compare_spark.sources.tables import (
+        TABLES,
+        _scoped_conf,
+        load_table,
+    )
 
     # JVM/codegen first touch
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -131,36 +135,49 @@ def main() -> None:
         spark.range(32).mapInPandas(lambda it: it, "id long").count()
     except Exception:
         pass
-    # full codegen warmup: run every headline query once AT THE MEASURED SF
-    # so whole-stage-codegen compilation (the OPH/minhash shapes alone cost
-    # ~7 s of one-time JIT, and stats-dependent join strategies generate
-    # different code per SF) lands in cold_start, and the measured loop is
-    # steady-state execution. Sizes are identical either way; only the
-    # one-time compile cost moves.
-    for name in HEADLINE:
+
+    # Full codegen warmup: run every headline query and one pass of each
+    # composite bench AT THE MEASURED SF, so whole-stage-codegen compilation
+    # (the OPH/minhash shapes alone cost ~7 s of one-time JIT; the curation
+    # pipeline's shapes ~16 s) lands in cold_start and the measured loop is
+    # steady-state. The warmups run CONCURRENTLY (Spark job submission is
+    # thread-safe; local[32] has idle cores during any single query's narrow
+    # stages), which roughly halves cold-start wall-clock. load_table's
+    # scoped nanosAsLong set/restore is not thread-safe on its own, so the
+    # conf is pinned once around the whole phase — every inner scoped set
+    # then writes the value it restores (idempotent under races).
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    workdir = tempfile.mkdtemp(prefix="bench_extra_")
+    extra_runs = {}
+
+    def _warm_query(name: str) -> None:
         try:
             QUERIES[name](spark, sf_dir).count()
         except Exception:
             pass  # warmup is best-effort; the measured loop still runs cold
-    cold_start = round(time.monotonic() - t_cold, 3)
-    print(f"# cold_start: {cold_start:.3f}s", file=sys.stderr)
 
-    # extra composite-pipeline benches: setup (and one warm run, absorbed
-    # into cold_start accounting) happens before the measured loop
-    import shutil
-    import tempfile
-
-    workdir = tempfile.mkdtemp(prefix="bench_extra_")
-    t_extra_setup = time.monotonic()
-    extra_runs = {}
-    for name, make in EXTRA_BENCHES.items():
+    def _setup_extra(name: str, make) -> None:
         try:
             run = make(spark, sf_dir, workdir)
-            run()  # codegen/warmup run, like the HEADLINE warmup above
+            run()  # codegen/warmup run, like the HEADLINE warmup
             extra_runs[name] = run
         except Exception as exc:  # pragma: no cover - bench resilience
             print(f"# {name}: setup failed: {exc}", file=sys.stderr)
-    cold_start = round(cold_start + (time.monotonic() - t_extra_setup), 3)
+
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futures = [pool.submit(_warm_query, n) for n in HEADLINE]
+            futures += [
+                pool.submit(_setup_extra, n, make)
+                for n, make in EXTRA_BENCHES.items()
+            ]
+            for f in futures:
+                f.result()
+    cold_start = round(time.monotonic() - t_cold, 3)
+    print(f"# cold_start: {cold_start:.3f}s", file=sys.stderr)
 
     # One failing query must not zero out the whole round's numbers (round 2
     # lost its bench to a single shared loader defect): failures are recorded
