@@ -21,7 +21,12 @@ driver override, predicate/column pushdown into the remote query, PK-range
 specifics — type mapping of TiDB decimals/datetimes, ``useSSL``/auth
 options, the TIDB_PK_TYPE column itself — are declared but unverified
 against a live server. A deployment should smoke them with
-``cli.py --check-connection`` before relying on catalog discovery.
+``cli.py --check-connection`` before relying on catalog discovery, and can
+run the env-gated integration test
+(``tests/test_jdbc.py::test_mysql_wire_against_live_tidb``, enabled by
+``TIDB_TEST_URL``) to check the dialect assumptions — information_schema
+catalog columns, DECIMAL/DATETIME/SIGNED type mapping, PK-range
+partitioned reads — against the real wire.
 """
 
 from __future__ import annotations
