@@ -87,13 +87,27 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Per-round state is localCheckpoint(eager)ed, NOT persisted. Spark's
+    # non-cascading unpersist (SPARK-24596) re-registers dependent cache
+    # entries UNMATERIALIZED: with persist+unpersist chaining, dropping round
+    # N-1 silently cleared round N's just-built cache, so each next round (and
+    # every consumer after the loop — here and in the curation pipeline, whose
+    # junction depends on the pairs cache) recomputed through dead lineage —
+    # measured 2.7 s → 6.6 s → 19.5 s per round on a 486k-edge graph, then
+    # 36 s to read the "cached" result. A checkpointed round is an RDD-backed
+    # plan with no dependency on previous rounds or on ``pairs``; superseded
+    # checkpoint blocks are released by the ContextCleaner as rounds go out
+    # of scope, and rounds are bounded by the dup graph's diameter anyway.
+    # (localCheckpoint blocks are executor-local and non-replicated: on a
+    # real cluster an executor loss mid-loop fails the query and the caller
+    # retries the whole CC — acceptable for a bounded minutes-long loop;
+    # switch to reliable checkpointing if that ever proves too coarse.)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    cached_prev = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -102,7 +116,6 @@ def connected_components(
         )
         # carry (old, new) label in one frame: the convergence probe reads it
         # directly instead of re-joining the new labels against the old ones
-        # (one join and one wide recompute fewer per round)
         merged = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -112,14 +125,14 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        changed = (
-            merged.filter(F.col("label") != F.col("old_label")).limit(1).count()
-        )
-        cached_prev.unpersist()
-        cached_prev = merged
+        changed = merged.filter(F.col("label") != F.col("old_label")).count()
         labels = merged.select("node", "label")
         if changed == 0:
             break
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    result = labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    # the returned frame reads the final checkpoint's stored blocks, so the
+    # edge frame can be released before the caller ever runs an action
+    edges.unpersist()
+    return result
