@@ -223,6 +223,11 @@ class TableCompare:
             lh = lh.filter(F.col("__bucket").isin(bad_ids))
             rh = rh.filter(F.col("__bucket").isin(bad_ids))
         else:
+            # deliberate session-lifetime cache: the bucket set is embedded
+            # in the returned lazy diff plan, which callers re-consume
+            # (fix-SQL, reconcile) — releasing it here would re-run the
+            # digest compare per consumer. Bounded: one long per mismatched
+            # bucket (few MB at the 2^20 bucket cap).
             bad = bad.persist()
             bad.count()
             lh = lh.join(F.broadcast(bad), "__bucket", "left_semi")

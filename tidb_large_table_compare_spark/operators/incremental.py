@@ -139,6 +139,9 @@ def incremental_compare(
         cmp.left = cmp.left.filter(keep)
         cmp.right = cmp.right.filter(keep)
     else:
+        # deliberate session-lifetime cache, same contract as the compare
+        # drill-down's bucket set: embedded in the returned lazy plan and
+        # bounded by the bucket cap (one long per changed bucket)
         changed = changed.persist()
         changed.count()
         bcol = bucket_id(pk, n_buckets)

@@ -102,8 +102,15 @@ def kmeans_assignments(
     (deterministic seeding); cluster ids are those seed vectors' ids.
     """
     vectors = _prep_vectors(corpus, id_col, vec_col).persist()
-    centroid_rows = _train(vectors, centroid_mod, iterations)
-    assigned = _assign(vectors, centroid_rows)
+    try:
+        centroid_rows = _train(vectors, centroid_mod, iterations)
+    finally:
+        # the cache exists for the multi-pass training rounds; the final
+        # assignment is one map-only pass, so it recomputes the (map-only)
+        # vector prep from source instead of pinning the corpus cache for
+        # the session lifetime
+        vectors.unpersist()
+    assigned = _assign(_prep_vectors(corpus, id_col, vec_col), centroid_rows)
     return assigned.select(F.col("id").alias(id_col), "cluster_id")
 
 
