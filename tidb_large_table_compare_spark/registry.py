@@ -38,6 +38,7 @@ from tidb_large_table_compare_spark.operators.spans import (
     duplicated_spans,
 )
 from tidb_large_table_compare_spark.plans.discover import discover, stale_entries
+from tidb_large_table_compare_spark.plans import analytics as _A
 from tidb_large_table_compare_spark.plans.report import (
     render_report,
     render_summary_block,
@@ -480,12 +481,16 @@ UNION ALL SELECT '  总数据量: ' || CAST(FLOOR(up / 1000000) AS BIGINT) || 'M
 
 
 # ===========================================================================
-# 3. Analytics surface (SURVEY.md §2.C) — shared ANSI SQL, one string both
-#    engines. TPC-H-shaped over the test star schema.
+# 3. Analytics surface (SURVEY.md §2.C) — TPC-H-shaped over the test star
+#    schema. The 12 headline shapes are DataFrame-native formulations
+#    (plans/analytics.py, converted round 5) checked against the original
+#    ANSI string running in DuckDB; the remaining entries stay shared-SQL
+#    (one string, both engines) — legitimate for pure SQL-surface coverage.
 # ===========================================================================
 
-_shared_sql(
+_register(
     "q1_pricing_summary",
+    _A.q1_pricing_summary,
     """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -506,8 +511,9 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 
-_shared_sql(
+_register(
     "q3_shipping_priority",
+    _A.q3_shipping_priority,
     """
 SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
@@ -525,8 +531,9 @@ LIMIT 10
 """,
 )
 
-_shared_sql(
+_register(
     "q5_revenue_by_nation",
+    _A.q5_revenue_by_nation,
     """
 SELECT n.n_name,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
@@ -542,8 +549,9 @@ GROUP BY n.n_name
 """,
 )
 
-_shared_sql(
+_register(
     "top3_customers_per_nation",
+    _A.top3_customers_per_nation,
     """
 SELECT n_name, c_name, c_acctbal, rnk FROM (
   SELECT n.n_name, c.c_name, c.c_acctbal,
@@ -1835,8 +1843,9 @@ GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
 #    conditional ratios, HAVING) — all shared ANSI SQL.
 # ===========================================================================
 
-_shared_sql(
+_register(
     "q2_cheapest_part_per_brand",
+    _A.q2_cheapest_part_per_brand,
     """
 SELECT p1.p_brand, p1.p_partkey, p1.p_retailprice
 FROM part p1
@@ -1846,8 +1855,9 @@ WHERE p1.p_retailprice = (
 """,
 )
 
-_shared_sql(
+_register(
     "q10_top_return_customers",
+    _A.q10_top_return_customers,
     """
 SELECT c.c_custkey, c.c_name,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
@@ -1865,8 +1875,9 @@ LIMIT 20
 """,
 )
 
-_shared_sql(
+_register(
     "q12_priority_line_counts",
+    _A.q12_priority_line_counts,
     """
 SELECT l.l_linestatus,
        CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1882,8 +1893,9 @@ GROUP BY l.l_linestatus
 """,
 )
 
-_shared_sql(
+_register(
     "q14_promo_revenue_share",
+    _A.q14_promo_revenue_share,
     """
 SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
                              THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) *
@@ -2064,8 +2076,9 @@ FROM extracted
 #     predicates, multi-EXISTS.
 # ===========================================================================
 
-_shared_sql(
+_register(
     "q7_nation_pair_volume",
+    _A.q7_nation_pair_volume,
     """
 SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
        EXTRACT(YEAR FROM l.l_shipdate) AS ship_year,
@@ -2084,8 +2097,9 @@ GROUP BY cn.n_name, sn.n_name, EXTRACT(YEAR FROM l.l_shipdate)
 """,
 )
 
-_shared_sql(
+_register(
     "q9_profit_by_nation_year",
+    _A.q9_profit_by_nation_year,
     """
 SELECT n.n_name, EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
@@ -2376,8 +2390,9 @@ SELECT (SELECT COUNT(*) FROM corpus) AS n_before,
 """,
 )
 
-_shared_sql(
+_register(
     "q8_brand_share_by_year",
+    _A.q8_brand_share_by_year,
     """
 SELECT order_year,
        CAST(SUM(CASE WHEN p_brand = 'Brand#12' THEN volume ELSE 0.0 END) AS DOUBLE)
@@ -2396,8 +2411,9 @@ GROUP BY order_year
 """,
 )
 
-_shared_sql(
+_register(
     "q13_order_count_distribution",
+    _A.q13_order_count_distribution,
     """
 SELECT c_count, COUNT(*) AS custdist FROM (
   SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
@@ -3498,23 +3514,24 @@ _DRIVER_PRIORITY: list[str] = [
     "pack_training_chunks_sharded",
     "ann_cosine_topk",
     "knn_label_classify",
-    # (c) oldest round-3 signals that fit in the remaining slots — the
-    # DataFrame-native operators first (as-of / range / lateral joins,
-    # sketches, text ops); the shared-ANSI-SQL TPC-H pile (q2, q7-q22)
-    # cannot drift (Spark executes the oracle's exact string) and waits
-    # for round 6
-    "asof_purchase_last_signup",
-    "range_join_errors_busy_hours",
-    "lateral_top2_orders_per_customer",
-    "extract_table_from_sql",
-    "approx_price_quantiles",
-    "dup_span_docs",
-    "json_props_by_type",
-    "redact_pii_documents",
-    "sketch_daily_users_merged",
-    "zorder_lineitem_extents",
-    "rag_chunk_docs",
-    "string_ops_documents",
+    # (c) the 12 TPC-H-shaped entries converted this round from shared ANSI
+    # SQL to DataFrame-native formulations (plans/analytics.py) — changed
+    # code needs a driver signal this round. The unchanged round-3
+    # DataFrame-native entries (as-of/range/lateral joins, sketches, text
+    # ops) age one more round within the staleness bound and rotate in
+    # round 6.
+    "q1_pricing_summary",
+    "q2_cheapest_part_per_brand",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q7_nation_pair_volume",
+    "q8_brand_share_by_year",
+    "q9_profit_by_nation_year",
+    "q10_top_return_customers",
+    "q12_priority_line_counts",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "top3_customers_per_nation",
 ]
 
 
