@@ -3,11 +3,14 @@
 These queries were originally registered as shared ANSI SQL (Spark executed
 the oracle's identical string — legitimate for a SQL-surface capability, but
 it verifies Spark's SQL engine, not engine code). Re-expressed here with the
-DataFrame API as genuinely different formulations: window-min instead of a
-correlated subquery (q2), join-graph composition instead of FROM-lists,
-`when/otherwise` instead of CASE. The DuckDB oracle still runs the original
-ANSI string, so the cross-engine value check now exercises two independent
-constructions.
+DataFrame API as genuinely different formulations: window-min/window-max
+instead of correlated MIN/MAX subqueries (q2, q15), left-semi/left-anti
+joins instead of EXISTS/NOT EXISTS/IN (q4, q20, q21, q22), broadcast
+cross-joins of one-row aggregates instead of scalar subqueries (q11, q22),
+pre-aggregated threshold joins instead of correlated averages (q17),
+join-graph composition instead of FROM-lists, `when/otherwise` instead of
+CASE. The DuckDB oracle still runs the original ANSI string, so the
+cross-engine value check exercises two independent constructions.
 
 Numeric discipline matches the registry-wide contract (PERFORMANCE.md
 "Cross-engine exactness"): interior arithmetic in exact DECIMAL — the same
@@ -40,6 +43,17 @@ __all__ = [
     "q13_order_count_distribution",
     "q14_promo_revenue_share",
     "top3_customers_per_nation",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q11_important_part_stock",
+    "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q20_suppliers_of_heavy_parts",
+    "q21_suppliers_with_problem_orders",
+    "q22_idle_rich_customers",
 ]
 
 
@@ -276,4 +290,229 @@ def top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("n_name", "c_name", "c_acctbal", "rnk")
+    )
+
+
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join with a mixed equi/non-equi condition."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.expr("TIMESTAMP '1996-07-01 00:00:00'"))
+            & (F.col("o_orderdate") < F.expr("TIMESTAMP '1996-10-01 00:00:00'"))
+        )
+        .join(
+            l,
+            (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.expr("TIMESTAMP '1996-01-01 00:00:00'"))
+            & (F.col("l_shipdate") < F.expr("TIMESTAMP '1997-01-01 00:00:00'"))
+            # decimal literals, as the SQL parser reads them — not doubles
+            & (F.col("l_discount") >= F.expr("0.02"))
+            & (F.col("l_discount") <= F.expr("0.09"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", 3, 2))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q11_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery HAVING → broadcast cross-join of a one-row threshold."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("part_qty")
+    )
+    threshold = l.agg(
+        (F.sum(_dec("l_quantity")).cast("double") * F.expr("0.008")).alias("__thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_qty") > F.col("__thr"))
+        .select("l_partkey", "part_qty")
+    )
+
+
+def q15_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX-scalar subquery → empty-partition window max over the CTE frame."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).cast("double").alias("total_revenue")
+    )
+    top = (
+        revenue.withColumn(
+            "__max", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .drop("__max")
+    )
+    return s.join(top, s.s_suppkey == F.col("supplier_no")).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+        )
+        .join(l, p.p_partkey == l.l_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-part average → pre-aggregated threshold equi-join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    thresholds = l.groupBy(F.col("l_partkey").alias("__tp")).agg(
+        (
+            F.expr("0.2")
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("__thr")
+    )
+    return (
+        l.join(p.filter(F.col("p_brand") == "Brand#23"), l.l_partkey == p.p_partkey)
+        .join(thresholds, l.l_partkey == F.col("__tp"))
+        .filter(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.expr("7.0")).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q18_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        # HAVING compares the exact decimal sum, before the double cast
+        .filter(F.col("__qty") > 150)
+        .select(
+            "c_custkey", "o_orderkey", F.col("__qty").cast("double").alias("total_qty")
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+
+    def arm(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & (qty >= q_lo)
+            & (qty <= q_hi)
+        )
+
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .filter(
+            arm("Brand#12", 15, 1, 30)
+            | arm("Brand#23", 25, 5, 40)
+            | arm("Brand#15", 50, 10, 50)
+        )
+        .agg(
+            F.sum(_disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q20_suppliers_of_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join on the aggregated key set."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    heavy = (
+        l.join(p.filter(F.col("p_size") > 25), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__qty"))
+        .filter(F.col("__qty") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi").select(
+        "s_name", "s_suppkey"
+    )
+
+
+def q21_suppliers_with_problem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi, NOT EXISTS → left-anti, both with mixed
+    equi/non-equi correlation on the same fact table."""
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = load_table(spark, sf_dir, "lineitem").alias("l1")
+    o = load_table(spark, sf_dir, "orders")
+    l2 = load_table(spark, sf_dir, "lineitem").alias("l2")
+    l3 = load_table(spark, sf_dir, "lineitem").alias("l3")
+    base = s.join(l1, s.s_suppkey == F.col("l1.l_suppkey")).join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        F.col("o_orderkey") == F.col("l1.l_orderkey"),
+    )
+    with_other = base.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    sole_blocker = with_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+        "left_anti",
+    )
+    return sole_blocker.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar average threshold → broadcast cross-join; NOT EXISTS →
+    left-anti join on the order feed."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    threshold = (
+        c.filter(F.col("c_acctbal") > F.expr("0.0"))
+        .agg(
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "__thr"
+            )
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
     )

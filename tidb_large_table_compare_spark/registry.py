@@ -482,7 +482,7 @@ UNION ALL SELECT '  总数据量: ' || CAST(FLOOR(up / 1000000) AS BIGINT) || 'M
 
 # ===========================================================================
 # 3. Analytics surface (SURVEY.md §2.C) — TPC-H-shaped over the test star
-#    schema. The 12 headline shapes are DataFrame-native formulations
+#    schema. The 23 TPC-H shapes are DataFrame-native formulations
 #    (plans/analytics.py, converted round 5) checked against the original
 #    ANSI string running in DuckDB; the remaining entries stay shared-SQL
 #    (one string, both engines) — legitimate for pure SQL-surface coverage.
@@ -1499,8 +1499,9 @@ WHERE event_id % 20 = 0
 
 from tidb_large_table_compare_spark.operators.skew import salted_count_by_key  # noqa: E402
 
-_shared_sql(
+_register(
     "q6_forecast_revenue",
+    _A.q6_forecast_revenue,
     """
 SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
              CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
@@ -1513,8 +1514,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """,
 )
 
-_shared_sql(
+_register(
     "q4_order_priority_exists",
+    _A.q4_order_priority_exists,
     """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o
@@ -1909,8 +1911,9 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 """,
 )
 
-_shared_sql(
+_register(
     "q18_large_quantity_orders",
+    _A.q18_large_quantity_orders,
     """
 SELECT c.c_custkey, o.o_orderkey,
        CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
@@ -1922,8 +1925,9 @@ HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 150
 """,
 )
 
-_shared_sql(
+_register(
     "q22_idle_rich_customers",
+    _A.q22_idle_rich_customers,
     """
 SELECT c.c_nationkey, COUNT(*) AS numcust,
        CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
@@ -2116,8 +2120,9 @@ GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
 """,
 )
 
-_shared_sql(
+_register(
     "q19_disjunctive_revenue",
+    _A.q19_disjunctive_revenue,
     """
 SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
              (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
@@ -2130,8 +2135,9 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 
 """,
 )
 
-_shared_sql(
+_register(
     "q21_suppliers_with_problem_orders",
+    _A.q21_suppliers_with_problem_orders,
     """
 SELECT s.s_name, COUNT(*) AS numwait
 FROM supplier s
@@ -2424,8 +2430,9 @@ GROUP BY c_count
 """,
 )
 
-_shared_sql(
+_register(
     "q15_top_supplier_by_revenue",
+    _A.q15_top_supplier_by_revenue,
     """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
@@ -2440,8 +2447,9 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """,
 )
 
-_shared_sql(
+_register(
     "q16_part_supplier_variety",
+    _A.q16_part_supplier_variety,
     """
 SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
 FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
@@ -2450,8 +2458,9 @@ GROUP BY p.p_brand, p.p_size
 """,
 )
 
-_shared_sql(
+_register(
     "q17_small_quantity_revenue",
+    _A.q17_small_quantity_revenue,
     """
 SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
          AS avg_yearly,
@@ -2465,8 +2474,9 @@ WHERE p.p_brand = 'Brand#23'
 """,
 )
 
-_shared_sql(
+_register(
     "q20_suppliers_of_heavy_parts",
+    _A.q20_suppliers_of_heavy_parts,
     """
 SELECT s.s_name, s.s_suppkey
 FROM supplier s
@@ -2724,8 +2734,9 @@ FROM frames
 
 # q11-shape: groups whose share of the global total clears a threshold
 # (HAVING against a scalar subquery).
-_shared_sql(
+_register(
     "q11_important_part_stock",
+    _A.q11_important_part_stock,
     """
 SELECT l_partkey,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_qty
