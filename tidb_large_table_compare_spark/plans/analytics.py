@@ -54,6 +54,22 @@ __all__ = [
     "q20_suppliers_of_heavy_parts",
     "q21_suppliers_with_problem_orders",
     "q22_idle_rich_customers",
+    "latest_event_per_user",
+    "order_priority_counts",
+    "sessionize_events",
+    "hourly_event_counts",
+    "string_ops_documents",
+    "rollup_quantity_by_flag_status",
+    "customers_with_both_statuses",
+    "customers_never_finished",
+    "running_revenue_per_customer",
+    "grouping_sets_order_counts",
+    "cube_order_price_stats",
+    "yearly_volume_by_nation",
+    "extract_table_from_sql",
+    "redact_pii_documents",
+    "repeat_purchase_custkeys",
+    "lateral_top2_orders_per_customer",
 ]
 
 
@@ -515,4 +531,228 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Final conversion batch: every remaining shared-SQL entry re-expressed
+# natively — set operators, ROLLUP/CUBE/GROUPING SETS, window analytics,
+# event-time queries, LATERAL-as-window, inline-VALUES string ops.
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the same ts axis the oracle's normalizing CTE builds
+    (CAST to TIMESTAMP under the UTC-pinned session)."""
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("finished_count"),
+        F.sum(F.when(F.col("o_totalprice") > 200000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("big_ticket_count"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def string_ops_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.regexp_extract("source", "([0-9]+)", 1).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_src_num"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.substring("text", 1, 4) == "the ", 1).otherwise(0))
+        .cast("bigint")
+        .alias("the_prefix_docs"),
+    )
+
+
+def rollup_quantity_by_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+def customers_with_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(finished)  # INTERSECT (distinct)
+
+
+def customers_never_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_custkey").subtract(  # EXCEPT (distinct)
+        o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    )
+
+
+def running_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.filter(F.col("o_custkey") % 10 == 1).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+    )
+
+
+def grouping_sets_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def cube_order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+def yearly_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("volume"),
+        )
+    )
+
+
+def extract_table_from_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: FROM-clause table extraction with db.table split + fallback
+    (reference behavior) — inline rows instead of a VALUES CTE."""
+    sqls = spark.createDataFrame(
+        [
+            (1, "SELECT * FROM my_database.users WHERE id > 0"),
+            (2, "SELECT COUNT(*) FROM app_db.orders o JOIN x.y ON 1=1"),
+            (3, "SELECT 1 FROM unqualified_table"),
+            (4, "SELECT 1"),
+        ],
+        "sql_id int, sql_text string",
+    )
+    qualified = F.regexp_extract("sql_text", r"FROM +([a-zA-Z_][a-zA-Z0-9_.]*)", 1)
+    dot = F.instr(qualified, ".")
+    return sqls.select(
+        "sql_id",
+        F.when(qualified == "", F.lit("my_database"))
+        .when(dot > 0, F.substring(qualified, F.lit(1), dot - 1))
+        .otherwise(F.lit("my_database"))
+        .alias("db_name"),
+        F.when(qualified == "", F.lit("users"))
+        .when(dot > 0, qualified.substr(dot + 1, F.length(qualified)))
+        .otherwise(qualified)
+        .alias("table_name"),
+    )
+
+
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    email = r"[a-zA-Z0-9_.]+@[a-zA-Z0-9_.]+"
+    tagged = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ).alias("text"),
+    )
+    return tagged.select(
+        "doc_id",
+        F.regexp_replace("text", email, "<EMAIL>").alias("redacted"),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", email, ""))
+        ).alias("redacted_chars"),
+    )
+
+
+def repeat_purchase_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.expr("TIMESTAMP '1998-01-01 00:00:00'")
+    before = o.filter(F.col("o_orderdate") < cutoff).select("o_custkey")
+    after = o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey")
+    return before.intersectAll(after)  # INTERSECT ALL keeps multiplicity
+
+
+def lateral_top2_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL top-k per key → ranked window over the inner join (customers
+    without orders drop out of both formulations)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        c.filter(F.col("c_custkey") % 20 == 1)
+        .join(o, c.c_custkey == o.o_custkey)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 2)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
     )

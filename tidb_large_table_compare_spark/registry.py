@@ -64,16 +64,6 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str 
         ORACLES[name] = sql
 
 
-def _shared_sql(name: str, sql: str) -> None:
-    """Register a pure-ANSI query: Spark executes the identical SQL string."""
-
-    def fn(spark: SparkSession, sf_dir: str, _sql=sql) -> DataFrame:
-        register_views(spark, sf_dir)
-        return spark.sql(_sql)
-
-    _register(name, fn, sql)
-
-
 # ===========================================================================
 # 1. Comparison engine (SURVEY.md §2.B)
 # ===========================================================================
@@ -482,10 +472,11 @@ UNION ALL SELECT '  总数据量: ' || CAST(FLOOR(up / 1000000) AS BIGINT) || 'M
 
 # ===========================================================================
 # 3. Analytics surface (SURVEY.md §2.C) — TPC-H-shaped over the test star
-#    schema. The 23 TPC-H shapes are DataFrame-native formulations
+#    schema. Every analytics entry is a DataFrame-native formulation
 #    (plans/analytics.py, converted round 5) checked against the original
-#    ANSI string running in DuckDB; the remaining entries stay shared-SQL
-#    (one string, both engines) — legitimate for pure SQL-surface coverage.
+#    ANSI string running in DuckDB — as of round 5 NO registry entry
+#    executes the oracle's SQL text on Spark; every oracle compares two
+#    independent constructions.
 # ===========================================================================
 
 _register(
@@ -574,8 +565,9 @@ events_n AS (
 )
 """
 
-_shared_sql(
+_register(
     "latest_event_per_user",
+    _A.latest_event_per_user,
     f"""
 WITH {_EVENTS_N}
 SELECT user_id, event_id, event_type, ts FROM (
@@ -587,8 +579,9 @@ WHERE rn = 1
 """,
 )
 
-_shared_sql(
+_register(
     "order_priority_counts",
+    _A.order_priority_counts,
     """
 SELECT o_orderpriority,
        COUNT(*) AS order_count,
@@ -599,8 +592,9 @@ GROUP BY o_orderpriority
 """,
 )
 
-_shared_sql(
+_register(
     "sessionize_events",
+    _A.sessionize_events,
     f"""
 WITH {_EVENTS_N}
 SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
@@ -615,8 +609,9 @@ GROUP BY user_id
 """,
 )
 
-_shared_sql(
+_register(
     "hourly_event_counts",
+    _A.hourly_event_counts,
     f"""
 WITH {_EVENTS_N}
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
@@ -649,8 +644,9 @@ FROM events GROUP BY event_type
 """,
 )
 
-_shared_sql(
+_register(
     "string_ops_documents",
+    _A.string_ops_documents,
     """
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -1383,8 +1379,9 @@ WHERE s.k1 IS NULL OR m.k1 IS NULL OR ({_SPLIT_DIFF_PRED})
 """,
 )
 
-_shared_sql(
+_register(
     "rollup_quantity_by_flag_status",
+    _A.rollup_quantity_by_flag_status,
     """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
@@ -1393,8 +1390,9 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
 )
 
-_shared_sql(
+_register(
     "customers_with_both_statuses",
+    _A.customers_with_both_statuses,
     """
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 INTERSECT
@@ -1402,8 +1400,9 @@ SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """,
 )
 
-_shared_sql(
+_register(
     "customers_never_finished",
+    _A.customers_never_finished,
     """
 SELECT o_custkey FROM orders
 EXCEPT
@@ -1530,8 +1529,9 @@ GROUP BY o_orderpriority
 """,
 )
 
-_shared_sql(
+_register(
     "running_revenue_per_customer",
+    _A.running_revenue_per_customer,
     """
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
@@ -1546,8 +1546,9 @@ WHERE o_custkey % 10 = 1
 """,
 )
 
-_shared_sql(
+_register(
     "grouping_sets_order_counts",
+    _A.grouping_sets_order_counts,
     """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
 FROM orders
@@ -1558,8 +1559,9 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 # CUBE completes the §2.C multi-dimensional aggregation row (rollup and
 # grouping sets above); GROUPING() flags distinguish subtotal NULLs from
 # data NULLs in both engines.
-_shared_sql(
+_register(
     "cube_order_price_stats",
+    _A.cube_order_price_stats,
     """
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
@@ -1826,8 +1828,9 @@ SELECT 'main.orders' AS "table", FALSE AS structure_ok,
 """,
 )
 
-_shared_sql(
+_register(
     "yearly_volume_by_nation",
+    _A.yearly_volume_by_nation,
     """
 SELECT n.n_name, EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
        COUNT(*) AS n_orders,
@@ -2048,8 +2051,9 @@ FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
 # A27: regex extraction of the target table from a SQL string
 # (generate_from_config.sh:32-40) — FROM-clause capture, db/table split,
 # unqualified-name fallback, as column ops over a work list of SQL texts.
-_shared_sql(
+_register(
     "extract_table_from_sql",
+    _A.extract_table_from_sql,
     """
 WITH sqls(sql_id, sql_text) AS (
   VALUES (1, 'SELECT * FROM my_database.users WHERE id > 0'),
@@ -2321,8 +2325,9 @@ GROUP BY user_id
 # PII redaction (training-data hygiene): regex scrub with counts. Synthetic
 # emails are appended deterministically so the redaction is observable;
 # patterns stay backslash-free (Spark literals eat escapes DuckDB keeps).
-_shared_sql(
+_register(
     "redact_pii_documents",
+    _A.redact_pii_documents,
     """
 WITH tagged AS (
   SELECT doc_id,
@@ -2339,8 +2344,9 @@ FROM tagged
 )
 
 
-_shared_sql(
+_register(
     "repeat_purchase_custkeys",
+    _A.repeat_purchase_custkeys,
     """
 SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
 INTERSECT ALL
@@ -2751,8 +2757,9 @@ HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) >
 
 # Correlated LATERAL subquery with per-row LIMIT (top-2 orders per sampled
 # customer) — the lateral-join surface, identical SQL on both engines.
-_shared_sql(
+_register(
     "lateral_top2_orders_per_customer",
+    _A.lateral_top2_orders_per_customer,
     """
 SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
 FROM customer c, LATERAL (
