@@ -349,18 +349,18 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q11_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery HAVING → broadcast cross-join of a one-row threshold."""
+    """Uncorrelated scalar-subquery HAVING, evaluated the way Spark itself
+    executes scalar subqueries: one driver-side 1-row aggregate, reused as a
+    literal in the main plan. Bounded driver state (a single double); avoids
+    both a BroadcastNestedLoopJoin and an empty-partition window."""
     l = load_table(spark, sf_dir, "lineitem")
-    per_part = l.groupBy("l_partkey").agg(
-        F.sum(_dec("l_quantity")).cast("double").alias("part_qty")
-    )
-    threshold = l.agg(
-        (F.sum(_dec("l_quantity")).cast("double") * F.expr("0.008")).alias("__thr")
-    )
+    thr = l.agg(
+        (F.sum(_dec("l_quantity")).cast("double") * F.expr("0.008")).alias("t")
+    ).collect()[0]["t"]
     return (
-        per_part.crossJoin(F.broadcast(threshold))
-        .filter(F.col("part_qty") > F.col("__thr"))
-        .select("l_partkey", "part_qty")
+        l.groupBy("l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("part_qty"))
+        .filter(F.col("part_qty") > F.lit(thr))
     )
 
 
@@ -510,21 +510,20 @@ def q21_suppliers_with_problem_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar average threshold → broadcast cross-join; NOT EXISTS →
-    left-anti join on the order feed."""
+    """Scalar average threshold evaluated driver-side (one 1-row collect,
+    like Spark's own scalar-subquery execution); NOT EXISTS → left-anti
+    join on the order feed."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    threshold = (
+    thr = (
         c.filter(F.col("c_acctbal") > F.expr("0.0"))
         .agg(
-            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
-                "__thr"
-            )
+            (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("t")
         )
+        .collect()[0]["t"]
     )
     return (
-        c.crossJoin(F.broadcast(threshold))
-        .filter(F.col("c_acctbal") > F.col("__thr"))
+        c.filter(F.col("c_acctbal") > F.lit(thr))
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
