@@ -62,6 +62,20 @@ def test_parquet_catalog_metadata_only(spark):
     assert names == {"orders", "lineitem"}
 
 
+def test_parquet_catalog_handles_spark_dataset_directories(spark, tmp_path):
+    """Tables written by df.write.parquet are DIRECTORIES of part-files,
+    not single files (the driver testdata's layout) — the catalog must sum
+    footer counts across members, still without reading data pages."""
+    from pyspark.sql import functions as F
+
+    out = tmp_path / "tbls"
+    spark.range(1000).select(F.col("id").alias("o_orderkey")).repartition(
+        4
+    ).write.parquet(str(out / "orders.parquet"))
+    cat = parquet_catalog(spark, str(out), ["orders"])
+    assert [(r.table_name, r.table_rows) for r in cat.collect()] == [("orders", 1000)]
+
+
 def test_stale_anti_join(spark):
     prev = spark.createDataFrame(
         [("a", "t1"), ("a", "t2"), ("a", "t3")], "table_schema string, table_name string"

@@ -42,11 +42,31 @@ def parquet_catalog(
     ``row_scale`` lets tests emulate the reference's billion-row regime on
     small files (the discovery predicate compares against 1e9).
     """
-    import pyarrow.parquet as pq
-
     rows = []
     for name in tables:
-        meta = pq.read_metadata(f"{sf_dir}/{name}.parquet")
+        n = _footer_row_count(f"{sf_dir}/{name}.parquet")
         pk_type = "NONCLUSTERED" if name in NONCLUSTERED_TABLES else "CLUSTERED"
-        rows.append((schema_name, name, meta.num_rows * row_scale, pk_type))
+        rows.append((schema_name, name, n * row_scale, pk_type))
     return spark.createDataFrame(rows, CATALOG_SCHEMA)
+
+
+def _footer_row_count(path: str) -> int:
+    """Row count from parquet footers only — no data pages read.
+
+    Handles both layouts a table arrives in: a single parquet file (the
+    driver's testdata) and a Spark-written DATASET DIRECTORY of part-files
+    (any table produced by ``df.write.parquet``) — for a directory the
+    counts of every ``*.parquet`` member are summed. Footer-only either
+    way, so the catalog stays a metadata operation at any table size.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
