@@ -193,3 +193,25 @@ def test_streaming_entry_restores_session_confs(spark):
     rows = streaming_hourly_counts(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) > 0  # the stream actually ran under the pinned confs
     assert snapshot() == before
+
+
+def test_event_stream_reads_spark_dataset_directories(spark, tmp_path):
+    """A Spark-written events table is a DIRECTORY of part-files; the glob
+    path used for the single-file testdata layout matches leaf file names
+    and silently yields an EMPTY stream for a directory (caught by the 10x
+    rehearsal). Both layouts must produce the batch-identical row set."""
+    from tidb_large_table_compare_spark.sources.tables import load_table
+    from tidb_large_table_compare_spark.streaming.events import (
+        streaming_hourly_counts,
+    )
+
+    src = "/root/testdata/sf0.001"
+    events = load_table(spark, src, "events")
+    out = tmp_path / "gen_dir"
+    events.repartition(3).write.parquet(str(out / "events.parquet"))
+
+    from_dir = streaming_hourly_counts(spark, str(out))
+    from_file = streaming_hourly_counts(spark, src)
+    got = sorted(map(tuple, from_dir.collect()))
+    want = sorted(map(tuple, from_file.collect()))
+    assert got == want and len(got) > 0

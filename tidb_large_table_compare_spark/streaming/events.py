@@ -94,14 +94,21 @@ def _event_stream(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
         schema = event_stream_schema(spark, sf_dir)
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        # the streaming parquet source requires a directory; the glob filter
-        # narrows it to the events file without touching sibling tables
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    reader = spark.readStream.schema(schema).format("parquet")
+    if os.path.isdir(path):
+        # Spark-written dataset directory (part-files inside): stream the
+        # directory itself. A pathGlobFilter would match the LEAF file names
+        # (part-*.parquet), never the directory — silently yielding an empty
+        # stream (caught by the 10x rehearsal).
+        stream = reader.load(path)
+    else:
+        # single-file layout (the driver's testdata): the streaming parquet
+        # source requires a directory, so load the parent with a glob filter
+        # narrowing it to the events file without touching sibling tables
+        stream = reader.option("pathGlobFilter", "events.parquet").load(sf_dir)
     return normalize_event_ts(stream).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
