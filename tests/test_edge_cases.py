@@ -66,3 +66,30 @@ def test_compare_string_binary_edge_values(spark):
     cmp = compare_tables(spark, a, empty, ["pk"], table_name="q")
     stmt = fix_sql(cmp).collect()[0].fix_sql
     assert "it''s ''quoted''" in stmt and "X'00FF'" in stmt
+
+def test_null_pk_rows_have_defined_semantics(spark):
+    """TiDB PKs are NOT NULL, but the engine's behavior on null keys must be
+    defined, not accidental. Identical null-key rows cancel in the algebraic
+    digest (no join is involved, so SQL null-equality rules never apply) and
+    the tables compare equivalent; a MODIFIED null-key row cannot pair with
+    itself in the drill-down's full-outer join, so it surfaces as
+    missing_in_right + extra_in_right — upcount 1 / downcount 1, i.e. a
+    delete+insert repair, which is exactly what an update means in the
+    reference's UPCOUNT/DOWNCOUNT vocabulary."""
+    from tidb_large_table_compare_spark.operators.compare import compare_tables
+
+    left = spark.createDataFrame([(1, "a"), (None, "x")], "pk bigint, v string")
+    same = spark.createDataFrame([(1, "a"), (None, "x")], "pk bigint, v string")
+    cmp_same = compare_tables(spark, left, same, ["pk"])
+    s = cmp_same.summary().collect()[0]
+    assert (s.equivalent, s.upcount, s.downcount) == (True, 0, 0)
+    assert cmp_same.diff_rows().isEmpty()
+
+    changed = spark.createDataFrame([(1, "a"), (None, "y")], "pk bigint, v string")
+    cmp_diff = compare_tables(spark, left, changed, ["pk"])
+    s = cmp_diff.summary().collect()[0]
+    assert (s.equivalent, s.upcount, s.downcount) == (False, 1, 1)
+    assert sorted((str(r.pk), r.diff_type) for r in cmp_diff.diff_rows().collect()) == [
+        ("None", "extra_in_right"),
+        ("None", "missing_in_right"),
+    ]

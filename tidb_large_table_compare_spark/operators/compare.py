@@ -331,5 +331,15 @@ def compare_tables(
     options: CompareOptions = CompareOptions(),
     table_name: str = "table",
 ) -> TableCompare:
-    """Entry point: plan a comparison of two DataFrames."""
+    """Entry point: plan a comparison of two DataFrames.
+
+    Null PK values (impossible against TiDB, whose PKs are NOT NULL, but
+    possible on arbitrary parquet) have defined semantics: identical
+    null-key rows cancel in the algebraic digest and compare equivalent; a
+    modified null-key row cannot pair with itself in the drill-down's
+    full-outer join and is reported as missing_in_right + extra_in_right —
+    a delete+insert repair, which is what an update means in UPCOUNT/
+    DOWNCOUNT terms (pinned by
+    tests/test_edge_cases.py::test_null_pk_rows_have_defined_semantics).
+    """
     return TableCompare(spark, left, right, pk, options, table_name)
