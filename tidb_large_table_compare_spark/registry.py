@@ -10,8 +10,9 @@ Conventions that keep the two engines hash-identical:
   the final projection (identical decimal → identical double bits);
 - every computed column aliased identically on both sides;
 - deterministic tiebreakers on every window/top-k ordering;
-- where the query is plain ANSI SQL, Spark runs the *same string* through
-  ``spark.sql`` over temp views, so there is nothing to drift.
+- since round 5 no entry runs the oracle's SQL text on Spark: the analytics
+  surface is DataFrame-native (plans/analytics.py), so every oracle check
+  compares two independently built constructions.
 """
 
 from __future__ import annotations
@@ -1845,7 +1846,8 @@ GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
 
 # ===========================================================================
 # 9. Wider TPC-H-shaped coverage (correlated subqueries, anti-join EXISTS,
-#    conditional ratios, HAVING) — all shared ANSI SQL.
+#    conditional ratios, HAVING) — DataFrame-native (plans/analytics.py),
+#    oracles keep the original ANSI strings.
 # ===========================================================================
 
 _register(
@@ -2756,7 +2758,8 @@ HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) >
 
 
 # Correlated LATERAL subquery with per-row LIMIT (top-2 orders per sampled
-# customer) — the lateral-join surface, identical SQL on both engines.
+# customer) — natively a ranked window over the join; the oracle keeps the
+# LATERAL formulation.
 _register(
     "lateral_top2_orders_per_customer",
     _A.lateral_top2_orders_per_customer,
@@ -3481,9 +3484,7 @@ FROM w GROUP BY window_start
 # Definitions above stay grouped by subsystem; here the dicts are rebuilt per
 # round from the ledger (`python -m tidb_large_table_compare_spark.ledger`):
 # never-green entries first, then entries whose latest green signal is
-# oldest, then regression canaries for code paths touched this round. Pure
-# shared-SQL queries that recently passed cannot drift (Spark executes the
-# identical string) and sit past the cap.
+# oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
     # (a) every entry whose latest green signal is round 2 (ledger-derived:
