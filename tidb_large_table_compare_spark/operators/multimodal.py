@@ -2,10 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow batch
-shapes) is real and tested; the actual media decoding is stubbed behind
-``decode_media`` because codec libraries are not in this environment — the
-stub extracts deterministic byte-level features so oracles can verify the
-pipeline end-to-end.
+shapes) is real and tested. ``decode_media`` decodes codec-free image
+containers FOR REAL — binary PPM (P6) and uncompressed 24-bit BMP parse
+with numpy/struct alone — including a genuine nearest-neighbor resize;
+compressed formats (jpeg/mp4/...) still raise, since their codec libraries
+are not in this environment, and plug into the same ``_DECODERS`` seam.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ __all__ = [
     "attach_binary_payload",
     "binary_metadata",
     "decode_media",
+    "encode_ppm",
     "sample_frames",
     "extract_features",
 ]
@@ -62,18 +64,145 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(extract, META_SCHEMA)
 
 
-def decode_media(df: DataFrame, media_format: str) -> DataFrame:
-    """Decode/feature-extract a real media payload (image/audio/video).
+DECODE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_channels int, "
+    "mean_r double, mean_g double, mean_b double, thumb array<double>"
+)
 
-    STUB: codec libraries (PIL/ffmpeg/librosa) are not available in this
-    environment. The Spark plumbing above (schema, batching, partitioning)
-    is what a real decoder drops into.
+
+def encode_ppm(pixels) -> bytes:
+    """Inverse of the PPM decoder: (h, w, 3) uint8 array → binary P6 bytes.
+
+    Lets pipelines (and tests) roundtrip real image payloads without any
+    codec library — PPM is the classic uncompressed interchange format.
     """
-    raise NotImplementedError(
-        f"media decoding for {media_format!r} requires codec libraries not "
-        "present in this environment; see binary_metadata() for the "
-        "Arrow-batched plumbing a decoder plugs into"
-    )
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6): ASCII header (whitespace/comment tolerant), then raw
+    RGB bytes. Returns an (h, w, 3) uint8 array."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:  # magic, width, height, maxval
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    i += 1  # single whitespace after maxval, then raster
+    if tokens[0] != b"P6":
+        raise ValueError(f"not a binary PPM: magic {tokens[0]!r}")
+    w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP: 14-byte file header + BITMAPINFOHEADER,
+    BGR rows padded to 4 bytes, stored bottom-up (top-down when height is
+    negative). Returns an (h, w, 3) uint8 RGB array."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(h_raw)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down array
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def _resize_nearest(arr, out_h: int, out_w: int):
+    """Real nearest-neighbor resize by index selection (no codec libs)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[rows][:, cols]
+
+
+_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp}
+
+
+def decode_media(
+    df: DataFrame,
+    media_format: str,
+    id_col: str = "doc_id",
+    thumb_size: int = 8,
+) -> DataFrame:
+    """Decode an image payload column and extract real pixel features.
+
+    Formats with codec-free containers decode for real — binary PPM (P6)
+    and uncompressed 24-bit BMP are parsed with numpy/struct alone — through
+    the same Arrow-batched, partition-preserving ``mapInPandas`` shape the
+    rest of the multimodal stack uses. Output per row: dimensions, per-
+    channel means, and a ``thumb_size``x``thumb_size`` nearest-neighbor
+    grayscale thumbnail (the "resize" op, flattened row-major).
+
+    Compressed formats (jpeg/png/mp4/...) still raise: their codecs
+    (PIL/ffmpeg) are not in this environment; a real decoder drops into
+    ``_DECODERS`` unchanged.
+    """
+    decoder = _DECODERS.get(media_format)
+    if decoder is None:
+        raise NotImplementedError(
+            f"media decoding for {media_format!r} requires codec libraries "
+            f"not present in this environment (codec-free formats decoded "
+            f"for real: {sorted(_DECODERS)}); register a decoder in "
+            "_DECODERS to extend"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # yield per input batch, never unconditionally: an empty partition
+        # must yield nothing — an empty DataFrame gives its list column a
+        # numeric dtype Arrow cannot convert to array<double>
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [], "n_channels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [], "thumb": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = decoder(bytes(payload))
+                gray = arr.mean(axis=2)
+                thumb = _resize_nearest(gray, thumb_size, thumb_size)
+                out["doc_id"].append(doc_id)
+                out["height"].append(arr.shape[0])
+                out["width"].append(arr.shape[1])
+                out["n_channels"].append(arr.shape[2])
+                out["mean_r"].append(float(arr[..., 0].mean()))
+                out["mean_g"].append(float(arr[..., 1].mean()))
+                out["mean_b"].append(float(arr[..., 2].mean()))
+                out["thumb"].append([float(x) for x in thumb.ravel()])
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(decode, DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes bigint, head_byte bigint"
