@@ -546,3 +546,34 @@ def test_decode_media_unknown_format_still_raises(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id bigint, payload binary")
     with pytest.raises(NotImplementedError, match="jpeg"):
         decode_media(df, "jpeg")
+
+
+def test_decoded_thumbnails_drive_image_retrieval(spark):
+    """Multimodal retrieval end-to-end on REAL decoded pixels: a PPM corpus
+    is decoded, the nearest-neighbor thumbnails become embeddings, and the
+    similarity stack ranks the duplicate image first — the decode → feature
+    → ANN composition, no stand-in encoders involved."""
+    import numpy as np
+
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        decode_media,
+        encode_ppm,
+    )
+    from tidb_large_table_compare_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(7)
+    images = {i: rng.randint(0, 256, (6, 6, 3)).astype(np.uint8) for i in range(8)}
+    images[100] = images[3].copy()  # an exact duplicate of image 3
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_ppm(arr))) for i, arr in images.items()],
+        "doc_id bigint, payload binary",
+    )
+    decoded = decode_media(df, "ppm", thumb_size=4)
+    emb = decoded.select(
+        "doc_id", F.expr("transform(thumb, x -> cast(x as float))").alias("embedding")
+    )
+    corpus = emb.filter(F.col("doc_id") != 100).withColumnRenamed("doc_id", "vec_id")
+    queries = emb.filter(F.col("doc_id") == 100).withColumnRenamed("doc_id", "vec_id")
+    top = brute_force_topk(corpus, queries, k=1)
+    r = top.collect()[0]
+    assert (r.neighbor_id, round(r.cosine, 6)) == (3, 1.0)
