@@ -318,3 +318,50 @@ def test_cdc_digest_fold_equals_full_rescan(spark, plan):
         maintained = {tuple(r) for r in spark.read.parquet(f"{d}/maintained").collect()}
         fresh = {tuple(r) for r in spark.read.parquet(f"{d}/fresh").collect()}
     assert maintained == fresh
+
+
+# ---- multimodal decoders: pure-python properties (no Spark session) --------
+
+
+@st.composite
+def small_image(draw):
+    h = draw(st.integers(min_value=1, max_value=9))
+    w = draw(st.integers(min_value=1, max_value=9))
+    flat = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=255),
+            min_size=h * w * 3,
+            max_size=h * w * 3,
+        )
+    )
+    import numpy as np
+
+    return np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+
+
+@settings(deadline=None, max_examples=60)
+@given(small_image())
+def test_ppm_encode_decode_roundtrip(arr):
+    """decode(encode(x)) == x for every image — the decoder really parses
+    the container, it does not pattern-match the fixtures."""
+    import numpy as np
+
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        _decode_ppm,
+        encode_ppm,
+    )
+
+    assert np.array_equal(_decode_ppm(encode_ppm(arr)), arr)
+
+
+@settings(deadline=None, max_examples=60)
+@given(small_image(), st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=6))
+def test_resize_nearest_selects_existing_pixels(arr, th, tw):
+    """Nearest-neighbor output has the requested shape and every output
+    pixel is an actual source pixel (no interpolation artifacts)."""
+    from tidb_large_table_compare_spark.operators.multimodal import _resize_nearest
+
+    out = _resize_nearest(arr, th, tw)
+    assert out.shape == (th, tw, 3)
+    src = {tuple(px) for row in arr for px in row}
+    assert {tuple(px) for row in out for px in row} <= src
