@@ -365,3 +365,17 @@ def test_resize_nearest_selects_existing_pixels(arr, th, tw):
     assert out.shape == (th, tw, 3)
     src = {tuple(px) for row in arr for px in row}
     assert {tuple(px) for row in out for px in row} <= src
+
+
+@settings(deadline=None, max_examples=60)
+@given(small_image())
+def test_bmp_encode_decode_roundtrip(arr):
+    """decode(encode(x)) == x through padding, bottom-up rows, and BGR."""
+    import numpy as np
+
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        _decode_bmp,
+        encode_bmp,
+    )
+
+    assert np.array_equal(_decode_bmp(encode_bmp(arr)), arr)

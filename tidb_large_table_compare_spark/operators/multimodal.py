@@ -22,6 +22,7 @@ __all__ = [
     "binary_metadata",
     "decode_media",
     "encode_ppm",
+    "encode_bmp",
     "sample_frames",
     "extract_features",
 ]
@@ -109,6 +110,26 @@ def _decode_ppm(payload: bytes):
         raise ValueError(f"only 8-bit PPM supported (maxval {maxval})")
     raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
     return raster.reshape(h, w, 3)
+
+
+def encode_bmp(pixels) -> bytes:
+    """Inverse of the BMP decoder: (h, w, 3) uint8 RGB array → uncompressed
+    24-bit BMP bytes (BGR rows, 4-byte padded, bottom-up) — the properties
+    the decoder must undo, roundtrip-property-tested."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_bytes = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in arr[::-1]:  # bottom-up storage
+        raw = row[..., ::-1].tobytes()  # RGB → BGR
+        raster += raw + b"\x00" * (row_bytes - len(raw))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + info + bytes(raster)
 
 
 def _decode_bmp(payload: bytes):
