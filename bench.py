@@ -181,20 +181,34 @@ def main() -> None:
 
     # One failing query must not zero out the whole round's numbers (round 2
     # lost its bench to a single shared loader defect): failures are recorded
-    # per query and the JSON line still prints.
+    # per query and the JSON line still prints. Each query is measured
+    # REPEATS times and the reported number is the median — a single noisy
+    # host sample no longer becomes the committed per-query figure (the r5
+    # one-shot numbers made two regressions unadjudicable); the raw samples
+    # ship alongside so outliers stay visible.
+    REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
     def measure(name, thunk):
-        t0 = time.monotonic()
-        try:
-            n = thunk()
-        except Exception as exc:
-            errors[name] = str(exc).splitlines()[0][:200]
-            print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
-            return
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(REPEATS):
+            t0 = time.monotonic()
+            try:
+                n = thunk()
+            except Exception as exc:
+                errors[name] = str(exc).splitlines()[0][:200]
+                print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
+                return
+            runs.append(round(time.monotonic() - t0, 3))
+        samples[name] = runs
+        timings[name] = sorted(runs)[len(runs) // 2]
+        print(
+            f"# {name}: {timings[name]:.3f}s median of "
+            f"{[f'{s:.3f}' for s in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     for name in HEADLINE:
         measure(name, lambda name=name: QUERIES[name](spark, sf_dir).count())
@@ -208,6 +222,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "cold_start_sec": cold_start,
         "sf": sf,
     }

@@ -379,3 +379,38 @@ def test_bmp_encode_decode_roundtrip(arr):
     )
 
     assert np.array_equal(_decode_bmp(encode_bmp(arr)), arr)
+
+
+@settings(deadline=None, max_examples=60)
+@given(small_image())
+def test_qoi_encode_decode_roundtrip(arr):
+    """decode(encode(x)) == x through the full QOI chunk state machine
+    (RUN / INDEX / DIFF / LUMA / RGB) — hypothesis finds images whose
+    encodings mix every op, so the decoder's running-pixel + index-table
+    bookkeeping is exercised, not just the RGB fallback."""
+    import numpy as np
+
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        _decode_qoi,
+        encode_qoi,
+    )
+
+    enc = encode_qoi(arr)
+    assert enc[:4] == b"qoif" and enc[-8:] == b"\x00" * 7 + b"\x01"
+    assert np.array_equal(_decode_qoi(enc), arr)
+
+
+@settings(deadline=None, max_examples=30)
+@given(small_image())
+def test_qoi_compresses_runs_and_repeats(arr):
+    """A constant image (maximal runs) must encode smaller than its raw
+    raster — i.e. the encoder actually emits RUN chunks, it does not just
+    spell out per-pixel RGB ops."""
+    import numpy as np
+
+    from tidb_large_table_compare_spark.operators.multimodal import encode_qoi
+
+    flat = np.full_like(arr, arr[0, 0])
+    n_px = arr.shape[0] * arr.shape[1]
+    if n_px >= 8:  # tiny images have header > raster; no claim there
+        assert len(encode_qoi(flat)) < 14 + 8 + 3 * n_px

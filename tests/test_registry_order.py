@@ -56,21 +56,52 @@ def test_every_entry_has_had_a_driver_window():
     assert set(QUERIES) <= covered, sorted(set(QUERIES) - covered)
 
 
+def _max_signal_age() -> int:
+    """Rounds a green signal may age outside the window: the window covers
+    the whole registry every ⌈|registry|/WINDOW⌉ rounds, so the oldest
+    signal at any judge time is that minus one (it re-greens the round its
+    turn comes up)."""
+    return -(-len(QUERIES) // WINDOW) - 1
+
+
+def test_rotation_cadence_is_bounded():
+    """Structural pin on the cadence itself: the registry must stay small
+    enough that the 50-slot window re-verifies every entry within three
+    rounds (signal age ≤ 2). Growing past WINDOW*3 entries would silently
+    stretch the guarantee — this fails first."""
+    assert _max_signal_age() <= 2
+
+
 def test_window_rotates_stalest_entries():
-    """The rotation policy, mechanically: any entry whose latest green
-    signal lags the newest recorded round by 2+ rounds must hold a window
-    slot this round — signals may age one round (the window holds 50 of
-    114+), never two."""
+    """The rotation policy, phase-aware. The committed window is in one of
+    two states relative to the newest CORRECTNESS artifact:
+
+    - POST-RECORD (artifact's entry set == window): the driver just ran this
+      very window; the invariant it was built to maintain must hold — no
+      entry's latest green lags the newest round by more than the age bound.
+    - ROTATED (sets differ): the window targets round ``newest+1``; any
+      entry that would exceed the age bound after that round must hold a
+      slot now.
+
+    The round-5 formulation ignored the phase and demanded the NEXT round's
+    window the moment the driver recorded the current one — red at the start
+    of every round by construction (VERDICT r5 'What's wrong' #1)."""
     rounds = L.load_rounds(REPO)
     newest = max(rounds)
     led = L.ledger(rounds)
     window = set(list(QUERIES)[:WINDOW])
-    stale = {
-        n
+    max_age = _max_signal_age()
+    greens = {
+        n: r["last_green"]
         for n, r in led.items()
-        if r["last_green"] is not None and r["last_green"] <= newest - 2
-    } & set(QUERIES)
-    assert stale <= window, sorted(stale - window)
+        if r["last_green"] is not None and n in QUERIES
+    }
+    if set(rounds[newest]) == window:
+        overdue = {n for n, g in greens.items() if g <= newest - max_age - 1}
+        assert overdue == set(), sorted(overdue)
+    else:
+        stale = {n for n, g in greens.items() if g <= newest - max_age}
+        assert stale <= window, sorted(stale - window)
 
 
 def test_reorder_lost_nothing():

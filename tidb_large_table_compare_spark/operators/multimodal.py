@@ -3,9 +3,10 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow batch
 shapes) is real and tested. ``decode_media`` decodes codec-free image
-containers FOR REAL — binary PPM (P6) and uncompressed 24-bit BMP parse
-with numpy/struct alone — including a genuine nearest-neighbor resize;
-compressed formats (jpeg/mp4/...) still raise, since their codec libraries
+containers FOR REAL — binary PPM (P6), uncompressed 24-bit BMP, and QOI
+(qoiformat.org — byte-oriented compression, no entropy coding) parse with
+numpy/struct alone — including a genuine nearest-neighbor resize; formats
+needing real codec libraries (jpeg/mp4/...) still raise, since those libs
 are not in this environment, and plug into the same ``_DECODERS`` seam.
 """
 
@@ -23,6 +24,7 @@ __all__ = [
     "decode_media",
     "encode_ppm",
     "encode_bmp",
+    "encode_qoi",
     "sample_frames",
     "extract_features",
 ]
@@ -158,6 +160,121 @@ def _decode_bmp(payload: bytes):
     return rows[..., ::-1].copy()  # BGR → RGB
 
 
+def encode_qoi(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB array → QOI bytes (qoiformat.org, public spec).
+
+    A full encoder — emits RUN, INDEX, DIFF, LUMA and RGB chunks exactly as
+    the one-page spec defines them — so the roundtrip property test drives
+    every op the decoder must undo. QOI is byte-oriented and codec-free
+    (no entropy coding), which is what makes a real implementation possible
+    in this environment.
+    """
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    out = bytearray(b"qoif")
+    out += w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([3, 0])
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for r, g, b in arr.reshape(-1, 3):
+        px = (int(r), int(g), int(b), 255)
+        if px == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))  # QOI_OP_RUN
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        slot = (px[0] * 3 + px[1] * 5 + px[2] * 7 + px[3] * 11) % 64
+        if index[slot] == px:
+            out.append(slot)  # QOI_OP_INDEX
+        else:
+            index[slot] = px
+            dr = (px[0] - prev[0]) & 0xFF
+            dg = (px[1] - prev[1]) & 0xFF
+            db = (px[2] - prev[2]) & 0xFF
+            # signed interpretations with the spec's biases
+            sdr = dr - 256 if dr > 127 else dr
+            sdg = dg - 256 if dg > 127 else dg
+            sdb = db - 256 if db > 127 else db
+            if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                out.append(0x40 | ((sdr + 2) << 4) | ((sdg + 2) << 2) | (sdb + 2))
+            elif -32 <= sdg <= 31 and -8 <= sdr - sdg <= 7 and -8 <= sdb - sdg <= 7:
+                out.append(0x80 | (sdg + 32))  # QOI_OP_LUMA
+                out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+            else:
+                out += bytes([0xFE, px[0], px[1], px[2]])  # QOI_OP_RGB
+        prev = px
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"  # end marker
+    return bytes(out)
+
+
+def _decode_qoi(payload: bytes):
+    """QOI decoder (qoiformat.org spec): 14-byte header, then a chunk
+    stream over a running pixel + 64-slot seen-pixel index. Returns an
+    (h, w, 3) uint8 RGB array (alpha dropped for RGBA-channel files; the
+    chunk state machine still tracks it, as INDEX hashing depends on it).
+
+    Sequential by construction (each chunk depends on the previous pixel) —
+    per-image Python loops are the honest shape here; parallelism comes
+    from Spark decoding many images per Arrow batch across partitions.
+    """
+    import numpy as np
+
+    if payload[:4] != b"qoif":
+        raise ValueError(f"not a QOI payload: magic {payload[:4]!r}")
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    channels = payload[12]
+    if channels not in (3, 4):
+        raise ValueError(f"invalid QOI channels field: {channels}")
+    n_px = w * h
+    px_out = np.empty((n_px, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    i, written = 14, 0
+    while written < n_px:
+        tag = payload[i]
+        i += 1
+        if tag == 0xFE:  # QOI_OP_RGB
+            r, g, b = payload[i], payload[i + 1], payload[i + 2]
+            i += 3
+        elif tag == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = payload[i], payload[i + 1], payload[i + 2], payload[i + 3]
+            i += 4
+        elif tag >> 6 == 0b00:  # QOI_OP_INDEX
+            r, g, b, a = index[tag]
+            px_out[written] = (r, g, b)
+            written += 1
+            continue  # indexed pixel is already in the table
+        elif tag >> 6 == 0b01:  # QOI_OP_DIFF (2-bit deltas, bias 2)
+            r = (r + ((tag >> 4) & 3) - 2) & 0xFF
+            g = (g + ((tag >> 2) & 3) - 2) & 0xFF
+            b = (b + (tag & 3) - 2) & 0xFF
+        elif tag >> 6 == 0b10:  # QOI_OP_LUMA (6-bit dg, 4-bit dr-dg/db-dg)
+            dg = (tag & 0x3F) - 32
+            nxt = payload[i]
+            i += 1
+            r = (r + dg + ((nxt >> 4) & 0xF) - 8) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg + (nxt & 0xF) - 8) & 0xFF
+        else:  # QOI_OP_RUN (run of the previous pixel, bias -1)
+            run = (tag & 0x3F) + 1
+            px_out[written : written + run] = (r, g, b)
+            written += run
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        px_out[written] = (r, g, b)
+        written += 1
+    return px_out.reshape(h, w, 3)
+
+
 def _resize_nearest(arr, out_h: int, out_w: int):
     """Real nearest-neighbor resize by index selection (no codec libs)."""
     import numpy as np
@@ -168,7 +285,7 @@ def _resize_nearest(arr, out_h: int, out_w: int):
     return arr[rows][:, cols]
 
 
-_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp}
+_DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp, "qoi": _decode_qoi}
 
 
 def decode_media(

@@ -251,6 +251,9 @@ def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # mirror SQL CASE WHEN ... NOT IN semantics on NULL priorities: NOT IN
+    # over NULL is NULL, so a NULL-priority row counts in NEITHER bucket
+    low = F.col("o_orderpriority").isNotNull() & ~high
     return (
         o.join(l, o.o_orderkey == l.l_orderkey)
         .filter(
@@ -260,7 +263,7 @@ def q12_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+            F.sum(F.when(low, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
     )
 

@@ -65,6 +65,26 @@ def _register(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str 
         ORACLES[name] = sql
 
 
+# Caches embedded in a RETURNED lazy plan (e.g. the shingle table feeding
+# three legs of a near-dup join) cannot be unpersisted inside the builder —
+# the caller has not executed the plan yet. Left bare, every rebuild of the
+# same entry (bench warmup + measured loop, repeated driver checks) stacked
+# another session-lifetime cache entry and tripped CacheManager's "already
+# cached" warning. Tracking one handle per (entry, role) key and releasing
+# the previous build's cache on rebuild bounds live cache at one copy per
+# key with zero builder-API change.
+_TRACKED_CACHES: dict[str, DataFrame] = {}
+
+
+def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
+    prev = _TRACKED_CACHES.pop(key, None)
+    if prev is not None:
+        prev.unpersist()
+    out = df.persist()
+    _TRACKED_CACHES[key] = out
+    return out
+
+
 # ===========================================================================
 # 1. Comparison engine (SURVEY.md §2.B)
 # ===========================================================================
@@ -680,6 +700,8 @@ from tidb_large_table_compare_spark.operators.dedup import (  # noqa: E402
 from tidb_large_table_compare_spark.operators.multimodal import (  # noqa: E402
     attach_binary_payload,
     binary_metadata,
+    decode_media,
+    encode_ppm,
 )
 from tidb_large_table_compare_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
@@ -764,9 +786,10 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (at scale this is a checkpointed intermediate table, same idea).
     # Shingles are hashed to int64 at creation: every downstream stage works
     # on 8-byte longs, and Jaccard values are unchanged (collision odds 2^-64)
-    shingle_sets = corpus.select(
-        "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
-    ).persist()
+    shingle_sets = _persist_tracked(
+        "neardup_minhash_lsh:shingles",
+        corpus.select("doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")),
+    )
     sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
     cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
     return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.8)
@@ -812,9 +835,10 @@ def _minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies that enabling the guard does not corrupt results.
     """
     corpus = ensure_min_partitions(_near_dup_corpus(spark, sf_dir))
-    shingle_sets = corpus.select(
-        "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
-    ).persist()
+    shingle_sets = _persist_tracked(
+        "neardup_minhash_lsh_capped:shingles",
+        corpus.select("doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")),
+    )
     sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
     cands = lsh_candidate_pairs_from_array(sigs, "doc_id", max_bucket_size=10_000)
     return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.8)
@@ -831,9 +855,10 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (no LSH) — candidates from a shared-
     shingle equi-join, so pairs with zero overlap never materialize."""
     corpus = _near_dup_corpus(spark, sf_dir)
-    shingle_sets = corpus.select(
-        "doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shingles")
-    ).persist()
+    shingle_sets = _persist_tracked(
+        "neardup_ngram_jaccard:shingles",
+        corpus.select("doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shingles")),
+    )
     eg = shingle_sets.select("doc_id", F.explode("shingles").alias("gram"))
     a = eg.withColumnRenamed("doc_id", "id_a")
     b = eg.withColumnRenamed("doc_id", "id_b")
@@ -1154,7 +1179,12 @@ def _embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = _embedding_neardups(spark, sf_dir).select("id_a", "id_b").persist()
-    return connected_components(pairs)
+    # connected_components consumes pairs eagerly (driver union-find collect,
+    # or checkpoint-backed rounds) — its result carries no lineage into the
+    # pair cache, so the handle releases before the caller runs an action
+    clusters = connected_components(pairs)
+    pairs.unpersist()
+    return clusters
 
 
 _register(
@@ -1264,6 +1294,67 @@ SELECT doc_id,
        CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS head_byte,
        'raw' AS media_format
 FROM documents
+""",
+)
+
+
+def _multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked exercise of the REAL image decoder (`operators/
+    multimodal.py::decode_media`): deterministic PPM images are built from
+    each document's leading text bytes (dimensions derived from doc_id),
+    encoded with ``encode_ppm`` and decoded back through the Arrow-batched
+    ``decode_media`` path. Because the raster IS the text bytes, the
+    decoder's outputs — dimensions, channel count, per-channel means — are
+    recomputable by the DuckDB oracle with string functions alone; pixel-
+    level/thumbnail parity stays in the roundtrip property tests."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_ppm(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = 1 + int(doc_id) % 13
+                h = 1 + int(doc_id) % 7
+                raw = text.encode("ascii")
+                if len(raw) < w * h * 3:
+                    continue  # mirrored by the oracle's length predicate
+                arr = np.frombuffer(raw[: w * h * 3], np.uint8).reshape(h, w, 3)
+                ids.append(doc_id)
+                payloads.append(encode_ppm(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    images = docs.mapInPandas(to_ppm, "doc_id bigint, payload binary")
+    return decode_media(images, "ppm").select(
+        "doc_id", "width", "height", "n_channels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+_register(
+    "multimodal_decode_stats",
+    _multimodal_decode_stats,
+    """
+WITH dims AS (
+  SELECT doc_id, text,
+         CAST(1 + doc_id % 13 AS INTEGER) AS width,
+         CAST(1 + doc_id % 7 AS INTEGER) AS height
+  FROM documents
+  WHERE length(text) >= (1 + doc_id % 13) * (1 + doc_id % 7) * 3
+),
+px AS (
+  SELECT doc_id, width, height, text,
+         unnest(range(0, CAST(width AS BIGINT) * height)) AS i
+  FROM dims
+)
+SELECT doc_id, width, height, CAST(3 AS INTEGER) AS n_channels,
+       AVG(ascii(substring(text, CAST(i * 3 + 1 AS BIGINT), 1))) AS mean_r,
+       AVG(ascii(substring(text, CAST(i * 3 + 2 AS BIGINT), 1))) AS mean_g,
+       AVG(ascii(substring(text, CAST(i * 3 + 3 AS BIGINT), 1))) AS mean_b
+FROM px
+GROUP BY doc_id, width, height
 """,
 )
 
@@ -1692,7 +1783,11 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over exact-Jaccard near-dup pairs: iterative
     Spark label propagation vs a recursive-CTE oracle."""
     pairs = QUERIES["neardup_ngram_jaccard"](spark, sf_dir).select("id_a", "id_b")
-    return connected_components(pairs.persist())
+    cached = pairs.persist()
+    # eager consumer (see _embedding_clusters): release once resolved
+    clusters = connected_components(cached)
+    cached.unpersist()
+    return clusters
 
 
 _register("dedup_cluster_assignments", _dedup_clusters, None)
@@ -2366,16 +2461,20 @@ def _dedup_final_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actionable output of near-dup dedup: corpus size after dropping
     every cluster member that is not its cluster representative."""
     corpus = _near_dup_corpus(spark, sf_dir).persist()
-    clusters = connected_components(
-        QUERIES["neardup_ngram_jaccard"](spark, sf_dir).select("id_a", "id_b").persist()
-    )
+    pairs = QUERIES["neardup_ngram_jaccard"](spark, sf_dir).select("id_a", "id_b").persist()
+    clusters = connected_components(pairs)
+    pairs.unpersist()
     drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
     kept = corpus.join(drop, "doc_id", "left_anti")
-    return spark.createDataFrame(
+    # both counts run here, so every cache this builder took is released
+    # before returning (the result is a literal two-count frame)
+    out = spark.createDataFrame(
         [(corpus.count(), kept.count())], "n_before bigint, n_after bigint"
     )
+    corpus.unpersist()
+    return out
 
 
 _register(
@@ -3487,70 +3586,68 @@ FROM w GROUP BY window_start
 # oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) every entry whose latest green signal is round 2 (ledger-derived:
-    # 23 entries) — two rounds stale, the oldest signals in the registry;
+    # (a) every entry whose latest green signal is round 3 (ledger-derived:
+    # 25 entries) — the oldest signals in the registry; the phase-aware
     # test_registry_order.py::test_window_rotates_stalest_entries enforces
-    # that signals never age past two rounds outside the window
-    "approx_distinct_parts",
-    "bpe_ish_token_counts",
-    "cmp_float_tolerance",
-    "cmp_struct_only_drift",
-    "cmp_summary_composite_pk",
-    "cmp_summary_orders_multiset",
-    "cmp_summary_orders_ranged",
-    "contamination_check",
-    "dedup_cluster_assignments",
-    "dedup_final_corpus_stats",
-    "embedding_dedup_clusters",
-    "kmeans_cluster_assignments",
-    "neardup_simhash_pairs",
-    "pack_training_chunks",
-    "parsed_report_roundtrip",
-    "pivot_docs_by_source",
-    "quality_filter_verdicts",
-    "repetition_filter_docs",
-    "simhash_docs",
-    "stratified_sample_docs",
-    "streaming_user_totals_stateful",
-    "top_tokens_documents",
-    "train_val_split",
-    # (b) regression canaries for round-5 changes: the observe()-based
-    # one-pass curation manifest + connected_components edge_count hint
-    # (dedup/packing chain), the collect-based final report (report path),
-    # and the scoped streaming session confs (every streaming entry)
-    "render_report_lines",
-    "report_latest_totals",
-    "render_summary_lines",
-    "streaming_hourly_counts",
-    "streaming_dedup_events",
-    "streaming_session_counts",
-    "streaming_purchase_signup_join",
-    "sliding_event_counts",
-    "neardup_minhash_lsh",
-    "neardup_minhash_lsh_capped",
-    "dedup_exact_docs",
-    "dedup_corpus_stats",
-    "pack_training_chunks_sharded",
-    "ann_cosine_topk",
-    "knn_label_classify",
-    # (c) the 12 TPC-H-shaped entries converted this round from shared ANSI
-    # SQL to DataFrame-native formulations (plans/analytics.py) — changed
-    # code needs a driver signal this round. The unchanged round-3
-    # DataFrame-native entries (as-of/range/lateral joins, sketches, text
-    # ops) age one more round within the staleness bound and rotate in
-    # round 6.
-    "q1_pricing_summary",
-    "q2_cheapest_part_per_brand",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q7_nation_pair_volume",
-    "q8_brand_share_by_year",
-    "q9_profit_by_nation_year",
-    "q10_top_return_customers",
+    # that no signal ever ages past ⌈|registry|/50⌉−1 = 2 rounds
+    "approx_price_quantiles",
+    "asof_purchase_last_signup",
+    "dup_span_docs",
+    "extract_table_from_sql",
+    "json_props_by_type",
+    "lateral_top2_orders_per_customer",
+    "order_priority_counts",
+    "price_quantiles_by_status",
+    "q11_important_part_stock",
+    "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q20_suppliers_of_heavy_parts",
+    "q21_suppliers_with_problem_orders",
+    "q22_idle_rich_customers",
+    "rag_chunk_docs",
+    "range_join_errors_busy_hours",
+    "redact_pii_documents",
+    "repeat_purchase_custkeys",
+    "sketch_daily_users_merged",
+    "string_ops_documents",
+    "yearly_volume_by_nation",
+    "zorder_lineitem_extents",
+    # (b) never-checked: registered this round, needs its first signal
+    "multimodal_decode_stats",
+    # (c) regression canaries for round-6 changes: tracked-persist rebuild
+    # semantics in the near-dup chain, eager-release in cluster resolution
+    # and the final-stats entry, the NULL-priority fix in q12, the
+    # ParquetDataset footer catalog, the Hadoop-FS stream layout probe,
+    # and the kmeans steady-state cost under investigation
     "q12_priority_line_counts",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "top3_customers_per_nation",
+    "dedup_final_corpus_stats",
+    "dedup_cluster_assignments",
+    "embedding_dedup_clusters",
+    "neardup_minhash_lsh",
+    "neardup_ngram_jaccard",
+    "catalog_discovery",
+    "multimodal_binary_meta",
+    "multimodal_frame_samples",
+    "kmeans_cluster_sizes",
+    "streaming_hourly_counts",
+    # (d) oldest remaining round-4 signals, alphabetical — the rest of the
+    # round-4 cohort (21 entries) rotates in round 7 within the age bound
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "base64_roundtrip_docs",
+    "cmp_diff_rows_composite_pk",
+    "cmp_diff_rows_orders",
+    "cmp_fix_sql_orders",
+    "cmp_reconcile_orders",
+    "cmp_schema_diff_drift",
+    "cmp_summary_incremental",
+    "cmp_summary_orders",
+    "cmp_summary_self",
+    "cube_order_price_stats",
+    "customers_never_finished",
 ]
 
 

@@ -53,20 +53,20 @@ def parquet_catalog(
 def _footer_row_count(path: str) -> int:
     """Row count from parquet footers only — no data pages read.
 
-    Handles both layouts a table arrives in: a single parquet file (the
-    driver's testdata) and a Spark-written DATASET DIRECTORY of part-files
-    (any table produced by ``df.write.parquet``) — for a directory the
-    counts of every ``*.parquet`` member are summed. Footer-only either
-    way, so the catalog stays a metadata operation at any table size.
+    Handles every layout a table arrives in: a single parquet file (the
+    driver's testdata), a Spark-written DATASET DIRECTORY of part-files
+    (``df.write.parquet``), and a PARTITIONED dataset (``partitionBy``
+    writes, whose parquet members live in ``key=value`` subdirectories, so
+    a flat listdir would silently sum to 0 — a wrong catalog row count).
+    ``pyarrow.parquet.ParquetDataset`` resolves all three to the same
+    fragment list (and speaks fsspec filesystems, not just driver-local
+    paths); a dataset with no parquet fragments raises instead of
+    reporting an empty table. Only fragment footers are read, so the
+    catalog stays a metadata operation at any table size.
     """
-    import os
-
     import pyarrow.parquet as pq
 
-    if os.path.isdir(path):
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in sorted(os.listdir(path))
-            if f.endswith(".parquet")
-        )
-    return pq.read_metadata(path).num_rows
+    fragments = pq.ParquetDataset(path).fragments
+    if not fragments:
+        raise FileNotFoundError(f"no parquet members under dataset dir {path}")
+    return sum(f.metadata.num_rows for f in fragments)

@@ -59,6 +59,26 @@ def _scoped_stream_confs(spark: SparkSession):
                 spark.conf.set(key, prev)
 
 
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """Directory probe through the Hadoop FileSystem API.
+
+    ``os.path.isdir`` is always False for non-local URIs (hdfs://, s3a://),
+    which would silently route a Spark-written dataset directory on a remote
+    filesystem into the single-file pathGlobFilter branch — yielding an
+    empty stream, the exact bug the local layout check fixed. Asking the
+    JVM's FileSystem keeps the layout detection correct on any filesystem
+    Spark itself can read. A path that does not exist (yet) reports False
+    and falls through to the reader, whose error names the path.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    try:
+        return bool(fs.getFileStatus(jpath).isDirectory())
+    except Exception:
+        return False
+
+
 def event_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """One parquet-footer schema probe, reusable across stream legs.
 
@@ -94,11 +114,10 @@ def _event_stream(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if schema is None:
         schema = event_stream_schema(spark, sf_dir)
-    import os
 
     path = f"{sf_dir}/events.parquet"
     reader = spark.readStream.schema(schema).format("parquet")
-    if os.path.isdir(path):
+    if _is_directory(spark, path):
         # Spark-written dataset directory (part-files inside): stream the
         # directory itself. A pathGlobFilter would match the LEAF file names
         # (part-*.parquet), never the directory — silently yielding an empty
