@@ -104,14 +104,22 @@ def kmeans_assignments(
     vectors = _prep_vectors(corpus, id_col, vec_col).persist()
     try:
         centroid_rows = _train(vectors, centroid_mod, iterations)
+        # Final assignment runs against the STILL-CACHED vectors and the
+        # (id, cluster_id) result — two longs per row — is pinned as an
+        # eager localCheckpoint, so the cache can be released inside this
+        # call without the caller's later action recomputing the scan +
+        # quantize prep. (The round-5 fix released the cache but re-derived
+        # the prep from source for the final pass, which moved a full
+        # Arrow-quantize pass into every steady-state invocation: measured
+        # 1.4 s → 2.3 s on the sf0.1 bench. This keeps the release AND the
+        # single-scan profile.)
+        return (
+            _assign(vectors, centroid_rows)
+            .select(F.col("id").alias(id_col), "cluster_id")
+            .localCheckpoint(eager=True)
+        )
     finally:
-        # the cache exists for the multi-pass training rounds; the final
-        # assignment is one map-only pass, so it recomputes the (map-only)
-        # vector prep from source instead of pinning the corpus cache for
-        # the session lifetime
         vectors.unpersist()
-    assigned = _assign(_prep_vectors(corpus, id_col, vec_col), centroid_rows)
-    return assigned.select(F.col("id").alias(id_col), "cluster_id")
 
 
 def trained_centroids(

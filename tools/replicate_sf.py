@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Build a scaled synthetic SF directory by key-offset replication.
+
+Usage: python3 tools/replicate_sf.py SRC_DIR DST_DIR FACTOR
+
+Replicates each fact table FACTOR times with all key columns offset by
+``replica * 1_000_000_000`` so keys stay globally unique and FK joins stay
+aligned (customer replicas carry the same offset as the orders replicas that
+reference them). Dimension tables (region, nation) are copied once — their
+size is SF-independent, as in TPC-H.
+
+Content perturbation keeps the workload honest at scale instead of
+manufacturing a FACTOR-way duplicate cluster per row (methodology of the
+round-5 rehearsals, PERFORMANCE.md):
+
+- ``documents.text``: every word in replica i>0 gets an ``_ri`` suffix, so
+  shingle spaces are DISJOINT across replicas — the near-dup pair space
+  models a FACTOR-times-larger corpus (linear), not FACTOR-copy dup groups
+  (quadratic).
+- ``embeddings.embedding``: component 0 shifted by ``0.001 * i`` — replicas
+  are distinct vectors, so ANN/embedding-dedup candidate sets scale like a
+  genuinely larger corpus.
+- ``events.ts`` is left on the original time axis: windowed aggregations
+  then carry FACTOR× rows per window, the worst case for window state.
+
+Everything runs inside DuckDB (one COPY per table); output parquet gets
+DuckDB's default ~122k-row row groups, so Spark scans the result with real
+multi-split parallelism (unlike the single-row-group driver testdata).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+KEY_OFF = 1_000_000_000
+
+# per-table: (key columns to offset, passthrough columns)
+FACT_TABLES = {
+    "customer": (["c_custkey"], ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+    "supplier": (["s_suppkey"], ["s_name", "s_nationkey", "s_acctbal"]),
+    "part": (["p_partkey"], ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"]),
+    "orders": (
+        ["o_orderkey", "o_custkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    ),
+    "lineitem": (
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+        [
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    ),
+    "events": (["event_id", "user_id"], ["ts", "event_type", "value", "props"]),
+}
+
+DIM_TABLES = ["region", "nation"]
+
+
+def replicate(src: str, dst: str, factor: int) -> None:
+    Path(dst).mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+
+    def copy(select: str, table: str) -> None:
+        con.execute(
+            f"COPY ({select}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    for t in DIM_TABLES:
+        copy(f"SELECT * FROM read_parquet('{src}/{t}.parquet')", t)
+
+    for t, (keys, rest) in FACT_TABLES.items():
+        cols = ", ".join(
+            [f"{k} + r.i * {KEY_OFF} AS {k}" for k in keys] + rest
+        )
+        copy(
+            f"SELECT {cols} FROM read_parquet('{src}/{t}.parquet'), "
+            f"range({factor}) r(i)",
+            t,
+        )
+
+    # documents: disjoint per-replica shingle space (see module docstring)
+    copy(
+        f"""
+        SELECT doc_id + r.i * {KEY_OFF} AS doc_id,
+               CASE WHEN r.i = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)', '\\1_r' || r.i, 'g')
+               END AS text,
+               lang, source,
+               CAST(length(CASE WHEN r.i = 0 THEN text
+                    ELSE regexp_replace(text, '(\\S+)', '\\1_r' || r.i, 'g')
+               END) AS BIGINT) AS n_chars
+        FROM read_parquet('{src}/documents.parquet'), range({factor}) r(i)
+        """,
+        "documents",
+    )
+
+    # embeddings: distinct-per-replica vectors
+    copy(
+        f"""
+        SELECT vec_id + r.i * {KEY_OFF} AS vec_id,
+               CASE WHEN r.i = 0 THEN embedding
+                    ELSE list_prepend(CAST(embedding[1] + 0.001 * r.i AS FLOAT),
+                                      embedding[2:])
+               END AS embedding,
+               label
+        FROM read_parquet('{src}/embeddings.parquet'), range({factor}) r(i)
+        """,
+        "embeddings",
+    )
+
+
+if __name__ == "__main__":
+    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    replicate(src, dst, factor)
