@@ -538,6 +538,60 @@ def test_decode_media_bmp_padding_and_bgr(spark):
     assert r.mean_b == (0 + 0 + 255 + 30 * 3) / 6
 
 
+def test_decode_media_qoi_through_spark(spark):
+    """The QOI decoder runs through the same Arrow-batched decode_media
+    path as PPM/BMP: encode a known image, decode on executors, check the
+    extracted features exactly."""
+    import numpy as np
+
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        decode_media,
+        encode_qoi,
+    )
+
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]], [[10, 20, 30]] * 3],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame(
+        [(11, bytearray(encode_qoi(arr)))], "doc_id bigint, payload binary"
+    )
+    r = decode_media(df, "qoi", thumb_size=2).collect()[0]
+    assert (r.width, r.height, r.n_channels) == (3, 2, 3)
+    assert r.mean_r == (255 + 10 * 3) / 6
+    assert r.mean_g == (255 + 20 * 3) / 6
+    assert r.mean_b == (255 + 30 * 3) / 6
+
+
+def test_decode_qoi_rgba_chunk_and_index_state():
+    """The 0xFF (RGBA) op — which the 3-channel encoder never emits — and
+    the alpha-dependent index hashing, exercised by a hand-built stream:
+    pixel 1 via RGBA (alpha 7), pixel 2 via RGB, pixel 3 re-referencing
+    pixel 1 through QOI_OP_INDEX (its slot hash includes alpha=7)."""
+    import numpy as np
+
+    from tidb_large_table_compare_spark.operators.multimodal import _decode_qoi
+
+    p1 = (200, 100, 50, 7)
+    slot1 = (p1[0] * 3 + p1[1] * 5 + p1[2] * 7 + p1[3] * 11) % 64
+    stream = (
+        b"qoif"
+        + (3).to_bytes(4, "big")  # width
+        + (1).to_bytes(4, "big")  # height
+        + bytes([4, 0])  # channels=4, colorspace
+        + bytes([0xFF, *p1])  # QOI_OP_RGBA
+        + bytes([0xFE, 1, 2, 3])  # QOI_OP_RGB (alpha stays 7)
+        + bytes([slot1])  # QOI_OP_INDEX → back to p1's RGB
+        + b"\x00" * 7
+        + b"\x01"
+    )
+    out = _decode_qoi(stream)
+    assert out.shape == (1, 3, 3)
+    assert np.array_equal(
+        out[0], np.array([[200, 100, 50], [1, 2, 3], [200, 100, 50]])
+    )
+
+
 def test_decode_media_unknown_format_still_raises(spark):
     import pytest
 

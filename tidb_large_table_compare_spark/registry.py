@@ -3071,6 +3071,101 @@ FROM b GROUP BY split
 )
 
 
+def _weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing — the per-source sampling stage of a training-data
+    pipeline (web-scale corpora are never used at their natural proportions;
+    each source gets a target rate). Rates here derive deterministically
+    from the source tag (src0 keeps 100.0%, each next source 4.5 points
+    less, floored at 10%), and the keep/drop decision is the same
+    content-independent md5-prefix hash both engines compute identically —
+    so the sample is reproducible on any cluster, any partitioning, any day
+    (no rand(): a reshuffled input must not change the corpus).
+
+    Map-only: a filter + hash-aggregation; at 100 TB the scan dominates and
+    the output is one row per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    keep_permille = F.greatest(F.lit(100), F.lit(1000) - F.lit(45) * src_num)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(1000),
+    )
+    tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+    return (
+        docs.filter(bucket < keep_permille)
+        .select("source", keep_permille.alias("keep_permille"), tokens.alias("toks"))
+        .groupBy("source", "keep_permille")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_register(
+    "weighted_source_mix",
+    _weighted_source_mix,
+    f"""
+WITH rated AS (
+  SELECT source,
+         GREATEST(100, 1000 - 45 * CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER))
+           AS keep_permille,
+         ({_MD5_60_DOCID_SQL}) % 1000 AS bucket,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+  FROM documents
+)
+SELECT source, keep_permille,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens
+FROM rated WHERE bucket < keep_permille
+GROUP BY source, keep_permille
+""",
+)
+
+
+def _seeded_shuffle_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle — training pipelines need documents in a
+    pseudorandom order that is IDENTICAL across re-runs and partitionings
+    (shuffling with rand() changes every run; ordering by id isn't a
+    shuffle). Order key = md5 of a seed concatenated with the doc id; the
+    first 100 positions come back with their rank.
+
+    Scale path: the global order is consumed through orderBy().limit(k) —
+    Spark's TakeOrdered (per-partition top-k, then a k-sized driver merge),
+    no single-task total sort; the rank window runs over the k survivors
+    only. A full-corpus shuffled WRITE would instead repartitionByRange on
+    the same key — same determinism, no bottleneck.
+    """
+    from pyspark.sql import window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("epoch-0:"), F.col("doc_id").cast("string")))
+    top = (
+        docs.select("doc_id", order_key.alias("__k"))
+        .orderBy("__k")
+        .limit(100)
+    )
+    w = W.Window.orderBy("__k")
+    return top.select(
+        F.row_number().over(w).alias("position"), "doc_id"
+    )
+
+
+_register(
+    "seeded_shuffle_sample",
+    _seeded_shuffle_sample,
+    """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('epoch-0:' || CAST(doc_id AS VARCHAR)))
+         AS INTEGER) AS position,
+       doc_id
+FROM documents
+ORDER BY 1 LIMIT 100
+""",
+)
+
+
 def _quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation decision: keep/drop per document with the first
     failing rule as the reason — the filter stage of a training-data
@@ -3615,8 +3710,10 @@ _DRIVER_PRIORITY: list[str] = [
     "string_ops_documents",
     "yearly_volume_by_nation",
     "zorder_lineitem_extents",
-    # (b) never-checked: registered this round, needs its first signal
+    # (b) never-checked: registered this round, need their first signal
     "multimodal_decode_stats",
+    "weighted_source_mix",
+    "seeded_shuffle_sample",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -3646,8 +3743,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_summary_incremental",
     "cmp_summary_orders",
     "cmp_summary_self",
-    "cube_order_price_stats",
-    "customers_never_finished",
 ]
 
 
