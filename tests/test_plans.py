@@ -308,3 +308,47 @@ def test_sharded_packing_window_partitions_by_shard(spark):
     flat_plan = flat._jdf.queryExecution().executedPlan().toString()
     # global window => a single-partition exchange, by design in the exact twin
     assert "Exchange SinglePartition" in flat_plan, flat_plan
+
+
+def test_seeded_shuffle_is_take_ordered_not_global_sort(spark):
+    """The reproducible-shuffle sample must plan as TakeOrderedAndProject
+    (per-partition top-k + k-sized driver merge); a global Sort before the
+    limit would funnel the whole corpus through one task order-by at scale.
+    The rank window may only run over the k survivors (downstream of the
+    take), never over the full input."""
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(QUERIES["seeded_shuffle_sample"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    take_pos = plan.index("TakeOrderedAndProject")
+    window_pos = plan.index("Window")
+    assert window_pos < take_pos, plan  # window consumes the take's output
+    # no full-corpus sort: the only Sort allowed is inside the take operator
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0], plan
+
+
+def test_weighted_mix_filters_at_scan_and_prunes(spark):
+    """The mixing filter must evaluate before aggregation with a pruned
+    3-column scan — at 100 TB the dropped rows must die at the scan, and
+    reading `lang`/`n_chars` for a sampling decision would inflate scan
+    bytes for nothing."""
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(QUERIES["weighted_source_mix"](spark, SF_SMALL))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("lang" not in s and "n_chars" not in s for s in scans), plan
+    assert plan.index("Filter") > plan.index("HashAggregate"), plan  # filter below agg
+
+
+def test_decode_stats_is_shuffle_free(spark):
+    """The image build→decode chain is two chained Arrow-batched
+    MapInPandas over a two-column scan: partition-preserving, zero
+    exchanges — the multimodal contract (decode parallelism comes from the
+    scan's splits, not from a shuffle)."""
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(QUERIES["multimodal_decode_stats"](spark, SF_SMALL))
+    assert plan.count("MapInPandas") == 2, plan
+    assert "Exchange" not in plan, plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans and all("lang" not in s and "source" not in s for s in scans), plan
