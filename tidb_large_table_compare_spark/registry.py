@@ -3501,6 +3501,70 @@ FROM events
 )
 
 
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts via a mergeable count-min sketch — the
+    sketch twin of the exact ``top_tokens_documents`` groupBy, and the
+    100 TB path for corpus token statistics: each partition folds tokens
+    into a fixed-size sketch map-side, the aggregation tree merges
+    kilobytes instead of shuffling one row per distinct token. The sketch
+    (Spark's ``count_min_sketch``, fixed seed → deterministic) is read
+    back driver-side (~112 KB for eps=1e-3) and its estimates for the
+    exact top-20 tokens checked against the CMS guarantee: estimate ≥
+    exact, and ≤ exact + eps·N. Both are stable TRUE for fixed data, so
+    the oracle asserts them alongside the exact counts (pattern of
+    ``sketch_daily_users_merged``/``approx_distinct_parts``)."""
+    eps = 0.001
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token")
+    )
+    raw = bytes(
+        tokens.agg(
+            F.expr(f"count_min_sketch(token, {eps}d, 0.99d, 42)").alias("s")
+        ).collect()[0]["s"]
+    )
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark._jvm.java.io.ByteArrayInputStream(raw)
+    )
+    total = cms.totalCount()
+    top = (
+        tokens.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "token")
+        .limit(20)
+        .collect()
+    )
+    rows = [
+        (
+            r["token"],
+            int(r["exact_count"]),
+            bool(
+                r["exact_count"] <= (est := cms.estimateCount(r["token"]))
+                <= r["exact_count"] + eps * total
+            ),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "token string, exact_count bigint, within_eps boolean"
+    )
+
+
+_register(
+    "cms_heavy_hitters",
+    _cms_heavy_hitters,
+    """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count, TRUE AS within_eps
+FROM toks GROUP BY token
+ORDER BY exact_count DESC, token LIMIT 20
+""",
+)
+
+
 # ===========================================================================
 # Round-3 extensions: span-level dedup, RAG chunking, Z-order layout,
 # bounded approximate quantiles, sliding windows
@@ -3714,6 +3778,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_decode_stats",
     "weighted_source_mix",
     "seeded_shuffle_sample",
+    "cms_heavy_hitters",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -3742,7 +3807,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_schema_diff_drift",
     "cmp_summary_incremental",
     "cmp_summary_orders",
-    "cmp_summary_self",
 ]
 
 
