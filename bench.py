@@ -44,6 +44,10 @@ HEADLINE = [
     "range_join_errors_busy_hours",
     "doc_fingerprints",
     "tfidf_top_terms",
+    # round-6 surfaces: per-source weighted data mixing and the real image
+    # build→decode chain (both plan-asserted scale shapes)
+    "weighted_source_mix",
+    "multimodal_decode_stats",
 ]
 
 
