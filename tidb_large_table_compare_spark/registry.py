@@ -3166,6 +3166,66 @@ ORDER BY 1 LIMIT 100
 )
 
 
+def _unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality signal: score each document by how
+    familiar its vocabulary is under a unigram model trained on the corpus
+    itself (the stage real pipelines run with a KenLM perplexity filter).
+    The score is the per-doc mean of quantized token relative frequencies —
+    division of exact integers then a fixed 1e9 scale + round, all
+    IEEE-pinned, where ``ln`` would differ between libm builds in the last
+    ulp and break cross-engine hashing; the induced ordering is the same
+    monotone common-vocabulary axis.
+
+    Plan shape: explode → token-count shuffle → token-keyed join back →
+    doc-keyed aggregation — three shuffles, the canonical distributed
+    scoring profile; the corpus total is a one-row driver scalar (a scalar
+    subquery would constant-fold into the BNLJ shape the registry guardrail
+    forbids)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.count()  # bounded: one scalar
+    # floor, not round: the two engines disagree on half-rounding modes;
+    # floor of the IEEE-exact division is unambiguous
+    q = F.floor(F.col("n").cast("double") / F.lit(float(total)) * 1e9).cast("long")
+    return (
+        toks.join(freqs, "token")
+        .select("doc_id", q.alias("q"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            (F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "familiarity"
+            ),
+        )
+    )
+
+
+_register(
+    "unigram_familiarity_scores",
+    _unigram_familiarity,
+    """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+  FROM documents
+),
+freqs AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+total AS (SELECT COUNT(*) AS t FROM toks)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(CAST(FLOOR(CAST(n AS DOUBLE) / (SELECT t FROM total) * 1e9)
+                     AS BIGINT)) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS familiarity
+FROM toks JOIN freqs USING (token)
+GROUP BY doc_id
+""",
+)
+
+
 def _quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation decision: keep/drop per document with the first
     failing rule as the reason — the filter stage of a training-data
@@ -3779,6 +3839,7 @@ _DRIVER_PRIORITY: list[str] = [
     "weighted_source_mix",
     "seeded_shuffle_sample",
     "cms_heavy_hitters",
+    "unigram_familiarity_scores",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -3806,7 +3867,6 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_reconcile_orders",
     "cmp_schema_diff_drift",
     "cmp_summary_incremental",
-    "cmp_summary_orders",
 ]
 
 
