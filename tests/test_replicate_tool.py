@@ -1,0 +1,82 @@
+"""tools/replicate_sf.py is committed benchmarking methodology — the scale
+anchors in PERFORMANCE.md are only trustworthy if the replication preserves
+the invariants it claims: global key uniqueness, FK alignment, and disjoint
+per-replica shingle spaces (linear — not quadratic — near-dup growth)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "tools"))
+
+from replicate_sf import KEY_OFF, replicate  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+
+def test_replication_invariants(tmp_path):
+    dst = str(tmp_path / "sf2x")
+    replicate(SRC, dst, 2)
+    con = duckdb.connect()
+
+    # row counts: facts double, dims copy once
+    for t, mult in [("orders", 2), ("lineitem", 2), ("documents", 2),
+                    ("events", 2), ("nation", 1), ("region", 1)]:
+        n_src = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        n_dst = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()[0]
+        assert n_dst == mult * n_src, t
+
+    # keys stay globally unique
+    for t, k in [("orders", "o_orderkey"), ("documents", "doc_id"),
+                 ("embeddings", "vec_id"), ("events", "event_id")]:
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT {k}) "
+            f"FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()
+        assert n == d, t
+
+    # FK alignment: every replicated order's customer exists
+    orphans = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{dst}/orders.parquet') o
+        LEFT JOIN read_parquet('{dst}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        """
+    ).fetchone()[0]
+    assert orphans == 0
+
+    # disjoint shingle spaces: replica-1 docs share no words with replica-0
+    shared = con.execute(
+        f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM read_parquet('{dst}/documents.parquet')
+        )
+        SELECT count(*) FROM (
+          SELECT word FROM w WHERE doc_id <  {KEY_OFF}
+          INTERSECT
+          SELECT word FROM w WHERE doc_id >= {KEY_OFF}
+        )
+        """
+    ).fetchone()[0]
+    assert shared == 0
+
+    # embeddings: replicas are distinct vectors (component 0 shifted)
+    same = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{dst}/embeddings.parquet') a
+        JOIN read_parquet('{dst}/embeddings.parquet') b
+          ON a.vec_id + {KEY_OFF} = b.vec_id
+        WHERE a.embedding[1] = b.embedding[1]
+        """
+    ).fetchone()[0]
+    assert same == 0
