@@ -631,3 +631,48 @@ def test_decoded_thumbnails_drive_image_retrieval(spark):
     top = brute_force_topk(corpus, queries, k=1)
     r = top.collect()[0]
     assert (r.neighbor_id, round(r.cosine, 6)) == (3, 1.0)
+
+
+def test_neardup_index_build_and_admission(spark, tmp_path):
+    """Build-once/probe-many admission: a new near-copy of an indexed doc is
+    found with its exact Jaccard; a novel doc admits clean. The probe never
+    needs the corpus text — only the persisted shingle/band tables."""
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(1, base_text), (2, "completely different content about spark engines " * 6)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "ndidx")
+    build_neardup_index(corpus, path)
+
+    arrivals = spark.createDataFrame(
+        [(101, base_text + "tail tail"), (102, "unrelated novel arrival text " * 8)],
+        "doc_id bigint, text string",
+    )
+    pairs = query_neardup_index(spark, path, arrivals, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 101)}
+    assert 0.5 <= pairs[0].jaccard <= 1.0
+
+
+def test_neardup_index_cap_is_a_build_property(spark, tmp_path):
+    """Hot buckets are dropped when the index is BUILT, so every future
+    probe is protected: with a boilerplate triple capped out of the index,
+    admitting a fourth identical doc yields no candidates at all."""
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    boiler = "license boilerplate header repeated verbatim in every file " * 4
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 4)], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "capidx")
+    build_neardup_index(corpus, path, max_bucket_size=2)
+    arrivals = spark.createDataFrame([(99, boiler)], "doc_id bigint, text string")
+    assert query_neardup_index(spark, path, arrivals, threshold=0.5).count() == 0

@@ -331,6 +331,31 @@ def minhash_signature_oph_np(
     return shingle_sets.mapInPandas(gen, f"{id_col} long, sig array<long>")
 
 
+def signature_band_buckets(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+) -> DataFrame:
+    """Exploded banded-LSH bucket table: (id, band, bucket) — one row per
+    (doc, band), bucket = xxhash64 of that band's signature slice. The
+    shared primitive behind the self-join candidate generator below and the
+    persisted admission index (`operators/dedup_index.py`)."""
+    rows = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def lsh_candidate_pairs_from_array(
     signatures: DataFrame,
     id_col: str,
@@ -351,19 +376,7 @@ def lsh_candidate_pairs_from_array(
     buckets that big are boilerplate clusters, not near-dup families.
     Default ``None`` preserves exact parity with the all-candidates oracle.
     """
-    rows = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    exploded = signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    exploded = signature_band_buckets(signatures, id_col, n_hashes, n_bands)
     if max_bucket_size is not None:
         sizes = exploded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__sz")

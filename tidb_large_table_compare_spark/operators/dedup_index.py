@@ -1,0 +1,115 @@
+"""Persisted near-dup admission index — incremental dedup for a live corpus.
+
+A 100 TB corpus is not re-deduplicated from scratch when documents arrive:
+the MinHash/LSH state is built ONCE over the standing corpus and persisted;
+each arriving batch is admitted by probing the index — signature the new
+docs, look up their band buckets, exact-verify the candidates. Work per
+batch is O(batch × collisions), never O(corpus²) and never a corpus rescan.
+Same build-once / probe-many architecture as the persisted IVF index
+(`operators/similarity.py::build_ivf_index`) and the digest-snapshot
+incremental compare (`operators/incremental.py`).
+
+Layout under ``path``:
+- ``docs/``   — (id, shingles): the hashed shingle sets, for exact-Jaccard
+  verification of candidates (int64 shingles, ~8 B each).
+- ``bands/``  — (id, band, bucket): the exploded banded-LSH bucket table the
+  admission probe equi-joins against. Written unpartitioned: every probe
+  carries all ``n_bands`` band values, so a band partitioning prunes
+  nothing — and an all-capped (empty) band table keeps its schema this
+  way, where an empty partitioned write would lose it.
+
+Hot buckets are dropped AT BUILD TIME (``max_bucket_size``): an index
+carrying a boilerplate bucket with 10⁶ members would hand every future
+batch a k-sized collision list forever — the cap is a property of the
+index, not of each probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tidb_large_table_compare_spark.operators.dedup import (
+    hashed_word_ngrams,
+    jaccard_verified_pairs,
+    minhash_signature_oph_np,
+    signature_band_buckets,
+)
+
+__all__ = ["build_neardup_index", "query_neardup_index"]
+
+
+def _shingle_sets(
+    docs: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    return docs.select(
+        id_col, hashed_word_ngrams(F.col(text_col), shingle_n).alias("shingles")
+    )
+
+
+def build_neardup_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    max_bucket_size: int | None = 10_000,
+) -> None:
+    """Persist the admission index for ``corpus`` under ``path``.
+
+    One pass over the corpus: shingle → map-only OPH signatures → exploded
+    band table. Both sub-tables are plain parquet — on a real deployment
+    they live beside the corpus and are maintained by the same batch jobs
+    that append to it (append new docs' rows; compact occasionally).
+    """
+    shingles = _shingle_sets(corpus, id_col, text_col, shingle_n)
+    shingles.write.mode("overwrite").parquet(f"{path}/docs")
+    spark = corpus.sparkSession
+    stored = spark.read.parquet(f"{path}/docs")  # reuse the written shingles
+    sigs = minhash_signature_oph_np(stored, id_col, n_hashes=n_hashes)
+    bands = signature_band_buckets(sigs, id_col, n_hashes, n_bands)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__sz"))
+        small = sizes.filter(F.col("__sz") <= max_bucket_size).select("band", "bucket")
+        bands = bands.join(small, ["band", "bucket"], "left_semi")
+    bands.write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def query_neardup_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dups between an arriving batch and the indexed corpus:
+    (id_a = corpus doc, id_b = new doc, jaccard ≥ threshold).
+
+    The probe signatures ONLY the batch (map-only), equi-joins its band
+    buckets against the persisted band table — with the batch side
+    broadcast when it is small, the common case — exact-verifies candidates
+    against the stored shingle sets, and never touches corpus text. A new
+    doc with no colliding bucket costs one join probe, nothing more.
+    """
+    new_shingles = _shingle_sets(new_docs, id_col, text_col, shingle_n)
+    new_sigs = minhash_signature_oph_np(new_shingles, id_col, n_hashes=n_hashes)
+    new_bands = signature_band_buckets(new_sigs, id_col, n_hashes, n_bands)
+
+    idx_bands = spark.read.parquet(f"{path}/bands").withColumnRenamed(id_col, "id_a")
+    cands = (
+        idx_bands.join(
+            F.broadcast(new_bands.withColumnRenamed(id_col, "id_b")),
+            ["band", "bucket"],
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    idx_docs = spark.read.parquet(f"{path}/docs")
+    verify_sets = idx_docs.unionByName(new_shingles)
+    return jaccard_verified_pairs(cands, verify_sets, id_col, threshold)

@@ -851,6 +851,43 @@ _register(
 )
 
 
+def _neardup_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup admission (`operators/dedup_index.py`): the
+    MinHash/LSH state for the standing corpus (base doc ids) is built once
+    and PERSISTED; the arriving batch (the +100k near-copies) is admitted
+    by probing the index — batch-only signatures, band-bucket equi-join
+    against the stored band table, exact-Jaccard verification against the
+    stored shingle sets. Work ∝ batch × collisions; the corpus text is
+    never re-read. The oracle recomputes the exact cross-pair Jaccard set,
+    so the pruned probe must find exactly the true near-dup admissions."""
+    import tempfile
+
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    corpus_all = _near_dup_corpus(spark, sf_dir)
+    base = ensure_min_partitions(corpus_all.filter(F.col("doc_id") < 100_000))
+    arrivals = corpus_all.filter(F.col("doc_id") >= 100_000)
+    path = tempfile.mkdtemp(prefix="ndidx_") + "/index"
+    build_neardup_index(base, path)
+    return query_neardup_index(spark, path, arrivals)
+
+
+_register(
+    "neardup_index_admission",
+    _neardup_index_admission,
+    f"""
+WITH all_pairs AS (
+  {_NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=4, threshold=0.8)}
+)
+SELECT id_a, id_b, jaccard FROM all_pairs
+WHERE id_a < 100000 AND id_b >= 100000
+""",
+)
+
+
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (no LSH) — candidates from a shared-
     shingle equi-join, so pairs with zero overlap never materialize."""
@@ -3840,6 +3877,7 @@ _DRIVER_PRIORITY: list[str] = [
     "seeded_shuffle_sample",
     "cms_heavy_hitters",
     "unigram_familiarity_scores",
+    "neardup_index_admission",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -3860,7 +3898,6 @@ _DRIVER_PRIORITY: list[str] = [
     # round-4 cohort (21 entries) rotates in round 7 within the age bound
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
-    "base64_roundtrip_docs",
     "cmp_diff_rows_composite_pk",
     "cmp_diff_rows_orders",
     "cmp_fix_sql_orders",
