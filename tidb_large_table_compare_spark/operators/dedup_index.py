@@ -22,6 +22,13 @@ Hot buckets are dropped AT BUILD TIME (``max_bucket_size``): an index
 carrying a boilerplate bucket with 10⁶ members would hand every future
 batch a k-sized collision list forever — the cap is a property of the
 index, not of each probe.
+
+Probe cost floor: each probe scans the BAND table (never corpus text) for
+the equi-join — 32 longs per indexed doc, ~0.26% of the bytes of a 10 KB
+document, so the floor is ~1/400th of a corpus scan; measured at the sf1
+replica: 0.1%-batch probe 1.9 s vs 7.1 s full re-dedup (PERFORMANCE.md).
+If even that scan matters, lay the band table out sorted/clustered by
+``bucket`` so min/max row-group stats prune the probe's bucket set.
 """
 
 from __future__ import annotations
