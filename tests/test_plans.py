@@ -352,3 +352,16 @@ def test_decode_stats_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert scans and all("lang" not in s and "source" not in s for s in scans), plan
+
+
+def test_stable_ids_have_no_single_partition_exchange(spark):
+    """Global deterministic enumeration must come from range-partitioned
+    per-partition ranks + driver offsets — never a single-task global sort.
+    (`pack_training_chunks` keeps its documented global window as the exact
+    twin; this op is the scale path for 0..N-1 id assignment.)"""
+    from tests.conftest import SF_SMALL
+
+    plan = _plan(QUERIES["stable_sequential_ids"](spark, SF_SMALL))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "Window" in plan  # per-partition rank, partitioned by pid

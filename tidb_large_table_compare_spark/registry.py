@@ -3263,6 +3263,68 @@ GROUP BY doc_id
 )
 
 
+def _stable_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contiguous 0..N-1 ids in a reproducible pseudorandom
+    order — the enumeration step that shards a training corpus — WITHOUT a
+    single-task global sort and without ``monotonically_increasing_id``
+    (whose values depend on partition layout and are neither contiguous nor
+    reproducible). Two-pass pattern: range-partition by the order key, rank
+    within each (sorted) partition, add driver-computed partition offsets —
+    one narrow count per partition, so the global order materializes with
+    no Exchange SinglePartition anywhere (plan-asserted). The assignment is
+    invariant to where the range sampler places its boundaries: rank-
+    within-partition + offset equals global rank under ANY range split."""
+    from pyspark.sql import window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = (
+        docs.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("seq:"), F.col("doc_id").cast("string"))).alias(
+                "__k"
+            ),
+        )
+        .repartitionByRange(32, "__k", "doc_id")
+        .sortWithinPartitions("__k", "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # bounded driver state: one row per partition
+    sizes = {
+        r["__pid"]: r["n"]
+        for r in keyed.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = W.Window.partitionBy("__pid").orderBy("__k", "doc_id")
+    return keyed.select(
+        (
+            F.element_at(offset_map, F.col("__pid"))  # map lookup by pid key
+            + F.row_number().over(w)
+            - 1
+        )
+        .cast("long")
+        .alias("seq_id"),
+        "doc_id",
+    )
+
+
+_register(
+    "stable_sequential_ids",
+    _stable_sequential_ids,
+    """
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('seq:' || CAST(doc_id AS VARCHAR)),
+                               doc_id) - 1 AS BIGINT) AS seq_id,
+       doc_id
+FROM documents
+""",
+)
+
+
 def _quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite curation decision: keep/drop per document with the first
     failing rule as the reason — the filter stage of a training-data
@@ -3878,6 +3940,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "unigram_familiarity_scores",
     "neardup_index_admission",
+    "stable_sequential_ids",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -3898,7 +3961,6 @@ _DRIVER_PRIORITY: list[str] = [
     # round-4 cohort (21 entries) rotates in round 7 within the age bound
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
-    "cmp_diff_rows_composite_pk",
     "cmp_diff_rows_orders",
     "cmp_fix_sql_orders",
     "cmp_reconcile_orders",
