@@ -676,3 +676,41 @@ def test_neardup_index_cap_is_a_build_property(spark, tmp_path):
     build_neardup_index(corpus, path, max_bucket_size=2)
     arrivals = spark.createDataFrame([(99, boiler)], "doc_id bigint, text string")
     assert query_neardup_index(spark, path, arrivals, threshold=0.5).count() == 0
+
+
+def test_stable_ids_invariant_to_input_layout(spark):
+    """The op's core claim: the 0..N-1 assignment depends only on the data,
+    not on how the input happens to be partitioned when it arrives —
+    rank-within-range-partition + offset equals the global rank under any
+    boundary placement."""
+    from tidb_large_table_compare_spark.registry import QUERIES
+
+    base = {
+        (r.seq_id, r.doc_id)
+        for r in QUERIES["stable_sequential_ids"](spark, SF_SMALL).collect()
+    }
+    n = len(base)
+    assert sorted(s for s, _ in base) == list(range(n))  # contiguous 0..N-1
+
+    # same data, radically different incoming layout
+    from tidb_large_table_compare_spark.sources import tables as T
+
+    orig = T.load_table
+
+    def skewed_load(spark_, sf_dir, name):
+        df = orig(spark_, sf_dir, name)
+        return df.repartition(7, "doc_id") if name == "documents" else df
+
+    try:
+        T.load_table = skewed_load
+        import tidb_large_table_compare_spark.registry as R
+
+        R.load_table = skewed_load
+        again = {
+            (r.seq_id, r.doc_id)
+            for r in QUERIES["stable_sequential_ids"](spark, SF_SMALL).collect()
+        }
+    finally:
+        T.load_table = orig
+        R.load_table = orig
+    assert again == base
