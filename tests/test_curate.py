@@ -160,3 +160,49 @@ def test_curate_sharded_packing_same_corpus_and_invariant(spark, tmp_path):
         running[(split, shard)] = start + n_toks
     # more than one shard actually materialized
     assert len({s for _, s, _, _, _ in rows}) > 1
+
+
+def test_curate_cli_build_index_and_admit(spark, tmp_path, capsys):
+    """The incremental-admission workflow through the CLI: build the index
+    over a standing corpus, then admit a batch containing one near-copy and
+    one novel doc — the printed manifest accounts for every batch doc and
+    the pairs land in parquet."""
+    import json as _json
+
+    from tidb_large_table_compare_spark import curate_cli
+
+    base_text = "some standing corpus document with plenty of words here " * 6
+    corpus = spark.createDataFrame(
+        [(1, base_text), (2, "an entirely different standing document " * 7)],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "corpus.parquet")
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "ndidx")
+
+    rc = curate_cli.main(
+        ["--mode", "build-index", "--input", src, "--index", idx, "--out", idx]
+    )
+    assert rc == 0
+    built = _json.loads(capsys.readouterr().out)
+    assert built["n_indexed"] == 2
+
+    batch = spark.createDataFrame(
+        [(101, base_text + "extra tail"), (102, "novel arrival nothing alike " * 8)],
+        "doc_id bigint, text string",
+    )
+    bsrc = str(tmp_path / "batch.parquet")
+    batch.write.parquet(bsrc)
+    pairs_out = str(tmp_path / "pairs")
+
+    rc = curate_cli.main(
+        ["--mode", "admit", "--input", bsrc, "--index", idx,
+         "--out", pairs_out, "--jaccard", "0.5"]
+    )
+    assert rc == 0
+    admitted = _json.loads(capsys.readouterr().out)
+    assert admitted["n_batch"] == 2
+    assert admitted["n_batch_docs_with_neardup"] == 1
+    assert admitted["n_clean_admissions"] == 1
+    rows = spark.read.parquet(pairs_out).collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(1, 101)}

@@ -10,6 +10,15 @@ Usage:
       --input /data/documents.parquet --out /data/curated \
       [--shingle-n 5] [--jaccard 0.8] [--val-permille 100] \
       [--chunk-cap 2048] [--lock-file PATH]
+
+Incremental admission (`operators/dedup_index.py`) — the daily operation
+once a corpus stands; neither mode re-reads corpus text:
+  # build the persisted near-dup index once over the standing corpus
+  ... curate_cli --mode build-index --input corpus.parquet \
+      --index /data/ndidx --out /data/ndidx
+  # admit an arriving batch: near-dup pairs vs the index → parquet + manifest
+  ... curate_cli --mode admit --input batch.parquet \
+      --index /data/ndidx --out /data/admission_pairs
 """
 
 from __future__ import annotations
@@ -40,8 +49,18 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--chunk-cap", type=int, default=2048)
     p.add_argument("--pack-shards", type=int, default=1,
                    help="packing windows per split (>1 = sharded scale path)")
+    p.add_argument("--mode", choices=["curate", "build-index", "admit"],
+                   default="curate",
+                   help="curate (default) = full pipeline; build-index = "
+                        "persist the near-dup admission index for --input; "
+                        "admit = probe --index with the --input batch")
+    p.add_argument("--index", default=None,
+                   help="admission index path (build-index/admit modes)")
     p.add_argument("--lock-file", default=None)
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.mode in ("build-index", "admit") and not args.index:
+        p.error(f"--mode {args.mode} requires --index")
+    return args
 
 
 def _default_lock_path(out_dir: str) -> str:
@@ -61,6 +80,39 @@ def main(argv: list[str] | None = None) -> int:
     try:
         spark = get_spark("curate")
         docs = spark.read.parquet(args.input)
+        if args.mode == "build-index":
+            from tidb_large_table_compare_spark.operators.dedup_index import (
+                build_neardup_index,
+            )
+
+            build_neardup_index(docs, args.index, shingle_n=args.shingle_n)
+            n = spark.read.parquet(f"{args.index}/docs").count()
+            print(json.dumps({"mode": "build-index", "index": args.index,
+                              "n_indexed": n}, indent=2))
+            return 0
+        if args.mode == "admit":
+            from pyspark.sql import functions as F
+
+            from tidb_large_table_compare_spark.operators.dedup_index import (
+                query_neardup_index,
+            )
+
+            pairs = query_neardup_index(
+                spark, args.index, docs,
+                shingle_n=args.shingle_n, threshold=args.jaccard,
+            )
+            pairs.write.mode("overwrite").parquet(args.out)
+            written = spark.read.parquet(args.out)
+            n_pairs = written.count()
+            n_dup_new = written.select("id_b").distinct().count()
+            n_batch = docs.count()
+            print(json.dumps({
+                "mode": "admit", "index": args.index, "pairs": args.out,
+                "n_batch": n_batch, "n_neardup_pairs": n_pairs,
+                "n_batch_docs_with_neardup": n_dup_new,
+                "n_clean_admissions": n_batch - n_dup_new,
+            }, indent=2))
+            return 0
         manifest = curate_corpus(
             spark,
             docs,
