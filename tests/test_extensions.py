@@ -714,3 +714,31 @@ def test_stable_ids_invariant_to_input_layout(spark):
         T.load_table = orig
         R.load_table = orig
     assert again == base
+
+
+def test_neardup_index_append_closes_the_loop(spark, tmp_path):
+    """build → admit → append → the NEXT batch's near-copy of an appended
+    doc is caught, proving admissions become part of the standing index."""
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        append_to_neardup_index,
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "original standing corpus document with many words " * 6)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "loopidx")
+    build_neardup_index(corpus, path)
+
+    day1_text = "a freshly admitted day-one document about engines " * 6
+    day1 = spark.createDataFrame([(101, day1_text)], "doc_id bigint, text string")
+    assert query_neardup_index(spark, path, day1, threshold=0.5).count() == 0
+    append_to_neardup_index(day1, path)
+
+    day2 = spark.createDataFrame(
+        [(201, day1_text + "small tail")], "doc_id bigint, text string"
+    )
+    pairs = query_neardup_index(spark, path, day2, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(101, 201)}

@@ -43,7 +43,7 @@ from tidb_large_table_compare_spark.operators.dedup import (
     signature_band_buckets,
 )
 
-__all__ = ["build_neardup_index", "query_neardup_index"]
+__all__ = ["build_neardup_index", "query_neardup_index", "append_to_neardup_index"]
 
 
 def _shingle_sets(
@@ -82,6 +82,30 @@ def build_neardup_index(
         small = sizes.filter(F.col("__sz") <= max_bucket_size).select("band", "bucket")
         bands = bands.join(small, ["band", "bucket"], "left_semi")
     bands.write.mode("overwrite").parquet(f"{path}/bands")
+
+
+def append_to_neardup_index(
+    corpus_batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    n_hashes: int = 128,
+    n_bands: int = 32,
+) -> None:
+    """Fold an admitted batch into the standing index (append mode) — the
+    maintenance half of the admission loop: build once, then per batch
+    probe → admit → append, so tomorrow's batches see today's admissions.
+    Batch-only work, same O(batch) shapes as the probe. The build-time
+    hot-bucket cap is NOT re-evaluated here (appends could grow a bucket
+    past the cap between compactions); re-run ``build_neardup_index``
+    periodically — the natural compaction step — to re-apply it.
+    """
+    shingles = _shingle_sets(corpus_batch, id_col, text_col, shingle_n)
+    shingles.write.mode("append").parquet(f"{path}/docs")
+    sigs = minhash_signature_oph_np(shingles, id_col, n_hashes=n_hashes)
+    bands = signature_band_buckets(sigs, id_col, n_hashes, n_bands)
+    bands.write.mode("append").parquet(f"{path}/bands")
 
 
 def query_neardup_index(
