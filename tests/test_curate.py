@@ -206,3 +206,42 @@ def test_curate_cli_build_index_and_admit(spark, tmp_path, capsys):
     assert admitted["n_clean_admissions"] == 1
     rows = spark.read.parquet(pairs_out).collect()
     assert {(r.id_a, r.id_b) for r in rows} == {(1, 101)}
+
+
+def test_curate_cli_append_index_mode(spark, tmp_path, capsys):
+    """The CLI covers the whole admission lifecycle: after append-index, a
+    re-admit of a near-copy of the appended doc finds it."""
+    import json as _json
+
+    from tidb_large_table_compare_spark import curate_cli
+
+    corpus = spark.createDataFrame(
+        [(1, "standing corpus base document with plenty of words " * 6)],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "c.parquet")
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert curate_cli.main(["--mode", "build-index", "--input", src,
+                            "--index", idx, "--out", idx]) == 0
+    capsys.readouterr()
+
+    day1_text = "newly admitted document about something else entirely " * 6
+    spark.createDataFrame(
+        [(101, day1_text)], "doc_id bigint, text string"
+    ).write.parquet(str(tmp_path / "d1.parquet"))
+    assert curate_cli.main(["--mode", "append-index",
+                            "--input", str(tmp_path / "d1.parquet"),
+                            "--index", idx, "--out", idx]) == 0
+    appended = _json.loads(capsys.readouterr().out)
+    assert appended["n_appended"] == 1 and appended["n_indexed"] == 2
+
+    spark.createDataFrame(
+        [(201, day1_text + "tail")], "doc_id bigint, text string"
+    ).write.parquet(str(tmp_path / "d2.parquet"))
+    assert curate_cli.main(["--mode", "admit",
+                            "--input", str(tmp_path / "d2.parquet"),
+                            "--index", idx, "--out", str(tmp_path / "pairs"),
+                            "--jaccard", "0.5"]) == 0
+    admitted = _json.loads(capsys.readouterr().out)
+    assert admitted["n_batch_docs_with_neardup"] == 1

@@ -49,16 +49,19 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--chunk-cap", type=int, default=2048)
     p.add_argument("--pack-shards", type=int, default=1,
                    help="packing windows per split (>1 = sharded scale path)")
-    p.add_argument("--mode", choices=["curate", "build-index", "admit"],
+    p.add_argument("--mode",
+                   choices=["curate", "build-index", "admit", "append-index"],
                    default="curate",
                    help="curate (default) = full pipeline; build-index = "
                         "persist the near-dup admission index for --input; "
-                        "admit = probe --index with the --input batch")
+                        "admit = probe --index with the --input batch; "
+                        "append-index = fold the admitted --input batch "
+                        "into --index so future admits see it")
     p.add_argument("--index", default=None,
                    help="admission index path (build-index/admit modes)")
     p.add_argument("--lock-file", default=None)
     args = p.parse_args(argv)
-    if args.mode in ("build-index", "admit") and not args.index:
+    if args.mode in ("build-index", "admit", "append-index") and not args.index:
         p.error(f"--mode {args.mode} requires --index")
     return args
 
@@ -89,6 +92,17 @@ def main(argv: list[str] | None = None) -> int:
             n = spark.read.parquet(f"{args.index}/docs").count()
             print(json.dumps({"mode": "build-index", "index": args.index,
                               "n_indexed": n}, indent=2))
+            return 0
+        if args.mode == "append-index":
+            from tidb_large_table_compare_spark.operators.dedup_index import (
+                append_to_neardup_index,
+            )
+
+            append_to_neardup_index(docs, args.index, shingle_n=args.shingle_n)
+            n = spark.read.parquet(f"{args.index}/docs").count()
+            print(json.dumps({"mode": "append-index", "index": args.index,
+                              "n_appended": docs.count(), "n_indexed": n},
+                             indent=2))
             return 0
         if args.mode == "admit":
             from pyspark.sql import functions as F
