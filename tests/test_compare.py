@@ -166,6 +166,59 @@ def test_float_round_tolerance(spark):
     assert _summary(spark, a, b, float_round=6).equivalent
 
 
+def test_column_drift_golden(spark, master, slave):
+    """Every modified row in the golden pair perturbs exactly one column,
+    and (pk step 500 ≡ 0 mod 5) always the same one — dbl_col."""
+    cmp = compare_tables(
+        spark, master, slave, pk=["pk"],
+        options=CompareOptions(chunk_size=500), table_name="t",
+    )
+    counts = {r.column_name: r.mismatch_rows for r in cmp.column_drift().collect()}
+    assert set(counts) == set(master.columns) - {"pk"}
+    assert counts["dbl_col"] == K_MODIFIED
+    assert sum(counts.values()) == K_MODIFIED
+
+
+def test_column_drift_multi_column_null_and_canonical(spark):
+    schema = "pk bigint, s string, d double"
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 0.0), (4, "d", 4.0)], schema
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 2.5), (3, "c", -0.0), (4, "d", 4.0)], schema
+    )
+    cmp = compare_tables(spark, left, right, pk=["pk"], table_name="t")
+    counts = {r.column_name: r.mismatch_rows for r in cmp.column_drift().collect()}
+    # row 2 drifts in BOTH columns (the NULL flip is counted null-safely);
+    # row 3's -0.0 is canonically equal to 0.0 — no drift, same verdict the
+    # row digests give
+    assert counts == {"s": 1, "d": 1}
+
+
+def test_column_drift_float_round_matches_digest_tolerance(spark):
+    a = spark.createDataFrame([(1, 1.0000001)], "pk bigint, d double")
+    b = spark.createDataFrame([(1, 1.0000002)], "pk bigint, d double")
+    strict = compare_tables(spark, a, b, pk=["pk"], table_name="t")
+    assert {r.column_name: r.mismatch_rows for r in strict.column_drift().collect()} == {"d": 1}
+    tol = compare_tables(
+        spark, a, b, pk=["pk"],
+        options=CompareOptions(float_round=6), table_name="t",
+    )
+    assert {r.column_name: r.mismatch_rows for r in tol.column_drift().collect()} == {"d": 0}
+
+
+def test_column_drift_equal_tables_all_zero(spark, master):
+    cmp = compare_tables(spark, master, master, pk=["pk"], table_name="t")
+    counts = {r.column_name: r.mismatch_rows for r in cmp.column_drift().collect()}
+    assert set(counts.values()) == {0}
+
+
+def test_column_drift_requires_pk(spark, master, slave):
+    cmp = compare_tables(spark, master, slave, pk=None, table_name="t")
+    with pytest.raises(ValueError, match="primary key"):
+        cmp.column_drift()
+
+
 def test_fix_sql_statements(spark, master, slave):
     cmp = compare_tables(spark, master, slave, pk=["pk"], table_name="db.t")
     stmts = [r["fix_sql"] for r in fix_sql(cmp).collect()]

@@ -31,7 +31,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["canonical_columns", "row_hash", "bucket_id", "with_hash_columns"]
+__all__ = [
+    "canonical_columns",
+    "canonical_value",
+    "row_hash",
+    "bucket_id",
+    "with_hash_columns",
+]
 
 
 def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Column:
@@ -90,6 +96,19 @@ def _element_canonicalizer(dtype: T.DataType, float_round: int | None):
         )
 
     return canon
+
+
+def canonical_value(
+    col: Column, dtype: T.DataType, float_round: int | None = None
+) -> Column:
+    """Public form of the canonical normalization ``row_hash`` applies.
+
+    Lets other operators compare *individual* columns under exactly the
+    equality the digests use (integral widening, -0.0 folding, declared
+    float rounding, hashable map/struct forms) — e.g. the per-column drift
+    drill-down, whose counts must reconcile with the row-level verdicts.
+    """
+    return _canonical(col, dtype, float_round)
 
 
 def canonical_columns(

@@ -23,6 +23,9 @@ DELETE_MOD, DELETE_REM = 97, 3
 MODIFY_MOD, MODIFY_REM = 89, 5
 INSERT_MOD, INSERT_REM = 400, 7
 INSERT_SHIFT = 10_000_000
+# extra drift classes for the multi-column variant (column_drift fixture)
+STATUS_MOD, STATUS_REM = 211, 13
+PRIO_NULL_MOD, PRIO_NULL_REM = 401, 17
 
 
 def perturbed_orders(orders: DataFrame) -> DataFrame:
@@ -34,6 +37,51 @@ def perturbed_orders(orders: DataFrame) -> DataFrame:
             F.col("o_orderkey") % MODIFY_MOD == MODIFY_REM,
             F.col("o_totalprice") + 1.0,
         ).otherwise(F.col("o_totalprice")),
+    )
+    extra = orders.filter(F.col("o_orderkey") % INSERT_MOD == INSERT_REM).withColumn(
+        "o_orderkey", F.col("o_orderkey") + INSERT_SHIFT
+    )
+    return modified.unionByName(extra.select(modified.columns))
+
+
+def perturbed_orders_multi(orders: DataFrame) -> DataFrame:
+    """Drifted slave with drift spread across THREE columns — the fixture
+    for the per-column drift drill-down (``TableCompare.column_drift``).
+
+    Same delete/insert classes as ``perturbed_orders`` (so the drill-down's
+    modified-rows-only restriction is actually exercised), plus:
+
+    - o_totalprice + 1.0      where o_orderkey % 89  = 5
+    - o_orderstatus → 'X'     where o_orderkey % 211 = 13
+    - o_orderpriority → NULL  where o_orderkey % 401 = 17
+      (NULL drift pins the null-safe per-column inequality)
+
+    A row can fall in several classes at once — the per-column counts must
+    then each count it, while the row-level 'modified' verdict counts it
+    once.
+    """
+    kept = orders.filter(F.col("o_orderkey") % DELETE_MOD != DELETE_REM)
+    modified = (
+        kept.withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % MODIFY_MOD == MODIFY_REM,
+                F.col("o_totalprice") + 1.0,
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % STATUS_MOD == STATUS_REM, F.lit("X")
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % PRIO_NULL_MOD == PRIO_NULL_REM,
+                F.lit(None).cast("string"),
+            ).otherwise(F.col("o_orderpriority")),
+        )
     )
     extra = orders.filter(F.col("o_orderkey") % INSERT_MOD == INSERT_REM).withColumn(
         "o_orderkey", F.col("o_orderkey") + INSERT_SHIFT
@@ -89,6 +137,26 @@ PERTURBED_LINEITEM_SQL = f"""
            l_linestatus, l_shipdate
     FROM lineitem
     WHERE l_orderkey % 500 = 9 AND l_linenumber = 1
+"""
+
+
+# DuckDB/ANSI CTE body equivalent to perturbed_orders_multi() — keep in lockstep.
+PERTURBED_ORDERS_MULTI_SQL = f"""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % {STATUS_MOD} = {STATUS_REM}
+                THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % {MODIFY_MOD} = {MODIFY_REM}
+                THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderdate,
+           CASE WHEN o_orderkey % {PRIO_NULL_MOD} = {PRIO_NULL_REM}
+                THEN NULL ELSE o_orderpriority END AS o_orderpriority
+    FROM orders
+    WHERE o_orderkey % {DELETE_MOD} <> {DELETE_REM}
+    UNION ALL
+    SELECT o_orderkey + {INSERT_SHIFT}, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % {INSERT_MOD} = {INSERT_REM}
 """
 
 

@@ -29,8 +29,10 @@ from tidb_large_table_compare_spark.operators.compare import (
 from tidb_large_table_compare_spark.operators.fixsql import fix_sql
 from tidb_large_table_compare_spark.operators.schema_diff import schema_diff
 from tidb_large_table_compare_spark.perturb import (
+    PERTURBED_ORDERS_MULTI_SQL,
     PERTURBED_ORDERS_SQL,
     perturbed_orders,
+    perturbed_orders_multi,
 )
 from tidb_large_table_compare_spark.functions.layout import morton_key, morton_key_sql
 from tidb_large_table_compare_spark.functions.partitioning import ensure_min_partitions
@@ -230,6 +232,50 @@ FROM orders m FULL OUTER JOIN slave s ON m.o_orderkey = s.o_orderkey
 WHERE s.o_orderkey IS NULL OR m.o_orderkey IS NULL OR ({_ORDERS_DIFF_PRED})
 """,
 )
+
+
+def _cmp_column_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column drift histogram over a slave drifted in THREE columns
+    (price bump, status flip, priority nulled-out — perturb.py) — which
+    columns drive the drift, counted only over 'modified' rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return compare_tables(
+        spark, orders, perturbed_orders_multi(orders), pk=["o_orderkey"],
+        table_name="main.orders",
+    ).column_drift()
+
+
+_CMP_COLUMN_DRIFT_SQL = f"""
+WITH slave AS ({PERTURBED_ORDERS_MULTI_SQL}),
+j AS (
+  SELECT m.o_custkey AS lc, s.o_custkey AS rc,
+         m.o_orderstatus AS ls, s.o_orderstatus AS rs,
+         m.o_totalprice AS lp, s.o_totalprice AS rp,
+         m.o_orderdate AS ld, s.o_orderdate AS rd,
+         m.o_orderpriority AS lo, s.o_orderpriority AS ro
+  FROM orders m JOIN slave s ON m.o_orderkey = s.o_orderkey
+)
+SELECT 'o_custkey' AS column_name,
+       CAST(COALESCE(SUM(CASE WHEN lc IS DISTINCT FROM rc THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS mismatch_rows FROM j
+UNION ALL
+SELECT 'o_orderdate',
+       CAST(COALESCE(SUM(CASE WHEN ld IS DISTINCT FROM rd THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST(COALESCE(SUM(CASE WHEN lo IS DISTINCT FROM ro THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL
+SELECT 'o_orderstatus',
+       CAST(COALESCE(SUM(CASE WHEN ls IS DISTINCT FROM rs THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COALESCE(SUM(CASE WHEN lp IS DISTINCT FROM rp THEN 1 ELSE 0 END), 0) AS BIGINT) FROM j
+"""
+
+# The inner-join oracle needs no modified-rows restriction: rows whose every
+# column agrees contribute 0 to every count, so restricting to modified rows
+# (what the engine does, for scale) cannot change any sum.
+_register("cmp_column_drift_orders", _cmp_column_drift, _CMP_COLUMN_DRIFT_SQL)
 
 
 def _cmp_self(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3941,6 +3987,7 @@ _DRIVER_PRIORITY: list[str] = [
     "unigram_familiarity_scores",
     "neardup_index_admission",
     "stable_sequential_ids",
+    "cmp_column_drift_orders",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -3958,14 +4005,14 @@ _DRIVER_PRIORITY: list[str] = [
     "kmeans_cluster_sizes",
     "streaming_hourly_counts",
     # (d) oldest remaining round-4 signals, alphabetical — the rest of the
-    # round-4 cohort (21 entries) rotates in round 7 within the age bound
+    # round-4 cohort (incl. cmp_summary_incremental, displaced by the new
+    # cmp_column_drift_orders) rotates in round 7 within the age bound
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
     "cmp_diff_rows_orders",
     "cmp_fix_sql_orders",
     "cmp_reconcile_orders",
     "cmp_schema_diff_drift",
-    "cmp_summary_incremental",
 ]
 
 
