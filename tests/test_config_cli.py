@@ -325,3 +325,38 @@ def test_cli_reconcile_out_writes_repaired_table(spark, tmp_path):
     repaired = spark.read.parquet(str(tmp_path / "repaired" / "main_orders_repaired"))
     assert repaired.exceptAll(orders).count() == 0
     assert orders.exceptAll(repaired).count() == 0
+
+
+def test_cli_column_drift_prints_histogram(spark, tmp_path, capsys):
+    """--column-drift: drift lines name the columns that actually drifted
+    (and only those), per keyed table."""
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    drifted = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 10 == 1, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    drifted.write.parquet(str(slave_dir / "orders.parquet"))
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--column-drift",
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    drift_lines = [l for l in out.splitlines() if l.startswith("drift ")]
+    assert len(drift_lines) == 1
+    table, column, count = drift_lines[0].split()[1:]
+    assert (table, column) == ("main.orders", "o_totalprice")
+    # 1500 orders, keys 1..1500: keys ≡ 1 (mod 10) → 150 modified rows
+    assert int(count) == 150

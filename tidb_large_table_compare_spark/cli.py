@@ -71,6 +71,9 @@ def _parse_args(argv: list[str] | None):
                    help="force the keyless multiset diff for all tables")
     p.add_argument("--parallelism", type=int, default=4)
     p.add_argument("--fix-sql-out", default=None, help="dir for fix-SQL text output")
+    p.add_argument("--column-drift", action="store_true",
+                   help="after the report, print per-column mismatch counts "
+                        "for each keyed table with modified rows")
     p.add_argument("--reconcile-out", default=None,
                    help="dir to write each table's repaired right side "
                         "(the native application of the fix-SQL diff)")
@@ -267,6 +270,20 @@ def _run(args) -> int:
     if args.report_out:
         with open(args.report_out, "w") as fh:
             fh.write(report + "\n")
+
+    # per-column drift histogram (B8 refinement): which columns drive the
+    # drift, per keyed table — the diagnosis step between "rows differ" and
+    # "export fix SQL"
+    if args.column_drift:
+        for job in jobs:
+            if not job.pk:
+                continue
+            cmp = compare_tables(
+                spark, job.left, job.right, job.pk, job.options, job.table
+            )
+            for r in cmp.column_drift().collect():
+                if r.mismatch_rows:
+                    print(f"drift {job.table} {r.column_name} {r.mismatch_rows}")
 
     # fix-SQL export (B10) for tables with diffs and a PK
     if args.fix_sql_out:
