@@ -109,6 +109,8 @@ class TableCompare:
         self._schema_diff: DataFrame | None = None
         self._structure_ok: bool | None = None
         self._diff_rows: DataFrame | None = None
+        # (n_buckets, in-list ids | None, persisted bad-bucket frame | None)
+        self._bad_state: tuple[int, list | None, DataFrame | None] | None = None
 
     # -- structure (B1) ----------------------------------------------------
     def schema_diff(self) -> DataFrame:
@@ -189,6 +191,55 @@ class TableCompare:
         return joined.filter(bad).select("__bucket")
 
     # -- drill-down (B8/B9) --------------------------------------------------
+    def _bad_bucket_state(self) -> tuple[int, list | None, DataFrame | None]:
+        """Materialize the mismatched-bucket set once, for every consumer.
+
+        The set is tiny when tables mostly agree. Left as a lazy subtree it
+        would be *recomputed* per consumer (the digest pass re-scans both
+        tables), so it is materialized exactly once per TableCompare: small
+        sets become an IN-list evaluated at the scan (no join at all);
+        unexpectedly large sets fall back to one persisted broadcast
+        semi-join frame. Either way downstream joins see only bad-bucket
+        rows — bytes ∝ diff size, not table size — and the materialized
+        form is BOUNDED (one long per bucket, few MB at the 2^20 cap),
+        never ∝ diff rows.
+
+        Returns ``(n_buckets, ids | None, persisted_frame | None)``:
+        exactly one of ids/frame is non-None. The persisted frame is a
+        deliberate session-lifetime cache — it is embedded in returned lazy
+        diff plans that callers re-consume (fix-SQL, reconcile); releasing
+        it here would re-run the digest compare per consumer.
+        """
+        if self._bad_state is None:
+            n_buckets = self._n_buckets()
+            bad = self.mismatched_buckets()
+            bad_ids = [
+                r["__bucket"] for r in bad.limit(self._MAX_INLIST + 1).collect()
+            ]
+            if len(bad_ids) <= self._MAX_INLIST:
+                self._bad_state = (n_buckets, bad_ids, None)
+            else:
+                bad = bad.persist()
+                bad.count()
+                self._bad_state = (n_buckets, None, bad)
+        return self._bad_state
+
+    def _restrict_to_bad_buckets(self, df: DataFrame) -> DataFrame:
+        """``df`` (a full-width side of this compare) filtered to rows whose
+        PK hashes into a mismatched bucket — the scan-level discard that
+        keeps drill-down cost ∝ drift."""
+        n_buckets, bad_ids, bad = self._bad_bucket_state()
+        withb = df.withColumn("__bucket", bucket_id(self.pk, n_buckets))
+        if bad_ids is not None:
+            restricted = (
+                withb.filter(F.col("__bucket").isin(bad_ids))
+                if bad_ids
+                else withb.filter(F.lit(False))
+            )
+        else:
+            restricted = withb.join(F.broadcast(bad), "__bucket", "left_semi")
+        return restricted.drop("__bucket")
+
     def diff_rows(self) -> DataFrame:
         """(pk..., diff_type) for every differing row.
 
@@ -202,21 +253,12 @@ class TableCompare:
         if self.options.force_multiset or not self.pk:
             self._diff_rows = self._diff_rows_multiset()
             return self._diff_rows
-        n_buckets = self._n_buckets()
-        bad = self.mismatched_buckets()
+        n_buckets, bad_ids, bad = self._bad_bucket_state()
         lh = _narrow(self.left, self.pk, self.compare_cols, n_buckets,
                      self.options.float_round)
         rh = _narrow(self.right, self.pk, self.compare_cols, n_buckets,
                      self.options.float_round)
-        # The mismatched-bucket set is tiny when tables mostly agree. Left as
-        # a lazy subtree it would be *recomputed* for each semi-join (the
-        # digest pass re-scans both tables per consumer), so materialize it
-        # once: small sets become an IN-list evaluated at the scan (no join at
-        # all); unexpectedly large sets fall back to one persisted broadcast
-        # semi-join. Either way the PK join shuffles only bad-bucket rows —
-        # bytes ∝ diff size, not table size.
-        bad_ids = [r["__bucket"] for r in bad.limit(self._MAX_INLIST + 1).collect()]
-        if len(bad_ids) <= self._MAX_INLIST:
+        if bad_ids is not None:
             if not bad_ids:
                 # equal-tables fast path; cached so repeat calls don't re-run
                 # the digest comparison
@@ -227,13 +269,6 @@ class TableCompare:
             lh = lh.filter(F.col("__bucket").isin(bad_ids))
             rh = rh.filter(F.col("__bucket").isin(bad_ids))
         else:
-            # deliberate session-lifetime cache: the bucket set is embedded
-            # in the returned lazy diff plan, which callers re-consume
-            # (fix-SQL, reconcile) — releasing it here would re-run the
-            # digest compare per consumer. Bounded: one long per mismatched
-            # bucket (few MB at the 2^20 bucket cap).
-            bad = bad.persist()
-            bad.count()
             lh = lh.join(F.broadcast(bad), "__bucket", "left_semi")
             rh = rh.join(F.broadcast(bad), "__bucket", "left_semi")
         lh = lh.select(*self.pk, F.col("__row_hash").alias("l_hash"))
@@ -305,10 +340,13 @@ class TableCompare:
         reconcile with the row-level verdicts: every 'modified' row has ≥1
         mismatching column here, and no unmodified row is counted.
 
-        Scale: the modified-PK set is O(diff); the left fetch is a semi-join
-        against it and the pairing join's small side is that same O(diff)
-        set (AQE broadcasts it), so bytes shuffled ∝ drift, never table
-        size — the same property the row drill-down has.
+        Scale: both sides are restricted to mismatched buckets at the scan
+        (the same bounded bad-bucket set the row drill-down uses — never a
+        broadcast ∝ diff rows), then inner-joined on PK. Agreeing pairs
+        inside a bad bucket contribute 0 to every count and unpaired rows
+        (missing/extra) drop out of the inner join, so no explicit
+        modified-rows filter is needed: the restriction is purely a cost
+        bound. Shuffled bytes ∝ bad-bucket rows ≈ drift, never table size.
         """
         if not self.pk:
             raise ValueError(
@@ -322,21 +360,16 @@ class TableCompare:
                 [], "column_name string, mismatch_rows bigint"
             )
         fr = self.options.float_round
-        modified = (
-            self.diff_rows()
-            .filter(F.col("diff_type") == "modified")
-            .select(*self.pk)
-        )
         ltypes = {f.name: f.dataType for f in self.left.schema.fields}
         rtypes = {f.name: f.dataType for f in self.right.schema.fields}
-        lrows = self.left.join(modified, self.pk, "left_semi").select(
+        lrows = self._restrict_to_bad_buckets(self.left).select(
             *self.pk,
             *[
                 canonical_value(F.col(c), ltypes[c], fr).alias(f"__l_{c}")
                 for c in cols
             ],
         )
-        rrows = self.right.select(
+        rrows = self._restrict_to_bad_buckets(self.right).select(
             *self.pk,
             *[
                 canonical_value(F.col(c), rtypes[c], fr).alias(f"__r_{c}")
