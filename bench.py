@@ -44,10 +44,12 @@ HEADLINE = [
     "range_join_errors_busy_hours",
     "doc_fingerprints",
     "tfidf_top_terms",
-    # round-6 surfaces: per-source weighted data mixing and the real image
-    # build→decode chain (both plan-asserted scale shapes)
+    # round-6 surfaces: per-source weighted data mixing, the real image
+    # build→decode chain, and the per-column drift histogram (all
+    # plan-asserted scale shapes)
     "weighted_source_mix",
     "multimodal_decode_stats",
+    "cmp_column_drift_orders",
 ]
 
 

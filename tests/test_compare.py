@@ -298,3 +298,41 @@ def test_reconcile_repairs_drifted_side(spark):
     # exact multiset equality, independent of the compare operator
     assert repaired.exceptAll(orders).count() == 0
     assert orders.exceptAll(repaired).count() == 0
+
+
+def test_fk_orphans_null_and_composite_semantics(spark):
+    from tidb_large_table_compare_spark.operators.integrity import (
+        fk_orphans,
+        integrity_audit,
+    )
+
+    child = spark.createDataFrame(
+        [
+            (1, 10, "a"),   # matched
+            (2, 20, "b"),   # orphan (no parent 2/20)
+            (3, None, "c"),  # partial-NULL FK: not a violation (MATCH SIMPLE)
+            (None, None, "d"),  # all-NULL FK: not a violation
+            (1, 10, "e"),   # matched duplicate — counted per child row
+        ],
+        "k1 bigint, k2 bigint, payload string",
+    )
+    parent = spark.createDataFrame(
+        [(1, 10), (1, 10), (9, 90)], "p1 bigint, p2 bigint"  # dup parent keys OK
+    )
+    row = fk_orphans(child, ["k1", "k2"], parent, ["p1", "p2"], "c->p").collect()[0]
+    assert (row.relationship, row.child_rows, row.null_fk_rows, row.orphan_rows) == (
+        "c->p", 5, 2, 1
+    )
+
+    audit = integrity_audit(
+        [
+            (child, ["k1", "k2"], parent, ["p1", "p2"], "c->p"),
+            (parent, ["p1"], child, ["k1"], "p.p1->c.k1"),  # 9 has no child k1
+        ]
+    )
+    rows = {r.relationship: r for r in audit.collect()}
+    assert rows["p.p1->c.k1"].orphan_rows == 1
+    assert rows["p.p1->c.k1"].child_rows == 3
+
+    with pytest.raises(ValueError, match="arity"):
+        fk_orphans(child, ["k1"], parent, ["p1", "p2"], "bad")

@@ -27,6 +27,7 @@ from tidb_large_table_compare_spark.operators.compare import (
     compare_tables,
 )
 from tidb_large_table_compare_spark.operators.fixsql import fix_sql
+from tidb_large_table_compare_spark.operators.integrity import integrity_audit
 from tidb_large_table_compare_spark.operators.schema_diff import schema_diff
 from tidb_large_table_compare_spark.perturb import (
     PERTURBED_ORDERS_MULTI_SQL,
@@ -276,6 +277,60 @@ SELECT 'o_totalprice',
 # column agrees contribute 0 to every count, so restricting to modified rows
 # (what the engine does, for scale) cannot change any sum.
 _register("cmp_column_drift_orders", _cmp_column_drift, _CMP_COLUMN_DRIFT_SQL)
+
+
+def _fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit, with the orders replica
+    drifted: the rows the replica DELETEd (perturb.py) orphan their
+    lineitems — the cross-table damage no per-table diff reports. The two
+    clean relationships pin the zero path."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return integrity_audit(
+        [
+            (lineitem, ["l_orderkey"], perturbed_orders(orders),
+             ["o_orderkey"], "lineitem->slave.orders"),
+            (orders, ["o_custkey"], customer, ["c_custkey"],
+             "orders->customer"),
+            (customer, ["c_nationkey"], nation, ["n_nationkey"],
+             "customer->nation"),
+        ]
+    )
+
+
+_register(
+    "fk_orphan_audit",
+    _fk_orphan_audit,
+    f"""
+WITH slave AS ({PERTURBED_ORDERS_SQL})
+SELECT 'lineitem->slave.orders' AS relationship,
+       CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(COALESCE(SUM(CASE WHEN c.l_orderkey IS NULL THEN 1 END), 0) AS BIGINT)
+         AS null_fk_rows,
+       CAST(COALESCE(SUM(CASE WHEN c.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL
+                              THEN 1 END), 0) AS BIGINT) AS orphan_rows
+FROM lineitem c
+LEFT JOIN (SELECT DISTINCT o_orderkey FROM slave) p ON c.l_orderkey = p.o_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN c.o_custkey IS NULL THEN 1 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN c.o_custkey IS NOT NULL AND p.c_custkey IS NULL
+                              THEN 1 END), 0) AS BIGINT)
+FROM orders c
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) p ON c.o_custkey = p.c_custkey
+UNION ALL
+SELECT 'customer->nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 END), 0) AS BIGINT),
+       CAST(COALESCE(SUM(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL
+                              THEN 1 END), 0) AS BIGINT)
+FROM customer c
+LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c.c_nationkey = p.n_nationkey
+""",
+)
 
 
 def _cmp_self(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3988,6 +4043,7 @@ _DRIVER_PRIORITY: list[str] = [
     "neardup_index_admission",
     "stable_sequential_ids",
     "cmp_column_drift_orders",
+    "fk_orphan_audit",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -4004,10 +4060,11 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_frame_samples",
     "kmeans_cluster_sizes",
     "streaming_hourly_counts",
-    # (d) oldest remaining round-4 signals, alphabetical — the rest of the
-    # round-4 cohort (incl. cmp_summary_incremental, displaced by the new
-    # cmp_column_drift_orders) rotates in round 7 within the age bound
-    "ann_ivf_topk",
+    # (d) oldest remaining round-4 signals — the rest of the round-4 cohort
+    # (incl. cmp_summary_incremental and ann_ivf_topk, displaced by the new
+    # cmp_column_drift_orders / fk_orphan_audit entries) rotates in round 7
+    # within the age bound; the cmp_* slots double as canaries for this
+    # round's compare-path refactor
     "ann_ivf_trained_topk",
     "cmp_diff_rows_orders",
     "cmp_fix_sql_orders",
