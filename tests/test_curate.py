@@ -245,3 +245,48 @@ def test_curate_cli_append_index_mode(spark, tmp_path, capsys):
                             "--jaccard", "0.5"]) == 0
     admitted = _json.loads(capsys.readouterr().out)
     assert admitted["n_batch_docs_with_neardup"] == 1
+
+
+def test_curate_cli_compact_index_mode(spark, tmp_path, capsys):
+    """compact-index needs no --input/--out: it rewrites the index in place
+    (dup appends merged, file counts reported) and admits identically after."""
+    import json as _json
+
+    from tidb_large_table_compare_spark import curate_cli
+
+    corpus = spark.createDataFrame(
+        [(1, "standing corpus base document with plenty of words " * 6)],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "c.parquet")
+    corpus.write.parquet(src)
+    idx = str(tmp_path / "idx")
+    assert curate_cli.main(["--mode", "build-index", "--input", src,
+                            "--index", idx, "--out", idx]) == 0
+    batch = str(tmp_path / "d1.parquet")
+    spark.createDataFrame(
+        [(101, "newly admitted document about something else entirely " * 6)],
+        "doc_id bigint, text string",
+    ).write.parquet(batch)
+    assert curate_cli.main(["--mode", "append-index", "--input", batch,
+                            "--index", idx, "--out", idx]) == 0
+    assert curate_cli.main(["--mode", "append-index", "--input", batch,
+                            "--index", idx, "--out", idx]) == 0  # retry dup
+    capsys.readouterr()
+
+    assert curate_cli.main(["--mode", "compact-index", "--index", idx]) == 0
+    stats = _json.loads(capsys.readouterr().out)
+    assert stats["mode"] == "compact-index"
+    assert stats["docs"]["rows"] == 2  # 1 corpus + 1 batch; retry dedup'd
+    assert stats["docs"]["files_after"] <= stats["docs"]["files_before"]
+
+    spark.createDataFrame(
+        [(201, "newly admitted document about something else entirely " * 6 + "tail")],
+        "doc_id bigint, text string",
+    ).write.parquet(str(tmp_path / "d2.parquet"))
+    assert curate_cli.main(["--mode", "admit",
+                            "--input", str(tmp_path / "d2.parquet"),
+                            "--index", idx, "--out", str(tmp_path / "pairs"),
+                            "--jaccard", "0.5"]) == 0
+    admitted = _json.loads(capsys.readouterr().out)
+    assert admitted["n_batch_docs_with_neardup"] == 1

@@ -742,3 +742,61 @@ def test_neardup_index_append_closes_the_loop(spark, tmp_path):
     )
     pairs = query_neardup_index(spark, path, day2, threshold=0.5).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(101, 201)}
+
+
+def test_neardup_index_compaction(spark, tmp_path):
+    """Compaction repays append debt from the index's own tables: exact
+    re-appended rows dedup away, cap escapes are re-applied over the merged
+    band table, file counts shrink — and probe results are unchanged for
+    the surviving (uncapped) content."""
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        append_to_neardup_index,
+        build_neardup_index,
+        compact_neardup_index,
+        query_neardup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    boiler = "license boilerplate header repeated verbatim in every file " * 4
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different content about spark engines " * 6)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "cidx")
+    build_neardup_index(corpus, path, max_bucket_size=2)
+
+    # append debt: a batch, an exact retry of the same batch (dup rows), and
+    # three boilerplate docs that grow a bucket past the build-time cap
+    batch = spark.createDataFrame([(3, "novel appended doc " * 10)],
+                                  "doc_id bigint, text string")
+    append_to_neardup_index(batch, path)
+    append_to_neardup_index(batch, path)  # retried append → exact dup rows
+    boilers = spark.createDataFrame(
+        [(i, boiler) for i in range(10, 13)], "doc_id bigint, text string"
+    )
+    append_to_neardup_index(boilers, path)
+
+    arrivals = spark.createDataFrame(
+        [(101, base + "tail tail"), (102, boiler)], "doc_id bigint, text string"
+    )
+    # pre-compaction: dup rows exist, and the boilerplate bucket (3 members
+    # > cap 2) still collides
+    docs_before = spark.read.parquet(f"{path}/docs")
+    assert docs_before.count() > docs_before.dropDuplicates().count()
+    pre = {(r.id_a, r.id_b)
+           for r in query_neardup_index(spark, path, arrivals, threshold=0.5).collect()}
+    assert (1, 101) in pre and any(b == 102 for _, b in pre)
+
+    stats = compact_neardup_index(spark, path, max_bucket_size=2)
+    # dup rows gone; file counts merged down
+    docs_after = spark.read.parquet(f"{path}/docs")
+    assert docs_after.count() == docs_after.dropDuplicates().count()
+    assert docs_after.filter("doc_id = 3").count() == 1
+    for sub in ("docs", "bands"):
+        assert stats[sub]["files_after"] <= stats[sub]["files_before"]
+        assert stats[sub]["files_after"] == 1  # tiny index → one file each
+    # cap re-applied: the boilerplate collision is gone, true near-dup stays
+    post = {(r.id_a, r.id_b)
+            for r in query_neardup_index(spark, path, arrivals, threshold=0.5).collect()}
+    assert (1, 101) in post
+    assert not any(b == 102 for _, b in post)

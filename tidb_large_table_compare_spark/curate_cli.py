@@ -37,9 +37,11 @@ from tidb_large_table_compare_spark.session import get_spark
 
 def _parse_args(argv: list[str] | None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--input", required=True,
-                   help="parquet path with (doc_id, text, ...) rows")
-    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--input", default=None,
+                   help="parquet path with (doc_id, text, ...) rows "
+                        "(required for every mode except compact-index)")
+    p.add_argument("--out", default=None,
+                   help="output directory (not needed for compact-index)")
     p.add_argument("--shingle-n", type=int, default=5)
     p.add_argument("--jaccard", type=float, default=0.8)
     p.add_argument("--benchmark", default=None,
@@ -50,19 +52,33 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--pack-shards", type=int, default=1,
                    help="packing windows per split (>1 = sharded scale path)")
     p.add_argument("--mode",
-                   choices=["curate", "build-index", "admit", "append-index"],
+                   choices=["curate", "build-index", "admit", "append-index",
+                            "compact-index"],
                    default="curate",
                    help="curate (default) = full pipeline; build-index = "
                         "persist the near-dup admission index for --input; "
                         "admit = probe --index with the --input batch; "
                         "append-index = fold the admitted --input batch "
-                        "into --index so future admits see it")
+                        "into --index so future admits see it; "
+                        "compact-index = rewrite --index from its own "
+                        "tables (dedup re-appends, re-apply the bucket "
+                        "cap, merge append files — never reads corpus text)")
     p.add_argument("--index", default=None,
-                   help="admission index path (build-index/admit modes)")
+                   help="admission index path (the *-index and admit modes)")
+    p.add_argument("--max-bucket-size", type=int, default=10_000,
+                   help="hot-bucket cap (build-index/compact-index)")
     p.add_argument("--lock-file", default=None)
     args = p.parse_args(argv)
-    if args.mode in ("build-index", "admit", "append-index") and not args.index:
+    if args.mode in ("build-index", "admit", "append-index", "compact-index") \
+            and not args.index:
         p.error(f"--mode {args.mode} requires --index")
+    if args.mode != "compact-index":
+        if not args.input:
+            p.error(f"--mode {args.mode} requires --input")
+        if not args.out:
+            p.error(f"--mode {args.mode} requires --out")
+    elif not args.out:
+        args.out = args.index  # lock key only; compaction writes in place
     return args
 
 
@@ -82,13 +98,25 @@ def main(argv: list[str] | None = None) -> int:
     lock.install_signal_cleanup()
     try:
         spark = get_spark("curate")
+        if args.mode == "compact-index":
+            from tidb_large_table_compare_spark.operators.dedup_index import (
+                compact_neardup_index,
+            )
+
+            stats = compact_neardup_index(
+                spark, args.index, max_bucket_size=args.max_bucket_size
+            )
+            print(json.dumps({"mode": "compact-index", "index": args.index,
+                              **stats}, indent=2))
+            return 0
         docs = spark.read.parquet(args.input)
         if args.mode == "build-index":
             from tidb_large_table_compare_spark.operators.dedup_index import (
                 build_neardup_index,
             )
 
-            build_neardup_index(docs, args.index, shingle_n=args.shingle_n)
+            build_neardup_index(docs, args.index, shingle_n=args.shingle_n,
+                                max_bucket_size=args.max_bucket_size)
             n = spark.read.parquet(f"{args.index}/docs").count()
             print(json.dumps({"mode": "build-index", "index": args.index,
                               "n_indexed": n}, indent=2))

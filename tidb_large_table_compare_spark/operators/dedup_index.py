@@ -43,7 +43,12 @@ from tidb_large_table_compare_spark.operators.dedup import (
     signature_band_buckets,
 )
 
-__all__ = ["build_neardup_index", "query_neardup_index", "append_to_neardup_index"]
+__all__ = [
+    "build_neardup_index",
+    "query_neardup_index",
+    "append_to_neardup_index",
+    "compact_neardup_index",
+]
 
 
 def _shingle_sets(
@@ -98,8 +103,8 @@ def append_to_neardup_index(
     probe → admit → append, so tomorrow's batches see today's admissions.
     Batch-only work, same O(batch) shapes as the probe. The build-time
     hot-bucket cap is NOT re-evaluated here (appends could grow a bucket
-    past the cap between compactions); re-run ``build_neardup_index``
-    periodically — the natural compaction step — to re-apply it.
+    past the cap between compactions); run ``compact_neardup_index``
+    periodically to re-apply it and merge the accumulated append files.
     """
     shingles = _shingle_sets(corpus_batch, id_col, text_col, shingle_n)
     shingles.write.mode("append").parquet(f"{path}/docs")
@@ -144,3 +149,85 @@ def query_neardup_index(
     idx_docs = spark.read.parquet(f"{path}/docs")
     verify_sets = idx_docs.unionByName(new_shingles)
     return jaccard_verified_pairs(cands, verify_sets, id_col, threshold)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) through the JVM — works on any supported
+    filesystem, unlike os.path (see streaming/events.py for the same
+    pattern)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def compact_neardup_index(
+    spark: SparkSession,
+    path: str,
+    max_bucket_size: int | None = 10_000,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite the index from its own stored tables — O(index bytes),
+    never corpus text (a full ``build_neardup_index`` re-run re-shingles
+    the whole corpus, ~400× the bytes).
+
+    Batch appends accumulate three kinds of debt, all repaid here:
+
+    - **small files** — each append writes its own part files; compaction
+      rewrites each sub-table into ~``target_file_bytes`` files,
+    - **exact re-appends** — a retried append duplicates rows; compaction
+      drops exact duplicates (same-id-different-text conflicts are the
+      caller's contract to prevent, as with any append-only store),
+    - **cap escapes** — ``append_to_neardup_index`` documents that the
+      hot-bucket cap is not re-evaluated per batch, so a bucket can grow
+      past it between compactions; the cap is re-applied over the merged
+      band table.
+
+    The rewrite lands in a side directory first and swaps in with two FS
+    renames per sub-table, so a crash leaves the old index or the new one,
+    never a half-written mix (the transient window holds the completed new
+    directory under ``<sub>.compacting``).
+
+    Returns a stats dict (rows and file counts per sub-table).
+    """
+    fs, _ = _hadoop_fs(spark, path)
+    stats: dict = {}
+    for sub in ("docs", "bands"):
+        src = f"{path}/{sub}"
+        df = spark.read.parquet(src).dropDuplicates()
+        if sub == "bands" and max_bucket_size is not None:
+            sizes = df.groupBy("band", "bucket").agg(
+                F.count(F.lit(1)).alias("__sz")
+            )
+            small = sizes.filter(F.col("__sz") <= max_bucket_size).select(
+                "band", "bucket"
+            )
+            df = df.join(small, ["band", "bucket"], "left_semi")
+        _, jsrc = _hadoop_fs(spark, src)
+        bytes_before = fs.getContentSummary(jsrc).getLength()
+        files_before = sum(
+            1 for f in fs.listStatus(jsrc) if f.getPath().getName().startswith("part-")
+        )
+        n_files = max(1, -(-int(bytes_before) // target_file_bytes))
+        side = f"{path}/{sub}.compacting"
+        df.repartition(n_files).write.mode("overwrite").parquet(side)
+        rows = spark.read.parquet(side).count()
+        _, jside = _hadoop_fs(spark, side)
+        old = f"{path}/{sub}.old"
+        _, jold = _hadoop_fs(spark, old)
+        fs.delete(jold, True)
+        if not fs.rename(jsrc, jold):
+            raise IOError(f"compaction swap failed: could not move {src} aside")
+        if not fs.rename(jside, jsrc):
+            # restore the original so the index stays queryable
+            fs.rename(jold, jsrc)
+            raise IOError(f"compaction swap failed: could not move {side} into place")
+        fs.delete(jold, True)
+        files_after = sum(
+            1 for f in fs.listStatus(jsrc) if f.getPath().getName().startswith("part-")
+        )
+        stats[sub] = {
+            "rows": rows,
+            "files_before": files_before,
+            "files_after": files_after,
+        }
+    return stats
