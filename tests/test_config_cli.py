@@ -360,3 +360,59 @@ def test_cli_column_drift_prints_histogram(spark, tmp_path, capsys):
     assert (table, column) == ("main.orders", "o_totalprice")
     # 1500 orders, keys 1..1500: keys ≡ 1 (mod 10) → 150 modified rows
     assert int(count) == 150
+
+
+def test_cli_fk_audit_reports_slave_orphans(spark, tmp_path, capsys):
+    """--fk: deleting parent orders on the slave orphans their lineitems —
+    the cross-table damage the per-table diff can't see."""
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    orders.filter(F.col("o_orderkey") % 50 != 7).write.parquet(
+        str(slave_dir / "orders.parquet")
+    )
+    lineitem.write.parquet(str(slave_dir / "lineitem.parquet"))
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--fk", "lineitem.l_orderkey=orders.o_orderkey",
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    fk_lines = [l for l in out.splitlines() if l.startswith("fk ")]
+    assert len(fk_lines) == 1
+    expected = lineitem.join(
+        orders.filter(F.col("o_orderkey") % 50 == 7).select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"), "left_semi",
+    ).count()
+    assert expected > 0
+    assert f"orphans={expected}" in fk_lines[0]
+    assert f"child_rows={lineitem.count()}" in fk_lines[0]
+
+
+def test_cli_fk_audit_rejects_bad_spec(spark, tmp_path, capsys):
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.write.parquet(str(slave_dir / "orders.parquet"))
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--fk", "not-a-spec",
+        ]
+    )
+    assert code == 2
+    assert "bad --fk spec" in capsys.readouterr().err

@@ -74,6 +74,12 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--column-drift", action="store_true",
                    help="after the report, print per-column mismatch counts "
                         "for each keyed table with modified rows")
+    p.add_argument("--fk", action="append", default=[], metavar="SPEC",
+                   help="referential-integrity audit of the RIGHT (slave) "
+                        "side: child.fk_col=parent.pk_col (repeatable; "
+                        "composite keys comma-separated, e.g. "
+                        "lineitem.l_orderkey=orders.o_orderkey). Prints "
+                        "'fk <spec> child_rows=N null_fk=N orphans=N' lines")
     p.add_argument("--reconcile-out", default=None,
                    help="dir to write each table's repaired right side "
                         "(the native application of the fix-SQL diff)")
@@ -284,6 +290,35 @@ def _run(args) -> int:
             for r in cmp.column_drift().collect():
                 if r.mismatch_rows:
                     print(f"drift {job.table} {r.column_name} {r.mismatch_rows}")
+
+    # cross-table referential-integrity audit of the slave side: a replica
+    # that lost parent rows has orphaned children — damage invisible to any
+    # per-table diff above
+    if args.fk:
+        from tidb_large_table_compare_spark.operators.integrity import (
+            integrity_audit,
+        )
+
+        checks = []
+        for spec in args.fk:
+            try:
+                child_part, parent_part = spec.split("=", 1)
+                child_tbl, child_cols = child_part.split(".", 1)
+                parent_tbl, parent_cols = parent_part.split(".", 1)
+            except ValueError:
+                print(f"ERROR: bad --fk spec {spec!r} "
+                      "(want child.fk=parent.pk)", file=sys.stderr)
+                return 2
+            checks.append((
+                spark.read.parquet(f"{args.right_dir}/{child_tbl}.parquet"),
+                child_cols.split(","),
+                spark.read.parquet(f"{args.right_dir}/{parent_tbl}.parquet"),
+                parent_cols.split(","),
+                spec,
+            ))
+        for r in integrity_audit(checks).collect():
+            print(f"fk {r.relationship} child_rows={r.child_rows} "
+                  f"null_fk={r.null_fk_rows} orphans={r.orphan_rows}")
 
     # fix-SQL export (B10) for tables with diffs and a PK
     if args.fix_sql_out:
