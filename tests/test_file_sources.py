@@ -1,5 +1,6 @@
 """CSV/JSON flat-file sources: schema-first reads, round-trips, quarantine."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidb_large_table_compare_spark.sources.files import (
@@ -282,3 +283,63 @@ def test_avro_errors_clearly_or_roundtrips(spark, tmp_path):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             read_avro(spark, out)
+
+
+def test_compaction_plan_first_fit_algebra(spark):
+    from tidb_large_table_compare_spark.operators.compaction import compaction_plan
+
+    inv = spark.createDataFrame(
+        [
+            ("t1/a.parquet", 40), ("t1/b.parquet", 40), ("t1/c.parquet", 40),
+            ("t1/d.parquet", 200),   # >= target: keep, excluded from sums
+            ("t2/a.parquet", 10),    # other dir: bins restart
+        ],
+        "path string, bytes bigint",
+    )
+    plan = {r.path: r for r in compaction_plan(inv, target_bytes=100).collect()}
+    assert plan["t1/d.parquet"].action == "keep"
+    assert plan["t1/d.parquet"].bin is None
+    # first-fit in path order: a(start 0)→bin0, b(start 40)→bin0,
+    # c(start 80)→bin0 (overshoot < one file), and t2 restarts at bin 0
+    assert [plan[f"t1/{n}.parquet"].bin for n in "abc"] == [0, 0, 0]
+    assert plan["t2/a.parquet"].bin == 0
+    assert plan["t2/a.parquet"].dir == "t2"
+
+    bigger = spark.createDataFrame(
+        [("t/{:02d}.parquet".format(i), 60) for i in range(4)],
+        "path string, bytes bigint",
+    )
+    bins = [r.bin for r in compaction_plan(bigger, target_bytes=100)
+            .orderBy("path").collect()]
+    # starts 0,60,120,180 → bins 0,0,1,1
+    assert bins == [0, 0, 1, 1]
+
+    with pytest.raises(ValueError):
+        compaction_plan(inv, target_bytes=0)
+
+
+def test_file_inventory_lists_real_parts(spark, tmp_path):
+    from tidb_large_table_compare_spark.operators.compaction import (
+        compaction_plan,
+        file_inventory,
+    )
+
+    out = str(tmp_path / "ds")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    df.repartition(4).write.parquet(f"{out}/t1.parquet")
+    df.limit(10).write.parquet(f"{out}/t2.parquet")
+
+    inv = file_inventory(spark, out)
+    rows = inv.collect()
+    t1 = [r for r in rows if "/t1.parquet/" in r.path]
+    t2 = [r for r in rows if "/t2.parquet/" in r.path]
+    assert len(t1) == 4 and len(t2) >= 1
+    assert all(r.bytes > 0 for r in rows)
+    assert not any("_SUCCESS" in r.path for r in rows)
+
+    # the two dataset dirs plan independently
+    plan = compaction_plan(inv, target_bytes=1 << 30)
+    dirs = {r.dir for r in plan.collect()}
+    assert any(d.endswith("t1.parquet") for d in dirs)
+    assert any(d.endswith("t2.parquet") for d in dirs)
+    assert all(r.action == "compact" for r in plan.collect())  # all tiny

@@ -1,0 +1,101 @@
+"""Small-file compaction planning from catalog metadata.
+
+At 100 TB the classic operational debt is the long tail of small files that
+incremental jobs append (the admission index grows them too — its own
+``compact_neardup_index`` is the executed fix for that one store). This
+operator is the *planning* half for arbitrary parquet datasets: given a
+file inventory (path, bytes), assign each under-target file to a compaction
+bin such that bins approximate ``target_bytes``, per directory (compaction
+never merges across tables/partitions).
+
+The assignment is the deterministic first-fit-in-path-order rule: walking a
+directory's eligible files in path order, a file joins the bin its
+cumulative start offset falls in (``floor(start / target)``) — pure
+window-function algebra, no driver loop, SQL-expressible (oracle-checked as
+``compaction_plan_bins``). Files already ≥ target are marked ``keep`` and
+excluded from the running sum.
+
+Scale: inventories are metadata — one row per FILE, not per data row
+(millions of rows for a 100 TB lake, a few hundred MB) — and the only
+shuffle partitions by directory, so each table's plan is independent and
+skew is bounded by the largest single directory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["compaction_plan", "file_inventory"]
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    path_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Plan compaction bins for a (path, bytes) inventory.
+
+    Returns ``(path, bytes, dir, action, bin)``: ``action='keep'`` (file
+    already ≥ target; ``bin`` NULL) or ``action='compact'`` with the
+    0-based bin index within the file's directory. Bins respect path order,
+    hold ≥1 file, and close as soon as the running size reaches the target
+    (a bin may overshoot by less than one file — first-fit, no splitting).
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    dir_col = F.regexp_extract(F.col(path_col), r"^(.*)/[^/]+$", 1)
+    base = files.select(
+        F.col(path_col).alias("path"),
+        F.col(bytes_col).cast("bigint").alias("bytes"),
+        dir_col.alias("dir"),
+    )
+    keep = base.filter(F.col("bytes") >= target_bytes).select(
+        "path", "bytes", "dir",
+        F.lit("keep").alias("action"),
+        F.lit(None).cast("bigint").alias("bin"),
+    )
+    w = (
+        Window.partitionBy("dir")
+        .orderBy("path")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    compact = (
+        base.filter(F.col("bytes") < target_bytes)
+        .withColumn("__start", F.sum("bytes").over(w) - F.col("bytes"))
+        .select(
+            "path", "bytes", "dir",
+            F.lit("compact").alias("action"),
+            F.floor(F.col("__start") / target_bytes).cast("bigint").alias("bin"),
+        )
+    )
+    return keep.unionByName(compact)
+
+
+def file_inventory(
+    spark: SparkSession, dir_path: str, recursive: bool = True
+) -> DataFrame:
+    """(path, bytes) for every parquet part file under ``dir_path``.
+
+    Listed through the Hadoop FileSystem API (any supported filesystem,
+    driver-side — file listings are metadata-sized), skipping hidden/
+    metadata entries the way Spark's own scans do.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows: list[tuple[str, int]] = []
+    stack = [jpath]
+    while stack:
+        cur = stack.pop()
+        for status in fs.listStatus(cur):
+            name = status.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            if status.isDirectory():
+                if recursive:
+                    stack.append(status.getPath())
+            elif name.endswith(".parquet"):
+                rows.append((status.getPath().toString(), status.getLen()))
+    return spark.createDataFrame(rows, "path string, bytes bigint")

@@ -27,6 +27,7 @@ from tidb_large_table_compare_spark.operators.compare import (
     compare_tables,
 )
 from tidb_large_table_compare_spark.operators.fixsql import fix_sql
+from tidb_large_table_compare_spark.operators.compaction import compaction_plan
 from tidb_large_table_compare_spark.operators.integrity import integrity_audit
 from tidb_large_table_compare_spark.operators.schema_diff import schema_diff
 from tidb_large_table_compare_spark.perturb import (
@@ -329,6 +330,51 @@ SELECT 'customer->nation',
                               THEN 1 END), 0) AS BIGINT)
 FROM customer c
 LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) p ON c.c_nationkey = p.n_nationkey
+""",
+)
+
+
+def _compaction_plan_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit compaction-bin planning over a deterministic synthetic
+    inventory (one 'file' per order date, bytes from key arithmetic) — the
+    cross-engine check of the planner's window algebra; `file_inventory`
+    over real directories is covered by pytest."""
+    orders = load_table(spark, sf_dir, "orders")
+    inv = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_orderkey") % 1000 + 1).cast("bigint").alias("bytes")
+    ).select(
+        F.concat(
+            F.lit("orders/part-"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit(".parquet"),
+        ).alias("path"),
+        "bytes",
+    )
+    return compaction_plan(inv, target_bytes=5000)
+
+
+_register(
+    "compaction_plan_bins",
+    _compaction_plan_bins,
+    """
+WITH inv AS (
+  SELECT 'orders/part-' || strftime(o_orderdate, '%Y-%m-%d') || '.parquet' AS path,
+         CAST(SUM(o_orderkey % 1000 + 1) AS BIGINT) AS bytes
+  FROM orders GROUP BY o_orderdate
+),
+elig AS (
+  SELECT path, bytes,
+         SUM(bytes) OVER (ORDER BY path
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - bytes AS start
+  FROM inv WHERE bytes < 5000
+)
+SELECT path, bytes, 'orders' AS dir, 'keep' AS action,
+       CAST(NULL AS BIGINT) AS bin
+FROM inv WHERE bytes >= 5000
+UNION ALL
+SELECT path, bytes, 'orders', 'compact', CAST(FLOOR(start / 5000) AS BIGINT)
+FROM elig
 """,
 )
 
@@ -4044,6 +4090,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stable_sequential_ids",
     "cmp_column_drift_orders",
     "fk_orphan_audit",
+    "compaction_plan_bins",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -4061,11 +4108,11 @@ _DRIVER_PRIORITY: list[str] = [
     "kmeans_cluster_sizes",
     "streaming_hourly_counts",
     # (d) oldest remaining round-4 signals — the rest of the round-4 cohort
-    # (incl. cmp_summary_incremental and ann_ivf_topk, displaced by the new
-    # cmp_column_drift_orders / fk_orphan_audit entries) rotates in round 7
-    # within the age bound; the cmp_* slots double as canaries for this
-    # round's compare-path refactor
-    "ann_ivf_trained_topk",
+    # (incl. cmp_summary_incremental and both ann_ivf entries, displaced by
+    # the new cmp_column_drift_orders / fk_orphan_audit /
+    # compaction_plan_bins entries) rotates in round 7 within the age
+    # bound; the cmp_* slots double as canaries for this round's
+    # compare-path refactor
     "cmp_diff_rows_orders",
     "cmp_fix_sql_orders",
     "cmp_reconcile_orders",
