@@ -800,3 +800,46 @@ def test_neardup_index_compaction(spark, tmp_path):
             for r in query_neardup_index(spark, path, arrivals, threshold=0.5).collect()}
     assert (1, 101) in post
     assert not any(b == 102 for _, b in post)
+
+
+def test_profile_table_stats_and_nulls(spark):
+    from tidb_large_table_compare_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (4, "b", 2.5)],
+        "id bigint, s string, d double",
+    )
+    prof = {r.column_name: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "d"}
+    assert (prof["id"].n_rows, prof["id"].n_nulls, prof["id"].n_distinct) == (4, 0, 4)
+    assert (prof["s"].n_nulls, prof["s"].n_distinct) == (1, 2)
+    assert (prof["d"].n_nulls, prof["d"].n_distinct) == (1, 2)
+    assert (prof["id"].min_value, prof["id"].max_value) == ("1", "4")
+    assert (prof["s"].min_value, prof["s"].max_value) == ("a", "b")
+
+    all_null = spark.createDataFrame([(None,), (None,)], "x string")
+    row = profile_table(all_null).collect()[0]
+    assert (row.n_rows, row.n_nulls, row.n_distinct) == (2, 2, 0)
+    assert row.min_value is None and row.max_value is None
+
+    # HLL scale path: same schema, counts within tolerance on small input
+    approx = {r.column_name: r for r in profile_table(df, approx=True).collect()}
+    assert approx["id"].n_distinct == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not in frame"):
+        profile_table(df, ["nope"])
+    with _pytest.raises(ValueError, match="at least one"):
+        profile_table(df, [])
+
+
+def test_profile_table_is_single_scan(spark):
+    """All per-column statistics come from ONE aggregate over one scan —
+    the plan must contain exactly one parquet scan node."""
+    from tidb_large_table_compare_spark.operators.profile import profile_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = profile_table(
+        df, ["o_orderkey", "o_orderstatus"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1

@@ -28,6 +28,7 @@ from tidb_large_table_compare_spark.operators.compare import (
 )
 from tidb_large_table_compare_spark.operators.fixsql import fix_sql
 from tidb_large_table_compare_spark.operators.compaction import compaction_plan
+from tidb_large_table_compare_spark.operators.profile import profile_table
 from tidb_large_table_compare_spark.operators.integrity import integrity_audit
 from tidb_large_table_compare_spark.operators.schema_diff import schema_diff
 from tidb_large_table_compare_spark.perturb import (
@@ -376,6 +377,39 @@ UNION ALL
 SELECT path, bytes, 'orders', 'compact', CAST(FLOOR(start / 5000) AS BIGINT)
 FROM elig
 """,
+)
+
+
+def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan column profile of orders (the ANALYZE analog and the cheap
+    drift tripwire between full compares). Restricted to integer/string/
+    date columns whose string renderings are engine-identical; double
+    formatting differs between engines and is covered by pytest instead."""
+    return profile_table(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+SELECT '{c}' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_value,
+       CAST(MAX({c}) AS VARCHAR) AS max_value
+FROM orders"""
+
+
+_register(
+    "profile_orders_columns",
+    _profile_orders,
+    "\nUNION ALL".join(
+        _profile_col_sql(c)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+                  "o_orderpriority"]
+    ),
 )
 
 
@@ -4091,6 +4125,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_column_drift_orders",
     "fk_orphan_audit",
     "compaction_plan_bins",
+    "profile_orders_columns",
     # (c) regression canaries for round-6 changes: tracked-persist rebuild
     # semantics in the near-dup chain, eager-release in cluster resolution
     # and the final-stats entry, the NULL-priority fix in q12, the
@@ -4104,7 +4139,6 @@ _DRIVER_PRIORITY: list[str] = [
     "neardup_ngram_jaccard",
     "catalog_discovery",
     "multimodal_binary_meta",
-    "multimodal_frame_samples",
     "kmeans_cluster_sizes",
     "streaming_hourly_counts",
     # (d) oldest remaining round-4 signals — the rest of the round-4 cohort
