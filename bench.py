@@ -50,6 +50,7 @@ HEADLINE = [
     "weighted_source_mix",
     "multimodal_decode_stats",
     "cmp_column_drift_orders",
+    "fk_orphan_audit",
 ]
 
 

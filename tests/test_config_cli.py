@@ -416,3 +416,34 @@ def test_cli_fk_audit_rejects_bad_spec(spark, tmp_path, capsys):
     )
     assert code == 2
     assert "bad --fk spec" in capsys.readouterr().err
+
+
+def test_cli_profile_prints_both_sides(spark, tmp_path, capsys):
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.filter(F.col("o_orderkey") % 50 != 7).write.parquet(
+        str(slave_dir / "orders.parquet")
+    )
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--profile",
+        ]
+    )
+    assert code == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("profile ")]
+    n_cols = len(orders.columns)
+    assert len(lines) == 2 * n_cols  # both sides, every column
+    left_key = next(l for l in lines
+                    if " left o_orderkey " in l)
+    right_key = next(l for l in lines
+                     if " right o_orderkey " in l)
+    assert "rows=1500" in left_key and "nulls=0" in left_key
+    assert "rows=1470" in right_key  # 30 deleted rows show up immediately

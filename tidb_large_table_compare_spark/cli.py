@@ -74,6 +74,10 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--column-drift", action="store_true",
                    help="after the report, print per-column mismatch counts "
                         "for each keyed table with modified rows")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-column stats (rows/nulls/distinct/min/"
+                        "max) for both sides of every compared table — the "
+                        "cheap drift tripwire before a full compare")
     p.add_argument("--fk", action="append", default=[], metavar="SPEC",
                    help="referential-integrity audit of the RIGHT (slave) "
                         "side: child.fk_col=parent.pk_col (repeatable; "
@@ -276,6 +280,23 @@ def _run(args) -> int:
     if args.report_out:
         with open(args.report_out, "w") as fh:
             fh.write(report + "\n")
+
+    # per-column profiles of both sides — the ANALYZE-style first look and
+    # the cheap drift tripwire (a diverging profile is a one-screen signal)
+    if args.profile:
+        from tidb_large_table_compare_spark.operators.profile import (
+            profile_table,
+        )
+
+        for job in jobs:
+            for side, frame in (("left", job.left), ("right", job.right)):
+                for r in profile_table(frame).collect():
+                    print(
+                        f"profile {job.table} {side} {r.column_name} "
+                        f"rows={r.n_rows} nulls={r.n_nulls} "
+                        f"distinct={r.n_distinct} "
+                        f"min={r.min_value} max={r.max_value}"
+                    )
 
     # per-column drift histogram (B8 refinement): which columns drive the
     # drift, per keyed table — the diagnosis step between "rows differ" and
