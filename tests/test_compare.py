@@ -336,3 +336,28 @@ def test_fk_orphans_null_and_composite_semantics(spark):
 
     with pytest.raises(ValueError, match="arity"):
         fk_orphans(child, ["k1"], parent, ["p1", "p2"], "bad")
+
+
+def test_column_drift_wide_drift_broadcast_path(spark, master, slave, monkeypatch):
+    """When more buckets drift than the IN-list cap, column_drift and
+    diff_rows share the persisted broadcast bad-bucket frame (materialized
+    once via _bad_bucket_state) and results match the IN-list path."""
+    baseline_cmp = compare_tables(
+        spark, master, slave, pk=["pk"],
+        options=CompareOptions(chunk_size=500), table_name="t",
+    )
+    baseline = {r.column_name: r.mismatch_rows
+                for r in baseline_cmp.column_drift().collect()}
+
+    monkeypatch.setattr(TableCompare, "_MAX_INLIST", 2)
+    cmp = compare_tables(
+        spark, master, slave, pk=["pk"],
+        options=CompareOptions(chunk_size=500), table_name="t",
+    )
+    wide = {r.column_name: r.mismatch_rows for r in cmp.column_drift().collect()}
+    assert wide == baseline
+    # both consumers reuse the same materialized state object
+    state = cmp._bad_state
+    assert state is not None and state[1] is None and state[2] is not None
+    assert cmp.diff_rows().count() == K_MISSING + K_EXTRA + K_MODIFIED
+    assert cmp._bad_state is state
