@@ -414,3 +414,99 @@ def test_qoi_compresses_runs_and_repeats(arr):
     n_px = arr.shape[0] * arr.shape[1]
     if n_px >= 8:  # tiny images have header > raster; no claim there
         assert len(encode_qoi(flat)) < 14 + 8 + 3 * n_px
+
+
+@st.composite
+def column_drift_plan(draw):
+    n = draw(st.integers(min_value=10, max_value=80))
+    pks = list(range(1, n + 1))
+    drift_s = sorted(draw(st.sets(st.sampled_from(pks), max_size=n // 2)))
+    drift_d = sorted(draw(st.sets(st.sampled_from(pks), max_size=n // 2)))
+    missing = sorted(draw(st.sets(st.sampled_from(pks), max_size=n // 4)))
+    return n, drift_s, drift_d, missing
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(plan=column_drift_plan())
+def test_column_drift_reconciles_with_row_verdicts(spark, plan):
+    """Invariant tying the two drill-downs together: per-column counts equal
+    the constructed drift (restricted to surviving rows), each bounded by
+    the modified-row count, and their union bound covers it."""
+    n, drift_s, drift_d, missing = plan
+    schema = "pk bigint, s string, d double"
+    master = spark.createDataFrame(
+        [(pk, f"v{pk}", pk * 1.5) for pk in range(1, n + 1)], schema
+    )
+    slave = spark.createDataFrame(
+        [
+            (
+                pk,
+                f"v{pk}_x" if pk in drift_s else f"v{pk}",
+                pk * 1.5 + (1.0 if pk in drift_d else 0.0),
+            )
+            for pk in range(1, n + 1)
+            if pk not in missing
+        ],
+        schema,
+    )
+    cmp = compare_tables(
+        spark, master, slave, ["pk"], CompareOptions(chunk_size=16), "prop"
+    )
+    counts = {r.column_name: r.mismatch_rows for r in cmp.column_drift().collect()}
+    surviving_s = [p for p in drift_s if p not in missing]
+    surviving_d = [p for p in drift_d if p not in missing]
+    assert counts == {"s": len(surviving_s), "d": len(surviving_d)}
+    n_modified = (
+        cmp.diff_rows().filter("diff_type = 'modified'").count()
+    )
+    assert n_modified == len(set(surviving_s) | set(surviving_d))
+    assert max(counts.values(), default=0) <= n_modified <= sum(counts.values())
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40),
+    target=st.integers(min_value=50, max_value=300),
+)
+def test_compaction_plan_partition_invariants(spark, sizes, target):
+    """Every file lands in exactly one bin or 'keep'; bins are contiguous in
+    path order, start at 0, and every bin except possibly the last reaches
+    the target (first-fit closes a bin only once it is full)."""
+    from tidb_large_table_compare_spark.operators.compaction import compaction_plan
+
+    inv = spark.createDataFrame(
+        [(f"t/{i:04d}.parquet", b) for i, b in enumerate(sizes)],
+        "path string, bytes bigint",
+    )
+    rows = sorted(compaction_plan(inv, target).collect(), key=lambda r: r.path)
+    assert len(rows) == len(sizes)  # partition: nothing dropped or duplicated
+    for r in rows:
+        assert (r.action == "keep") == (r.bytes >= target)
+    compact = [r for r in rows if r.action == "compact"]
+    bins = [r.bin for r in compact]
+    assert bins == sorted(bins)  # non-decreasing in path order
+    if compact:
+        assert bins[0] == 0
+        assert set(bins) == set(range(max(bins) + 1))  # no skipped bins
+        by_bin: dict[int, int] = {}
+        for r in compact:
+            by_bin[r.bin] = by_bin.get(r.bin, 0) + r.bytes
+        # window algebra invariants: the PREFIX through every closed bin
+        # reaches that bin's window end (a single bin can undershoot when
+        # the previous file straddles into its window), and no bin spans
+        # more than two windows
+        last = max(by_bin)
+        prefix = 0
+        for b in range(last + 1):
+            prefix += by_bin[b]
+            if b != last:
+                assert prefix >= (b + 1) * target
+            assert by_bin[b] < 2 * target

@@ -39,9 +39,13 @@ def compaction_plan(
 
     Returns ``(path, bytes, dir, action, bin)``: ``action='keep'`` (file
     already ≥ target; ``bin`` NULL) or ``action='compact'`` with the
-    0-based bin index within the file's directory. Bins respect path order,
-    hold ≥1 file, and close as soon as the running size reaches the target
-    (a bin may overshoot by less than one file — first-fit, no splitting).
+    0-based bin index within the file's directory. Bins respect path order
+    and hold ≥1 file; bin *b* collects the files whose cumulative start
+    offset falls in window ``[b·target, (b+1)·target)``, so every bin's
+    span is < 2×target and the prefix through each closed bin reaches its
+    window end (a single bin can undershoot the target when the previous
+    file straddles into its window — window algebra, no splitting; the
+    invariants are property-tested).
     """
     if target_bytes <= 0:
         raise ValueError("target_bytes must be positive")
