@@ -361,3 +361,12 @@ def test_column_drift_wide_drift_broadcast_path(spark, master, slave, monkeypatc
     assert state is not None and state[1] is None and state[2] is not None
     assert cmp.diff_rows().count() == K_MISSING + K_EXTRA + K_MODIFIED
     assert cmp._bad_state is state
+
+
+def test_column_drift_refuses_multiset_mode(spark, master, slave):
+    cmp = compare_tables(
+        spark, master, slave, pk=["pk"],
+        options=CompareOptions(force_multiset=True), table_name="t",
+    )
+    with pytest.raises(ValueError, match="unique primary key"):
+        cmp.column_drift()

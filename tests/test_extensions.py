@@ -843,3 +843,50 @@ def test_profile_table_is_single_scan(spark):
         df, ["o_orderkey", "o_orderstatus"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
+
+
+def test_profile_table_map_column_uses_canonical_form(spark):
+    from tidb_large_table_compare_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, {"b": "2", "a": "1"}), (2, {"a": "1", "b": "2"}), (3, None)],
+        "id bigint, m map<string,string>",
+    )
+    row = {r.column_name: r for r in profile_table(df).collect()}["m"]
+    # the two equal maps (different insertion order) profile as ONE distinct
+    # value via the sorted-entry JSON canonical form; NULL map stays a null
+    assert (row.n_rows, row.n_nulls, row.n_distinct) == (3, 1, 1)
+
+
+def test_neardup_index_compaction_heals_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves the sub-table only under
+    .old — the next compaction restores it before proceeding, and the index
+    stays fully probeable afterwards."""
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        build_neardup_index,
+        compact_neardup_index,
+        query_neardup_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id bigint, text string"
+    )
+    path = str(tmp_path / "healidx")
+    build_neardup_index(corpus, path)
+
+    # simulate the crash window: docs moved aside, canonical path absent,
+    # plus a stale half-written side dir
+    import os
+    os.rename(f"{path}/docs", f"{path}/docs.old")
+    os.makedirs(f"{path}/docs.compacting")
+
+    stats = compact_neardup_index(spark, path)
+    assert stats["docs"]["rows"] == 1
+    assert os.path.isdir(f"{path}/docs")
+    assert not os.path.exists(f"{path}/docs.old")
+    assert not os.path.exists(f"{path}/docs.compacting")
+    arrivals = spark.createDataFrame(
+        [(101, base + "tail")], "doc_id bigint, text string"
+    )
+    assert query_neardup_index(spark, path, arrivals, threshold=0.5).count() == 1

@@ -343,3 +343,18 @@ def test_file_inventory_lists_real_parts(spark, tmp_path):
     assert any(d.endswith("t1.parquet") for d in dirs)
     assert any(d.endswith("t2.parquet") for d in dirs)
     assert all(r.action == "compact" for r in plan.collect())  # all tiny
+
+
+def test_compaction_plan_null_bytes_surface_as_unknown(spark):
+    from tidb_large_table_compare_spark.operators.compaction import compaction_plan
+
+    inv = spark.createDataFrame(
+        [("t/a.parquet", 10), ("t/b.parquet", None), ("t/c.parquet", 10)],
+        "path string, bytes bigint",
+    )
+    rows = {r.path: r for r in compaction_plan(inv, target_bytes=100).collect()}
+    assert len(rows) == 3  # nothing silently dropped
+    assert rows["t/b.parquet"].action == "unknown"
+    assert rows["t/b.parquet"].bin is None
+    # NULL-size file is excluded from the running sum: a and c pack normally
+    assert rows["t/a.parquet"].bin == 0 and rows["t/c.parquet"].bin == 0

@@ -298,17 +298,28 @@ def _run(args) -> int:
                         f"min={r.min_value} max={r.max_value}"
                     )
 
+    # One TableCompare per keyed table, shared by every drill-down flag
+    # below — its caches (_bad_state, _diff_rows) amortize the digest pass
+    # across --column-drift / --fix-sql-out / --reconcile-out instead of
+    # re-running two full scans per flag per table.
+    drill_cmps: dict[str, object] = {}
+
+    def _drill_cmp(job):
+        if job.table not in drill_cmps:
+            drill_cmps[job.table] = compare_tables(
+                spark, job.left, job.right, job.pk, job.options, job.table
+            )
+        return drill_cmps[job.table]
+
     # per-column drift histogram (B8 refinement): which columns drive the
     # drift, per keyed table — the diagnosis step between "rows differ" and
-    # "export fix SQL"
-    if args.column_drift:
+    # "export fix SQL". Skipped under --multiset: duplicated PKs cannot
+    # pair rows (column_drift would refuse).
+    if args.column_drift and not args.multiset:
         for job in jobs:
             if not job.pk:
                 continue
-            cmp = compare_tables(
-                spark, job.left, job.right, job.pk, job.options, job.table
-            )
-            for r in cmp.column_drift().collect():
+            for r in _drill_cmp(job).column_drift().collect():
                 if r.mismatch_rows:
                     print(f"drift {job.table} {r.column_name} {r.mismatch_rows}")
 
@@ -330,13 +341,31 @@ def _run(args) -> int:
                 print(f"ERROR: bad --fk spec {spec!r} "
                       "(want child.fk=parent.pk)", file=sys.stderr)
                 return 2
-            checks.append((
-                spark.read.parquet(f"{args.right_dir}/{child_tbl}.parquet"),
-                child_cols.split(","),
-                spark.read.parquet(f"{args.right_dir}/{parent_tbl}.parquet"),
-                parent_cols.split(","),
-                spec,
-            ))
+            fk_cols = [c for c in child_cols.split(",") if c]
+            pk_cols = [c for c in parent_cols.split(",") if c]
+            if not fk_cols or not pk_cols or len(fk_cols) != len(pk_cols):
+                print(f"ERROR: bad --fk spec {spec!r} "
+                      "(column lists empty or of different arity)",
+                      file=sys.stderr)
+                return 2
+            try:
+                child = spark.read.parquet(
+                    f"{args.right_dir}/{child_tbl}.parquet"
+                )
+                parent = spark.read.parquet(
+                    f"{args.right_dir}/{parent_tbl}.parquet"
+                )
+            except Exception as exc:  # AnalysisException: missing table file
+                print(f"ERROR: --fk spec {spec!r}: {exc}", file=sys.stderr)
+                return 2
+            missing_cols = [c for c in fk_cols if c not in child.columns] + [
+                c for c in pk_cols if c not in parent.columns
+            ]
+            if missing_cols:
+                print(f"ERROR: --fk spec {spec!r}: columns not found: "
+                      f"{missing_cols}", file=sys.stderr)
+                return 2
+            checks.append((child, fk_cols, parent, pk_cols, spec))
         for r in integrity_audit(checks).collect():
             print(f"fk {r.relationship} child_rows={r.child_rows} "
                   f"null_fk={r.null_fk_rows} orphans={r.orphan_rows}")
@@ -346,11 +375,8 @@ def _run(args) -> int:
         for job in jobs:
             if not job.pk:
                 continue
-            cmp = compare_tables(
-                spark, job.left, job.right, job.pk, job.options, job.table
-            )
             out = f"{args.fix_sql_out}/{job.table.replace('.', '_')}_fix"
-            fix_sql(cmp).coalesce(1).write.mode("overwrite").text(out)
+            fix_sql(_drill_cmp(job)).coalesce(1).write.mode("overwrite").text(out)
 
     # native repair application (closing the fix-SQL loop): write the right
     # side patched to match the left, per keyed table with diffs
@@ -360,10 +386,9 @@ def _run(args) -> int:
         for job in jobs:
             if not job.pk:
                 continue
-            cmp = compare_tables(
-                spark, job.left, job.right, job.pk, job.options, job.table
+            repaired = apply_fixes(
+                job.left, job.right, job.pk, _drill_cmp(job).diff_rows()
             )
-            repaired = apply_fixes(job.left, job.right, job.pk, cmp.diff_rows())
             out = f"{args.reconcile_out}/{job.table.replace('.', '_')}_repaired"
             repaired.write.mode("overwrite").parquet(out)
 

@@ -77,8 +77,6 @@ def _parse_args(argv: list[str] | None):
             p.error(f"--mode {args.mode} requires --input")
         if not args.out:
             p.error(f"--mode {args.mode} requires --out")
-    elif not args.out:
-        args.out = args.index  # lock key only; compaction writes in place
     return args
 
 
@@ -89,7 +87,10 @@ def _default_lock_path(out_dir: str) -> str:
 
 def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
-    lock = RunLock(args.lock_file or _default_lock_path(args.out))
+    # every mode that touches an admission index (including admit, which
+    # READS it) locks on the INDEX path, so a probe can never overlap a
+    # compaction's rename window; plain curation locks on its output
+    lock = RunLock(args.lock_file or _default_lock_path(args.index or args.out))
     try:
         lock.acquire()
     except LockHeld as held:

@@ -38,7 +38,9 @@ def compaction_plan(
     """Plan compaction bins for a (path, bytes) inventory.
 
     Returns ``(path, bytes, dir, action, bin)``: ``action='keep'`` (file
-    already ≥ target; ``bin`` NULL) or ``action='compact'`` with the
+    already ≥ target; ``bin`` NULL), ``action='unknown'`` (NULL size —
+    unplannable, surfaced instead of silently dropped), or
+    ``action='compact'`` with the
     0-based bin index within the file's directory. Bins respect path order
     and hold ≥1 file; bin *b* collects the files whose cumulative start
     offset falls in window ``[b·target, (b+1)·target)``, so every bin's
@@ -55,9 +57,13 @@ def compaction_plan(
         F.col(bytes_col).cast("bigint").alias("bytes"),
         dir_col.alias("dir"),
     )
-    keep = base.filter(F.col("bytes") >= target_bytes).select(
+    keep = base.filter(
+        (F.col("bytes") >= target_bytes) | F.col("bytes").isNull()
+    ).select(
         "path", "bytes", "dir",
-        F.lit("keep").alias("action"),
+        F.when(F.col("bytes").isNull(), F.lit("unknown"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
         F.lit(None).cast("bigint").alias("bin"),
     )
     w = (

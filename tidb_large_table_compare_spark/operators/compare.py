@@ -348,9 +348,11 @@ class TableCompare:
         modified-rows filter is needed: the restriction is purely a cost
         bound. Shuffled bytes ∝ bad-bucket rows ≈ drift, never table size.
         """
-        if not self.pk:
+        if not self.pk or self.options.force_multiset:
+            # a duplicated PK would cross-product in the pairing join and
+            # inflate every count — the exact hazard multiset mode declares
             raise ValueError(
-                "column_drift requires a primary key "
+                "column_drift requires a unique primary key "
                 "(multiset diffs do not pair rows)"
             )
         pk = set(self.pk)

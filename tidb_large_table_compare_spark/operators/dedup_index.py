@@ -183,9 +183,13 @@ def compact_neardup_index(
       band table.
 
     The rewrite lands in a side directory first and swaps in with two FS
-    renames per sub-table, so a crash leaves the old index or the new one,
-    never a half-written mix (the transient window holds the completed new
-    directory under ``<sub>.compacting``).
+    renames per sub-table. A crash inside the two-rename window leaves the
+    canonical path briefly absent (old data intact under ``<sub>.old``) —
+    the next ``compact_neardup_index`` run heals it before doing anything
+    else: a missing sub-table with a ``.old`` sibling is renamed back, and
+    stale ``.compacting`` side dirs are discarded. Run compaction under the
+    same lock as probes (the CLI keys its run lock on the index path) so a
+    reader can't observe the window.
 
     Returns a stats dict (rows and file counts per sub-table).
     """
@@ -193,6 +197,15 @@ def compact_neardup_index(
     stats: dict = {}
     for sub in ("docs", "bands"):
         src = f"{path}/{sub}"
+        # crash recovery from a previous interrupted swap
+        _, jsrc0 = _hadoop_fs(spark, src)
+        _, jold0 = _hadoop_fs(spark, f"{path}/{sub}.old")
+        _, jside0 = _hadoop_fs(spark, f"{path}/{sub}.compacting")
+        if not fs.exists(jsrc0) and fs.exists(jold0):
+            if not fs.rename(jold0, jsrc0):
+                raise IOError(f"could not restore {src} from its .old sibling")
+        if fs.exists(jside0):
+            fs.delete(jside0, True)
         df = spark.read.parquet(src).dropDuplicates()
         if sub == "bands" and max_bucket_size is not None:
             sizes = df.groupBy("band", "bucket").agg(

@@ -23,6 +23,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tidb_large_table_compare_spark.functions.hashing import canonical_value
 
 __all__ = ["profile_table"]
 
@@ -46,9 +49,14 @@ def profile_table(
     distinct_of = (
         F.approx_count_distinct if approx else F.count_distinct
     )
+    fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in names:
         col = F.col(c)
+        if isinstance(fields[c], T.MapType):
+            # maps are neither groupable nor orderable — profile the same
+            # sorted-entry JSON serialization the row digests hash
+            col = canonical_value(col, fields[c], None)
         aggs += [
             F.count(F.lit(1)).cast("bigint").alias(f"__rows_{c}"),
             F.count(F.when(col.isNull(), 1)).cast("bigint").alias(f"__nulls_{c}"),
