@@ -365,3 +365,24 @@ def test_stable_ids_have_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
     assert "Window" in plan  # per-partition rank, partitioned by pid
+
+
+def test_fk_audit_prunes_parent_scan_to_keys(spark):
+    """The integrity audit's parent side must read ONLY the key columns —
+    at 100 TB the parent payload never leaves the scan."""
+    plan = _plan(QUERIES["fk_orphan_audit"](spark, SF_SMALL))
+    cust_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "customer.parquet" in l
+    ]
+    assert cust_scans
+    # customer appears as the parent of orders->customer (key c_custkey) and
+    # as the child of customer->nation (c_nationkey only); no scan may read
+    # payload columns like c_name / c_acctbal
+    for scan in cust_scans:
+        assert "c_name" not in scan and "c_acctbal" not in scan
+    nation_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "nation.parquet" in l
+    ]
+    assert nation_scans and all("n_name" not in s for s in nation_scans)
