@@ -358,3 +358,35 @@ def test_compaction_plan_null_bytes_surface_as_unknown(spark):
     assert rows["t/b.parquet"].bin is None
     # NULL-size file is excluded from the running sum: a and c pack normally
     assert rows["t/a.parquet"].bin == 0 and rows["t/c.parquet"].bin == 0
+
+
+def test_execute_compaction_merges_bins_losslessly(spark, tmp_path):
+    """plan → execute roundtrip: merged bins hold exactly the planned
+    files' rows (one output file per bin), sources untouched."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+    )
+
+    src = str(tmp_path / "lake" / "t1.parquet")
+    df = spark.range(0, 400).withColumn("v", F.col("id") * 3)
+    df.repartition(8).write.parquet(src)
+
+    inv = file_inventory(spark, str(tmp_path / "lake"))
+    target = int(inv.agg(F.sum("bytes")).collect()[0][0] // 3)  # ~3 bins
+    plan = compaction_plan(inv, target)
+    out = str(tmp_path / "compacted")
+    manifest = execute_compaction(spark, plan, out)
+
+    assert manifest["files_merged"] == 8 and manifest["kept"] == 0
+    assert 2 <= manifest["bins"] <= 4
+    merged = spark.read.parquet(*manifest["outputs"])
+    assert merged.exceptAll(df).count() == 0
+    assert df.exceptAll(merged).count() == 0
+    # one data file per bin; sources untouched
+    for dest in manifest["outputs"]:
+        parts = [p for p in __import__("os").listdir(dest)
+                 if p.endswith(".parquet")]
+        assert len(parts) == 1
+    assert file_inventory(spark, str(tmp_path / "lake")).count() == 8

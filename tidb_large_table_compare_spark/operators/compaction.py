@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["compaction_plan", "file_inventory"]
+__all__ = ["compaction_plan", "file_inventory", "execute_compaction"]
 
 
 def compaction_plan(
@@ -109,3 +109,45 @@ def file_inventory(
             elif name.endswith(".parquet"):
                 rows.append((status.getPath().toString(), status.getLen()))
     return spark.createDataFrame(rows, "path string, bytes bigint")
+
+
+def execute_compaction(
+    spark: SparkSession, plan: DataFrame, out_dir: str
+) -> dict:
+    """Materialize a :func:`compaction_plan`: one merged parquet file per
+    (directory, bin) under ``out_dir``, mirroring each source directory by
+    its basename.
+
+    Deliberately NON-destructive: sources are only read. Swapping merged
+    files in over the originals is the operator's explicit final step —
+    the safe swap protocol (side dir + two renames + crash healing) is
+    implemented for the admission index in
+    ``dedup_index.compact_neardup_index`` and applies verbatim. 'keep' and
+    'unknown' rows are untouched and reported in the manifest.
+
+    Each bin is one small job (read its few files, coalesce(1), write);
+    bins are independent, so a maintenance scheduler can shard the plan
+    frame and run directories in parallel.
+    """
+    rows = plan.collect()  # metadata-sized: one row per file
+    by_bin: dict[tuple[str, int], list[str]] = {}
+    kept = skipped = 0
+    for r in rows:
+        if r.action == "compact":
+            by_bin.setdefault((r.dir, int(r.bin)), []).append(r.path)
+        elif r.action == "keep":
+            kept += 1
+        else:
+            skipped += 1
+    manifest: dict = {"bins": 0, "files_merged": 0, "kept": kept,
+                      "unknown": skipped, "outputs": []}
+    for (src_dir, bin_id), paths in sorted(by_bin.items()):
+        base = src_dir.rstrip("/").rsplit("/", 1)[-1]
+        dest = f"{out_dir}/{base}/bin={bin_id:05d}"
+        spark.read.parquet(*paths).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(dest)
+        manifest["bins"] += 1
+        manifest["files_merged"] += len(paths)
+        manifest["outputs"].append(dest)
+    return manifest
