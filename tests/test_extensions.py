@@ -659,6 +659,40 @@ def test_neardup_index_build_and_admission(spark, tmp_path):
     assert 0.5 <= pairs[0].jaccard <= 1.0
 
 
+def test_neardup_index_probe_broadcast_is_conditional(spark, tmp_path):
+    """An oversized admission batch must NOT be force-broadcast: with the
+    band-row budget shrunk below the batch size the probe resolves to the
+    shuffle join, the plan carries no broadcast of the batch side, and the
+    admitted pairs are identical to the broadcast path's."""
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again " * 5
+    corpus = spark.createDataFrame(
+        [(1, base_text), (2, "completely different content about spark engines " * 6)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "bigbatchidx")
+    build_neardup_index(corpus, path)
+    arrivals = spark.createDataFrame(
+        [(101, base_text + "tail tail"), (102, "unrelated novel arrival text " * 8)],
+        "doc_id bigint, text string",
+    )
+
+    small = query_neardup_index(spark, path, arrivals, threshold=0.5)
+    big = query_neardup_index(
+        spark, path, arrivals, threshold=0.5, broadcast_max_band_rows=1
+    )
+    # auto-resolution: tiny batch broadcasts, over-budget batch does not
+    assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    want = {(1, 101)}
+    assert {(r.id_a, r.id_b) for r in small.collect()} == want
+    assert {(r.id_a, r.id_b) for r in big.collect()} == want
+
+
 def test_neardup_index_cap_is_a_build_property(spark, tmp_path):
     """Hot buckets are dropped when the index is BUILT, so every future
     probe is protected: with a boilerplate triple capped out of the index,

@@ -390,3 +390,53 @@ def test_execute_compaction_merges_bins_losslessly(spark, tmp_path):
                  if p.endswith(".parquet")]
         assert len(parts) == 1
     assert file_inventory(spark, str(tmp_path / "lake")).count() == 8
+
+
+def test_execute_compaction_same_basename_dirs_stay_distinct(spark, tmp_path):
+    """Two tables each holding a partition dir with the SAME basename
+    (date=2020-01-01) must compact into distinct dest subtrees — keying by
+    basename alone would silently overwrite one table's output."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+    )
+
+    for table, lo, hi in (("orders", 0, 100), ("lineitem", 1000, 1100)):
+        src = str(tmp_path / "lake" / table / "date=2020-01-01")
+        spark.range(lo, hi).repartition(4).write.parquet(src)
+
+    inv = file_inventory(spark, str(tmp_path / "lake"))
+    plan = compaction_plan(inv, target_bytes=1 << 30)  # everything compacts
+    out = str(tmp_path / "compacted")
+    manifest = execute_compaction(spark, plan, out)
+
+    assert manifest["files_merged"] == 8
+    assert len(manifest["outputs"]) == 2
+    # both tables' rows survive — nothing overwritten
+    merged = spark.read.parquet(*manifest["outputs"])
+    assert merged.count() == 200
+    assert {r.id for r in merged.collect()} == set(range(0, 100)) | set(
+        range(1000, 1100)
+    )
+    # dest subtrees carry the table component, not just the shared basename
+    assert any("/orders/" in d for d in manifest["outputs"])
+    assert any("/lineitem/" in d for d in manifest["outputs"])
+
+
+def test_dest_suffixes_no_common_root_and_single_dir():
+    from tidb_large_table_compare_spark.operators.compaction import (
+        _dest_suffixes,
+    )
+
+    # single dir keeps its basename
+    assert _dest_suffixes(["/a/b/t1.parquet"]) == {
+        "/a/b/t1.parquet": "t1.parquet"
+    }
+    # disjoint roots: full (sanitized) paths, still distinct
+    m = _dest_suffixes(["file:/x/date=1", "hdfs://h/y/date=1"])
+    assert len(set(m.values())) == 2
+    # identical-basename dirs under one root stay distinct via parent
+    m = _dest_suffixes(["/lake/orders/d=1", "/lake/lineitem/d=1"])
+    assert m["/lake/orders/d=1"] == "orders/d=1"
+    assert m["/lake/lineitem/d=1"] == "lineitem/d=1"

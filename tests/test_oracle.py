@@ -32,3 +32,45 @@ def test_query_matches_oracle(spark, name):
 def test_rows_only_query_runs(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.count() >= 0
+
+
+def test_weighted_source_mix_digitless_tag_agrees(spark, tmp_path):
+    """A source tag with no digits must behave identically on both engines
+    (source number 0 → keep everything), not crash-vs-silently-drop: the
+    Spark side TRY_CASTs the empty regexp match and COALESCEs to 0, and the
+    oracle SQL is pinned the same way."""
+    import os
+
+    from tidb_large_table_compare_spark.sources.tables import TABLES
+
+    sf = tmp_path / "sf_digitless"
+    sf.mkdir()
+    for t in TABLES:
+        if t != "documents":
+            os.symlink(f"/root/testdata/sf0.001/{t}.parquet", sf / f"{t}.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(  # single file, readable by both engines
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": ["src0", "wiki", "src9"],  # "wiki": digitless tag
+                "text": ["alpha beta gamma", "delta epsilon", "zeta eta theta"],
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+
+    ok, msg = compare_query(
+        spark,
+        QUERIES["weighted_source_mix"],
+        ORACLES["weighted_source_mix"],
+        str(sf),
+    )
+    assert ok, msg
+    out = {
+        r.source: r.keep_permille
+        for r in QUERIES["weighted_source_mix"](spark, str(sf)).collect()
+    }
+    assert out["wiki"] == 1000  # untagged source counts as source 0: keep all

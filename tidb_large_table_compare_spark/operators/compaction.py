@@ -29,6 +29,38 @@ from pyspark.sql import functions as F
 __all__ = ["compaction_plan", "file_inventory", "execute_compaction"]
 
 
+def _dest_suffixes(dirs: list[str]) -> dict[str, str]:
+    """Map each source directory to a collision-free dest suffix.
+
+    Uses the path relative to the deepest common ancestor of all source
+    dirs, so two dirs sharing a basename (e.g. ``.../orders/date=2020`` and
+    ``.../lineitem/date=2020`` in one inventory) land in distinct dest
+    subtrees instead of silently overwriting each other. Components are
+    sanitized to filesystem-safe chars; a one-dir inventory keeps its plain
+    basename.
+    """
+    split = {d: [c for c in d.rstrip("/").split("/") if c] for d in dirs}
+    parts = list(split.values())
+    common = 0
+    if len(parts) > 1:
+        for vals in zip(*parts):
+            if len(set(vals)) != 1:
+                break
+            common += 1
+        # never swallow a dir entirely: the shallowest dir keeps >=1 component
+        common = min(common, min(len(p) for p in parts) - 1)
+    out = {}
+    for d, comps in split.items():
+        rel = comps[common:] if len(parts) > 1 else comps[-1:]
+        out[d] = "/".join(
+            "".join(ch if ch.isalnum() or ch in "._=-" else "_" for ch in c)
+            for c in rel
+        )
+    if len(set(out.values())) != len(out):
+        raise ValueError(f"compaction dest suffixes collide: {sorted(out.items())}")
+    return out
+
+
 def compaction_plan(
     files: DataFrame,
     target_bytes: int,
@@ -116,7 +148,8 @@ def execute_compaction(
 ) -> dict:
     """Materialize a :func:`compaction_plan`: one merged parquet file per
     (directory, bin) under ``out_dir``, mirroring each source directory by
-    its basename.
+    its path relative to the inventory's common root (basename alone would
+    collide for same-named partition dirs under different tables).
 
     Deliberately NON-destructive: sources are only read. Swapping merged
     files in over the originals is the operator's explicit final step —
@@ -141,9 +174,9 @@ def execute_compaction(
             skipped += 1
     manifest: dict = {"bins": 0, "files_merged": 0, "kept": kept,
                       "unknown": skipped, "outputs": []}
+    suffixes = _dest_suffixes(sorted({d for d, _ in by_bin}))
     for (src_dir, bin_id), paths in sorted(by_bin.items()):
-        base = src_dir.rstrip("/").rsplit("/", 1)[-1]
-        dest = f"{out_dir}/{base}/bin={bin_id:05d}"
+        dest = f"{out_dir}/{suffixes[src_dir]}/bin={bin_id:05d}"
         spark.read.parquet(*paths).coalesce(1).write.mode(
             "overwrite"
         ).parquet(dest)

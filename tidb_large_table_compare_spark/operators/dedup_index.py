@@ -123,26 +123,40 @@ def query_neardup_index(
     n_hashes: int = 128,
     n_bands: int = 32,
     threshold: float = 0.8,
+    broadcast_batch: bool | None = None,
+    broadcast_max_band_rows: int = 2_000_000,
 ) -> DataFrame:
     """Near-dups between an arriving batch and the indexed corpus:
     (id_a = corpus doc, id_b = new doc, jaccard ≥ threshold).
 
     The probe signatures ONLY the batch (map-only), equi-joins its band
-    buckets against the persisted band table — with the batch side
-    broadcast when it is small, the common case — exact-verifies candidates
+    buckets against the persisted band table, exact-verifies candidates
     against the stored shingle sets, and never touches corpus text. A new
     doc with no colliding bucket costs one join probe, nothing more.
+
+    The batch side is broadcast only when it is actually small: with
+    ``broadcast_batch=None`` a bounded ``limit(k+1).count()`` probe (never
+    a full batch count) checks whether the batch's exploded band table
+    would stay under ``broadcast_max_band_rows``; an oversized admission
+    batch falls through to a shuffle join instead of force-broadcasting
+    ``batch_rows × n_bands`` rows into every executor. Pass ``True`` /
+    ``False`` to pin the strategy explicitly.
     """
     new_shingles = _shingle_sets(new_docs, id_col, text_col, shingle_n)
     new_sigs = minhash_signature_oph_np(new_shingles, id_col, n_hashes=n_hashes)
     new_bands = signature_band_buckets(new_sigs, id_col, n_hashes, n_bands)
 
+    if broadcast_batch is None:
+        max_docs = max(1, broadcast_max_band_rows // n_bands)
+        broadcast_batch = (
+            new_docs.select(id_col).limit(max_docs + 1).count() <= max_docs
+        )
+    probe = new_bands.withColumnRenamed(id_col, "id_b")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
     idx_bands = spark.read.parquet(f"{path}/bands").withColumnRenamed(id_col, "id_a")
     cands = (
-        idx_bands.join(
-            F.broadcast(new_bands.withColumnRenamed(id_col, "id_b")),
-            ["band", "bucket"],
-        )
+        idx_bands.join(probe, ["band", "bucket"])
         .select("id_a", "id_b")
         .distinct()
     )

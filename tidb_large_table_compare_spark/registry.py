@@ -3294,7 +3294,10 @@ def _weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline (web-scale corpora are never used at their natural proportions;
     each source gets a target rate). Rates here derive deterministically
     from the source tag (src0 keeps 100.0%, each next source 4.5 points
-    less, floored at 10%), and the keep/drop decision is the same
+    less, floored at 10%; a tag with no digits counts as source 0 — pinned
+    identically in the oracle via TRY_CAST+COALESCE so the two engines can
+    never diverge crash-vs-drop on an unexpected tag shape), and the
+    keep/drop decision is the same
     content-independent md5-prefix hash both engines compute identically —
     so the sample is reproducible on any cluster, any partitioning, any day
     (no rand(): a reshuffled input must not change the corpus).
@@ -3303,7 +3306,9 @@ def _weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output is one row per source.
     """
     docs = load_table(spark, sf_dir, "documents")
-    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    src_num = F.coalesce(
+        F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast("int"), F.lit(0)
+    )
     keep_permille = F.greatest(F.lit(100), F.lit(1000) - F.lit(45) * src_num)
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
@@ -3328,7 +3333,8 @@ _register(
     f"""
 WITH rated AS (
   SELECT source,
-         GREATEST(100, 1000 - 45 * CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER))
+         GREATEST(100, 1000 - 45 * COALESCE(
+             TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER), 0))
            AS keep_permille,
          ({_MD5_60_DOCID_SQL}) % 1000 AS bucket,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
