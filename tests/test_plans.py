@@ -386,3 +386,29 @@ def test_fk_audit_prunes_parent_scan_to_keys(spark):
         if "FileScan parquet" in l and "nation.parquet" in l
     ]
     assert nation_scans and all("n_name" not in s for s in nation_scans)
+
+
+def test_unigram_familiarity_single_freqs_materialization(spark):
+    """The corpus-total scalar must come from the persisted token-count
+    table, not a second full explode pass: the builder's scalar job
+    materializes `freqs` once and the join leg reuses it as an
+    InMemoryTableScan, so the FINAL plan explodes the documents scan
+    exactly once (the old `toks.count()` + uncached-freqs shape scanned it
+    twice there and three times per invocation overall)."""
+    from tidb_large_table_compare_spark.registry import _TRACKED_CACHES
+
+    df = QUERIES["unigram_familiarity_scores"](spark, SF_SMALL)
+    assert df.count() > 0
+    assert "unigram_familiarity:freqs" in _TRACKED_CACHES
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, plan
+    # exactly one LIVE documents scan (the toks join leg); everything after
+    # the InMemoryRelation marker is the echo of the cached freqs build
+    # plan, not a scan this invocation re-executes — the old uncached shape
+    # printed two live scans and no InMemoryTableScan at all
+    live_part = plan.split("InMemoryRelation")[0]
+    doc_scans = [
+        l for l in live_part.splitlines()
+        if "FileScan parquet" in l and "documents.parquet" in l
+    ]
+    assert len(doc_scans) == 1, plan

@@ -380,6 +380,90 @@ FROM elig
 )
 
 
+def _compaction_replan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-iteration compaction planning — the maintenance-loop
+    invariant `execute_compaction` relies on: merge each planned bin into
+    one file, re-inventory, re-plan. The second plan must keep every
+    merged file that reached the target and only re-queue the bounded
+    straddle/tail remainder (window-bin algebra allows a bin to undershoot
+    when the previous file straddles into its window), so repeated
+    maintenance passes converge instead of churning the same files. Pure
+    inventory algebra on both engines — the FS half of the loop is
+    pytest-covered (`test_execute_compaction_*`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    inv = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_orderkey") % 1000 + 1).cast("bigint").alias("bytes")
+    ).select(
+        F.concat(
+            F.lit("orders/part-"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.lit(".parquet"),
+        ).alias("path"),
+        "bytes",
+    )
+    plan1 = compaction_plan(inv, target_bytes=5000)
+    keeps = plan1.filter(F.col("action") == "keep").select("path", "bytes")
+    merged = (
+        plan1.filter(F.col("action") == "compact")
+        .groupBy("dir", "bin")
+        .agg(F.sum("bytes").cast("bigint").alias("bytes"))
+        .select(
+            F.concat(
+                F.col("dir"),
+                F.lit("/merged-"),
+                F.lpad(F.col("bin").cast("string"), 5, "0"),
+                F.lit(".parquet"),
+            ).alias("path"),
+            "bytes",
+        )
+    )
+    return compaction_plan(keeps.unionByName(merged), target_bytes=5000)
+
+
+_register(
+    "compaction_replan_converges",
+    _compaction_replan,
+    """
+WITH inv AS (
+  SELECT 'orders/part-' || strftime(o_orderdate, '%Y-%m-%d') || '.parquet' AS path,
+         CAST(SUM(o_orderkey % 1000 + 1) AS BIGINT) AS bytes
+  FROM orders GROUP BY o_orderdate
+),
+elig AS (
+  SELECT path, bytes,
+         SUM(bytes) OVER (ORDER BY path
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - bytes AS start
+  FROM inv WHERE bytes < 5000
+),
+merged AS (
+  SELECT 'orders/merged-' || lpad(CAST(CAST(FLOOR(start / 5000) AS BIGINT) AS VARCHAR), 5, '0')
+           || '.parquet' AS path,
+         CAST(SUM(bytes) AS BIGINT) AS bytes
+  FROM elig GROUP BY 1
+),
+inv2 AS (
+  SELECT path, bytes FROM inv WHERE bytes >= 5000
+  UNION ALL
+  SELECT path, bytes FROM merged
+),
+elig2 AS (
+  SELECT path, bytes,
+         SUM(bytes) OVER (ORDER BY path
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - bytes AS start
+  FROM inv2 WHERE bytes < 5000
+)
+SELECT path, bytes, 'orders' AS dir, 'keep' AS action,
+       CAST(NULL AS BIGINT) AS bin
+FROM inv2 WHERE bytes >= 5000
+UNION ALL
+SELECT path, bytes, 'orders', 'compact', CAST(FLOOR(start / 5000) AS BIGINT)
+FROM elig2
+""",
+)
+
+
 def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan column profile of orders (the ANALYZE analog and the cheap
     drift tripwire between full compares). Restricted to integer/string/
@@ -407,6 +491,46 @@ _register(
     _profile_orders,
     "\nUNION ALL".join(
         _profile_col_sql(c)
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+                  "o_orderpriority"]
+    ),
+)
+
+
+def _profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake-scale profiling path graded against its own error contract:
+    ``profile_table(approx=True)`` swaps COUNT(DISTINCT) (a per-column
+    shuffle of every distinct value) for HLL++ sketches (fixed-size
+    map-side state), which is the only affordable shape at 100 TB. HLL
+    estimates are engine-specific so the estimate itself can't be
+    oracle-hashed; what IS cross-checkable is the contract: the estimate
+    must sit within 3× the declared rsd (5% default) of the exact count.
+    The exact side here exists only to grade the sketch — production runs
+    approx alone. A Spark HLL regression flips within_3rsd to false and
+    the entry goes red."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+            "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders")
+    exact = _profile_orders(spark, sf_dir)
+    approx = profile_table(orders, cols, approx=True).select(
+        "column_name", F.col("n_distinct").alias("approx_distinct")
+    )
+    return exact.join(approx, "column_name").select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_distinct"))
+            <= F.lit(0.15) * F.col("n_distinct")
+        ).alias("within_3rsd"),
+    )
+
+
+_register(
+    "profile_orders_approx_bounds",
+    _profile_orders_approx,
+    "\nUNION ALL".join(
+        _profile_col_sql(c).rstrip()[:-len("\nFROM orders")]
+        + ",\n       TRUE AS within_3rsd\nFROM orders"
         for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
                   "o_orderpriority"]
     ),
@@ -1065,6 +1189,64 @@ WITH all_pairs AS (
 )
 SELECT id_a, id_b, jaccard FROM all_pairs
 WHERE id_a < 100000 AND id_b >= 100000
+""",
+)
+
+
+def _neardup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full admission-index lifecycle under one oracle: build on the
+    standing corpus, APPEND an admitted day-1 batch, COMPACT (dedup rows,
+    re-apply the hot-bucket cap, merge append debris — the store's
+    small-file repair), then probe a day-2 batch. The probe must see both
+    the original corpus AND the appended day-1 docs, and compaction must
+    be invisible to results — the oracle is the exact cross-Jaccard
+    between (base ∪ day1) and day2, so a lifecycle step that loses or
+    duplicates index rows goes red. Day batches split the +100k
+    near-copies by original-id parity of the tens digit (%20)."""
+    import tempfile
+
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        append_to_neardup_index,
+        build_neardup_index,
+        compact_neardup_index,
+        query_neardup_index,
+    )
+
+    corpus_all = _near_dup_corpus(spark, sf_dir)
+    base = ensure_min_partitions(corpus_all.filter(F.col("doc_id") < 100_000))
+    day1 = corpus_all.filter(
+        (F.col("doc_id") >= 100_000) & ((F.col("doc_id") - 100_000) % 20 == 3)
+    )
+    day2 = corpus_all.filter(
+        (F.col("doc_id") >= 100_000) & ((F.col("doc_id") - 100_000) % 20 == 13)
+    )
+    path = tempfile.mkdtemp(prefix="ndidx_lc_") + "/index"
+    build_neardup_index(base, path)
+    append_to_neardup_index(day1, path)
+    compact_neardup_index(spark, path)
+    pairs = query_neardup_index(spark, path, day2)
+    # canonical (small, large) id order: a day1-indexed doc can carry a
+    # LARGER id than the day2 probe doc it collides with, and the exact
+    # all-pairs oracle only emits id_a < id_b
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "jaccard",
+    )
+
+
+_register(
+    "neardup_index_lifecycle",
+    _neardup_index_lifecycle,
+    f"""
+WITH all_pairs AS (
+  {_NGRAM_JACCARD_ORACLE.format(corpus=_NEAR_DUP_CTE, nm1=4, threshold=0.8)}
+)
+SELECT id_a, id_b, jaccard FROM all_pairs
+WHERE ((id_a < 100000 OR (id_a - 100000) % 20 = 3)
+       AND id_b >= 100000 AND (id_b - 100000) % 20 = 13)
+   OR (id_a >= 100000 AND (id_a - 100000) % 20 = 13
+       AND id_b >= 100000 AND (id_b - 100000) % 20 = 3)
 """,
 )
 
@@ -3404,14 +3586,23 @@ def _unigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-keyed aggregation — three shuffles, the canonical distributed
     scoring profile; the corpus total is a one-row driver scalar (a scalar
     subquery would constant-fold into the BNLJ shape the registry guardrail
-    forbids)."""
+    forbids), summed from the PERSISTED token-count table rather than a
+    second full explode pass — at 100 TB ``toks.count()`` is a whole extra
+    corpus scan for a number the much smaller ``freqs`` intermediate
+    already holds, and the cache means the scalar job doubles as the
+    materialization the join leg reuses."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
     )
-    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
-    total = toks.count()  # bounded: one scalar
+    freqs = _persist_tracked(
+        "unigram_familiarity:freqs",
+        toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")),
+    )
+    # bounded: one scalar (None only when the corpus has no tokens at all,
+    # in which case the join below is empty and the literal is never used)
+    total = freqs.agg(F.sum("n")).collect()[0][0] or 0
     # floor, not round: the two engines disagree on half-rounding modes;
     # floor of the IEEE-exact division is unambiguous
     q = F.floor(F.col("n").cast("double") / F.lit(float(total)) * 1e9).cast("long")
@@ -4091,72 +4282,74 @@ FROM w GROUP BY window_start
 # oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) every entry whose latest green signal is round 3 (ledger-derived:
-    # 25 entries) — the oldest signals in the registry; the phase-aware
-    # test_registry_order.py::test_window_rotates_stalest_entries enforces
-    # that no signal ever ages past ⌈|registry|/50⌉−1 = 2 rounds
-    "approx_price_quantiles",
-    "asof_purchase_last_signup",
-    "dup_span_docs",
-    "extract_table_from_sql",
-    "json_props_by_type",
-    "lateral_top2_orders_per_customer",
-    "order_priority_counts",
-    "price_quantiles_by_status",
-    "q11_important_part_stock",
-    "q15_top_supplier_by_revenue",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_revenue",
-    "q20_suppliers_of_heavy_parts",
-    "q21_suppliers_with_problem_orders",
-    "q22_idle_rich_customers",
-    "rag_chunk_docs",
-    "range_join_errors_busy_hours",
-    "redact_pii_documents",
-    "repeat_purchase_custkeys",
-    "sketch_daily_users_merged",
-    "string_ops_documents",
-    "yearly_volume_by_nation",
-    "zorder_lineitem_extents",
-    # (b) never-checked: registered this round, need their first signal
-    "multimodal_decode_stats",
-    "weighted_source_mix",
-    "seeded_shuffle_sample",
-    "cms_heavy_hitters",
+    # (a) the full round-4 cohort (ledger-derived: 31 entries whose latest
+    # green signal is r4) — at 128 entries the cadence bound is
+    # ⌈128/50⌉−1 = 2 rounds, so every one of these MUST re-verify this
+    # round; the phase-aware test_registry_order.py rotation test enforces
+    # the bound
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "base64_roundtrip_docs",
+    "cmp_diff_rows_composite_pk",
+    "cmp_summary_incremental",
+    "cmp_summary_orders",
+    "cmp_summary_self",
+    "cube_order_price_stats",
+    "customers_never_finished",
+    "customers_with_both_statuses",
+    "doc_fingerprints",
+    "doc_lang_guess",
+    "doc_quality_scores",
+    "doc_token_counts",
+    "embedding_array_stats",
+    "embedding_neardup_pairs",
+    "event_prop_keys",
+    "event_ts_labels",
+    "grouping_sets_order_counts",
+    "hourly_event_counts",
+    "knn_label_classify_ivf",
+    "latest_event_per_user",
+    "multimodal_frame_samples",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "rollup_quantity_by_flag_status",
+    "running_revenue_per_customer",
+    "salted_lineitem_counts",
+    "sessionize_events",
+    "stale_worklist",
+    "tfidf_top_terms",
+    # (b) never-checked: registered this round, need their first signal —
+    # the admission-index append→compact lifecycle, the second-iteration
+    # compaction-plan convergence invariant, and the HLL profile graded
+    # against its own error contract
+    "neardup_index_lifecycle",
+    "compaction_replan_converges",
+    "profile_orders_approx_bounds",
+    # (c) regression canaries for round-7 changes: the familiarity scalar
+    # now comes from the persisted freqs table, the digitless-tag guard in
+    # the source mix, the conditional probe broadcast in the admission
+    # index, the compaction dest-suffix rework, the profile module feeding
+    # the new approx entry, and the kmeans steady state under driver-host
+    # investigation
     "unigram_familiarity_scores",
+    "weighted_source_mix",
     "neardup_index_admission",
-    "stable_sequential_ids",
-    "cmp_column_drift_orders",
-    "fk_orphan_audit",
     "compaction_plan_bins",
     "profile_orders_columns",
-    # (c) regression canaries for round-6 changes: tracked-persist rebuild
-    # semantics in the near-dup chain, eager-release in cluster resolution
-    # and the final-stats entry, the NULL-priority fix in q12, the
-    # ParquetDataset footer catalog, the Hadoop-FS stream layout probe,
-    # and the kmeans steady-state cost under investigation
-    "q12_priority_line_counts",
-    "dedup_final_corpus_stats",
-    "dedup_cluster_assignments",
-    "embedding_dedup_clusters",
-    "neardup_minhash_lsh",
-    "neardup_ngram_jaccard",
-    "catalog_discovery",
-    "multimodal_binary_meta",
     "kmeans_cluster_sizes",
-    "streaming_hourly_counts",
-    # (d) oldest remaining round-4 signals — the rest of the round-4 cohort
-    # (incl. cmp_summary_incremental and both ann_ivf entries, displaced by
-    # the new cmp_column_drift_orders / fk_orphan_audit /
-    # compaction_plan_bins entries) rotates in round 7 within the age
-    # bound; the cmp_* slots double as canaries for this round's
-    # compare-path refactor
-    "cmp_diff_rows_orders",
-    "cmp_fix_sql_orders",
-    "cmp_reconcile_orders",
-    "cmp_schema_diff_drift",
+    # (d) early rotation of round-5 signals adjacent to this round's
+    # touched code (dedup/near-dup chain, compare tolerance, curation) —
+    # shrinks the 44-entry r5 cohort round 8 must otherwise carry whole
+    "dedup_exact_docs",
+    "dedup_corpus_stats",
+    "neardup_minhash_lsh_capped",
+    "neardup_simhash_pairs",
+    "simhash_docs",
+    "contamination_check",
+    "pack_training_chunks_sharded",
+    "cmp_float_tolerance",
+    "parsed_report_roundtrip",
+    "ann_cosine_topk",
 ]
 
 
