@@ -412,3 +412,32 @@ def test_unigram_familiarity_single_freqs_materialization(spark):
         if "FileScan parquet" in l and "documents.parquet" in l
     ]
     assert len(doc_scans) == 1, plan
+
+
+def test_ensure_min_partitions_size_cap(spark):
+    """With `bytes_per_partition` the spread is proportional to the
+    input's footer-derived size, never past the parallelism cap and never
+    below one partition — a tiny vector table must not fan into
+    sub-overhead tasks (the kmeans driver-host cost was 302 tasks for
+    2,000 rows before this cap)."""
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+    )
+
+    narrow = spark.range(1000).coalesce(1)
+    size = int(narrow._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    assert size > 0
+    # budget bigger than the input: stays at one partition (no spread)
+    assert (
+        ensure_min_partitions(narrow, bytes_per_partition=size * 2) is narrow
+    )
+    # budget of ~1/4 the input: spreads to exactly ceil(size/bpp)
+    spread = ensure_min_partitions(narrow, bytes_per_partition=-(-size // 4))
+    assert 1 < spread.rdd.getNumPartitions() <= 5
+    # cap still wins for minuscule budgets
+    cap = spark.sparkContext.defaultParallelism
+    assert (
+        ensure_min_partitions(narrow, bytes_per_partition=1)
+        .rdd.getNumPartitions()
+        == cap
+    )

@@ -20,10 +20,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def ensure_min_partitions(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    bytes_per_partition: int | None = None,
+) -> DataFrame:
     """Repartition ``df`` up to ``min_partitions`` (default: the session's
-    ``defaultParallelism``) iff it currently has fewer partitions."""
+    ``defaultParallelism``) iff it currently has fewer partitions.
+
+    ``bytes_per_partition`` additionally caps the spread by input size
+    (Catalyst's footer-derived ``sizeInBytes``, free to read): a tiny
+    input stops fanning into tasks smaller than the per-task scheduling +
+    Python-worker overhead. Profiling the k-means entry showed a 2,000-row
+    vector table spread 32 ways costs 302 tasks across 23 stages per
+    invocation with ~60 rows each — pure fixed overhead, and the
+    component that doubles on a contended host. Only cheap-per-row stages
+    (vector GEMM/argmin) should pass this; expensive-per-row stages
+    (string shingling) want the full spread even for small inputs.
+    """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if bytes_per_partition:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        target = max(1, min(target, -(-size // bytes_per_partition)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -61,8 +61,13 @@ def _prep_vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
     # spread single-row-group test inputs so each Lloyd's round's Arrow
-    # argmin runs on every core (no-op on real multi-split corpora)
-    return ensure_min_partitions(corpus).select(
+    # argmin parallelizes (no-op on real multi-split corpora) — size-capped,
+    # because argmin is cheap per row and each Lloyd's round re-pays the
+    # per-task overhead: the flat 32-way spread of a 2,000-row sf0.1 input
+    # cost 302 tasks across 23 stages per invocation, pure scheduling
+    # overhead that doubles under host contention (the r6→r7 driver-host
+    # bench investigation)
+    return ensure_min_partitions(corpus, bytes_per_partition=128 << 10).select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
 

@@ -237,9 +237,11 @@ def ivf_topk(
     )
 
     w = W.Window
-    # spread single-row-group test inputs so the Arrow GEMM stage runs on
-    # every core (no-op on real multi-split corpora)
-    prepped = ensure_min_partitions(corpus).select(
+    # spread single-row-group test inputs so the Arrow GEMM stage
+    # parallelizes — size-capped: GEMM is cheap per row, so a tiny vector
+    # table must not fan into sub-overhead tasks (no-op on real
+    # multi-split corpora)
+    prepped = ensure_min_partitions(corpus, bytes_per_partition=128 << 10).select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
     # the inverted file's coarse quantizer is tiny driver-side state by
