@@ -220,6 +220,16 @@ def main() -> None:
     for name in HEADLINE:
         measure(name, lambda name=name: QUERIES[name](spark, sf_dir).count())
     for name, run in extra_runs.items():
+        # The setup-phase warmup ran MINUTES ago, concurrently with 20 other
+        # warmups — by now the headline measurements have churned the JVM
+        # and page cache, so sample 1 of the largest composite could land
+        # ~1.8x its siblings (r6: 4.41/5.54/8.05 s). One unmeasured pass
+        # immediately before the measured loop gives sample 1 the same
+        # warm footing samples 2-3 already enjoy.
+        try:
+            run()
+        except Exception:
+            pass  # the measured loop will surface the error
         measure(name, run)
     shutil.rmtree(workdir, ignore_errors=True)
 

@@ -507,6 +507,71 @@ def test_decode_media_ppm_real_pixels(spark):
         assert r.thumb == [gray[0, 0], gray[0, 2], gray[1, 0], gray[1, 2]]
 
 
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    _has_pil(),
+    reason="PIL installed: jpeg/png are registered decoders, no error to check",
+)
+def test_decode_media_compressed_codecs_named_gate(spark):
+    """Without Pillow the compressed codecs stay behind the named
+    NotImplementedError seam — same gate pattern as the Avro source."""
+    from tidb_large_table_compare_spark.operators.multimodal import decode_media
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id bigint, payload binary")
+    with pytest.raises(NotImplementedError, match="_DECODERS"):
+        decode_media(df, "png")
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_media(df, "jpeg")
+
+
+@pytest.mark.skipif(
+    not _has_pil(),
+    reason="pip install pillow to exercise the jpeg/png decoders "
+    "(gate documented in README's environment table)",
+)
+def test_decode_media_png_jpeg_via_pillow(spark):
+    """With Pillow present, jpeg/png register in _DECODERS and run through
+    the same Arrow-batched decode_media path: PNG roundtrips losslessly
+    (exact channel means), JPEG decodes with correct dimensions."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    from tidb_large_table_compare_spark.operators.multimodal import decode_media
+
+    arr = np.zeros((4, 6, 3), dtype=np.uint8)
+    arr[..., 0] = np.arange(24).reshape(4, 6) * 10
+    arr[..., 1] = 90
+
+    def enc(fmt: str) -> bytes:
+        buf = BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, format=fmt)
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(enc("PNG")))], "doc_id bigint, payload binary"
+    )
+    r = decode_media(df, "png", thumb_size=2).collect()[0]
+    assert (r.width, r.height, r.n_channels) == (6, 4, 3)
+    assert r.mean_r == float(arr[..., 0].mean())
+    assert r.mean_g == 90.0 and r.mean_b == 0.0
+
+    jdf = spark.createDataFrame(
+        [(2, bytearray(enc("JPEG")))], "doc_id bigint, payload binary"
+    )
+    jr = decode_media(jdf, "jpeg", thumb_size=2).collect()[0]
+    assert (jr.width, jr.height) == (6, 4)  # lossy codec: dims only
+
+
 def test_decode_media_bmp_padding_and_bgr(spark):
     """The BMP decoder honors row padding, bottom-up storage, and BGR
     channel order — the three classic BMP decode mistakes."""

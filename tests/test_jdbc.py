@@ -98,6 +98,144 @@ def test_compare_engine_over_live_jdbc(spark, derby_url):
     assert not row.equivalent
 
 
+def test_jdbc_type_torture_hash_parity(spark, derby_url):
+    """The compare path's actual exposure to a database source: every
+    exotic-typed column must come back from a live JDBC scan with values
+    whose canonical row hashes equal a natively-constructed twin's —
+    DECIMAL at Derby's max precision (31), sub-second TIMESTAMP, padded
+    CHAR, trailing-space VARCHAR, BLOB-mapped binary, REAL/DOUBLE,
+    SMALLINT, BOOLEAN, DATE, and a NULL in every nullable column. A type
+    whose JDBC mapping loses precision, trims padding, or shifts a
+    timestamp flips `equivalent` to False here. TiDB-specific residue the
+    embedded engine cannot model (unsigned BIGINT, zero-dates) stays
+    documented in README's environment-gate table."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from tidb_large_table_compare_spark.operators.compare import compare_tables
+
+    # The table is created and populated SERVER-SIDE (raw JDBC DDL +
+    # literal inserts), exactly like a production database the engine only
+    # reads — this also sidesteps a Spark-writer quirk where setNull on a
+    # pinned CHAR column sends the Derby dialect's CLOB type code.
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    try:
+        try:
+            st.executeUpdate("DROP TABLE T_TYPES")
+        except Exception:
+            pass
+        st.executeUpdate(
+            "CREATE TABLE T_TYPES (pk BIGINT NOT NULL PRIMARY KEY, "
+            "d31 DECIMAL(31,8), d5 DECIMAL(5,2), ts TIMESTAMP, "
+            "ch CHAR(10), vc VARCHAR(50), vb VARCHAR(20) FOR BIT DATA, "
+            "r REAL, db DOUBLE, si SMALLINT, b BOOLEAN, dt DATE)"
+        )
+        st.executeUpdate(
+            "INSERT INTO T_TYPES VALUES ("
+            "1, 12345678901234567890123.45678901, -999.99, "  # 31 digits
+            "TIMESTAMP('2024-01-02 03:04:05.123456'), "
+            "'abc', 'trailing  ', X'0001FE62696E617279', "
+            "1.5, 2.2250738585072014E-308, -32768, TRUE, "
+            "DATE('1999-12-31'))"
+        )
+        st.executeUpdate(
+            "INSERT INTO T_TYPES VALUES ("
+            "2, -0.00000001, 0.01, TIMESTAMP('1970-01-01 00:00:00.001'), "
+            "'無駄無駄', '', X'', "
+            # max finite double: Derby, like MySQL/TiDB, rejects Infinity
+            "-0.0, 1.7976931348623157E308, 0, FALSE, DATE('2038-01-19'))"
+        )
+        st.executeUpdate(
+            "INSERT INTO T_TYPES VALUES (3, NULL, NULL, NULL, NULL, NULL, "
+            "NULL, NULL, NULL, NULL, NULL, NULL)"
+        )
+    finally:
+        st.close()
+        conn.close()
+
+    out = read_jdbc_table(
+        spark, ep=None, database="", table="T_TYPES",
+        url=derby_url, driver=DERBY_DRIVER,
+    )
+    rows = [
+        (
+            1,
+            Decimal("12345678901234567890123.45678901"),
+            Decimal("-999.99"),
+            dt.datetime(2024, 1, 2, 3, 4, 5, 123456),
+            "abc       ",  # CHAR(10): the server pads, the read keeps it
+            "trailing  ",
+            b"\x00\x01\xfebinary",
+            1.5,
+            2.2250738585072014e-308,  # smallest normal double
+            -32768,
+            True,
+            dt.date(1999, 12, 31),
+        ),
+        (
+            2,
+            Decimal("-0.00000001"),
+            Decimal("0.01"),
+            dt.datetime(1970, 1, 1, 0, 0, 0, 1000),
+            "無駄無駄      ",  # multibyte CHAR padding (4 chars + 6 pad)
+            "",
+            b"",
+            -0.0,
+            1.7976931348623157e308,
+            0,
+            False,
+            dt.date(2038, 1, 19),
+        ),
+        (3, None, None, None, None, None, None, None, None, None, None, None),
+    ]
+    src = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("pk", T.LongType(), False),
+                T.StructField("d31", T.DecimalType(31, 8), True),
+                T.StructField("d5", T.DecimalType(5, 2), True),
+                T.StructField("ts", T.TimestampType(), True),
+                T.StructField("ch", T.StringType(), True),
+                T.StructField("vc", T.StringType(), True),
+                T.StructField("vb", T.BinaryType(), True),
+                T.StructField("r", T.FloatType(), True),
+                T.StructField("db", T.DoubleType(), True),
+                T.StructField("si", T.ShortType(), True),
+                T.StructField("b", T.BooleanType(), True),
+                T.StructField("dt", T.DateType(), True),
+            ]
+        ),
+    )
+    # the declared server-side types survive the read
+    dtypes = {k.lower(): v for k, v in out.dtypes}
+    assert dtypes["d31"] == "decimal(31,8)"
+    assert dtypes["d5"] == "decimal(5,2)"
+    assert dtypes["ts"].startswith("timestamp")
+    assert dtypes["vb"] == "binary"
+    # canonical-hash parity: the JDBC scan and the native twin must be
+    # EQUIVALENT under the digest compare (same row_hash per PK). The twin
+    # is cast to the read-back schema first — JDBC legitimately WIDENS
+    # storage classes (Derby SMALLINT comes back as int); what must never
+    # change are the values, which the hash compare checks exactly
+    out_types = {k.lower(): v for k, v in out.dtypes}
+    twin = src.select(
+        *[F.col(c).cast(out_types[c.lower()]).alias(c.upper()) for c in src.columns]
+    )
+    row = compare_tables(
+        spark, out, twin, ["PK"], table_name="derby.types"
+    ).summary().collect()[0]
+    assert row.structure_ok, "JDBC read changed the schema shape"
+    assert row.equivalent, (
+        "JDBC type mapping broke canonical-hash parity: "
+        + str(sorted(map(str, out.collect())))
+    )
+
+
 def test_jdbc_requires_endpoint_or_url(spark):
     with pytest.raises(ValueError):
         read_jdbc_table(spark, None, "db", "t")

@@ -288,6 +288,29 @@ def _resize_nearest(arr, out_h: int, out_w: int):
 _DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp, "qoi": _decode_qoi}
 
 
+def _decode_with_pil(payload: bytes):
+    """Compressed-codec decoder via Pillow — registered only when PIL is
+    importable (same gate pattern as the Avro source): decode to RGB,
+    return the (h, w, 3) uint8 array every other decoder returns."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"), dtype=np.uint8)
+
+
+try:  # pillow-gated: jpeg/png decode for real wherever PIL is installed;
+    # everywhere else decode_media keeps raising its named error for them
+    import PIL.Image  # noqa: F401
+
+    _DECODERS["jpeg"] = _decode_with_pil
+    _DECODERS["png"] = _decode_with_pil
+except ImportError:  # pragma: no cover - environment-dependent
+    pass
+
+
 def decode_media(
     df: DataFrame,
     media_format: str,
