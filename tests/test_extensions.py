@@ -507,18 +507,17 @@ def test_decode_media_ppm_real_pixels(spark):
         assert r.thumb == [gray[0, 0], gray[0, 2], gray[1, 0], gray[1, 2]]
 
 
-def _has_pil() -> bool:
-    try:
-        import PIL  # noqa: F401
+def _pil_codecs_registered() -> bool:
+    # check the PRODUCTION gate (the decoder registry), not a re-probe of
+    # PIL importability — the two must never drift apart in tests
+    from tidb_large_table_compare_spark.operators.multimodal import _DECODERS
 
-        return True
-    except ImportError:
-        return False
+    return "png" in _DECODERS
 
 
 @pytest.mark.skipif(
-    _has_pil(),
-    reason="PIL installed: jpeg/png are registered decoders, no error to check",
+    _pil_codecs_registered(),
+    reason="jpeg/png decoders registered: no gate error to check",
 )
 def test_decode_media_compressed_codecs_named_gate(spark):
     """Without Pillow the compressed codecs stay behind the named
@@ -533,7 +532,7 @@ def test_decode_media_compressed_codecs_named_gate(spark):
 
 
 @pytest.mark.skipif(
-    not _has_pil(),
+    not _pil_codecs_registered(),
     reason="pip install pillow to exercise the jpeg/png decoders "
     "(gate documented in README's environment table)",
 )
@@ -741,18 +740,34 @@ def test_neardup_index_probe_broadcast_is_conditional(spark, tmp_path):
     )
     path = str(tmp_path / "bigbatchidx")
     build_neardup_index(corpus, path)
-    arrivals = spark.createDataFrame(
+    # arrival batches come from files in production — a file-backed batch
+    # has a real Catalyst size estimate for the auto-broadcast decision
+    # (an in-memory LogicalRDD estimates unknown→infinite and lands on the
+    # safe shuffle side, also asserted below)
+    spark.createDataFrame(
         [(101, base_text + "tail tail"), (102, "unrelated novel arrival text " * 8)],
         "doc_id bigint, text string",
-    )
+    ).write.parquet(str(tmp_path / "arrivals"))
+    arrivals = spark.read.parquet(str(tmp_path / "arrivals"))
 
+    sc = spark.sparkContext
+    sc.setLocalProperty("spark.jobGroup.id", "probe-build-lazy")
     small = query_neardup_index(spark, path, arrivals, threshold=0.5)
     big = query_neardup_index(
-        spark, path, arrivals, threshold=0.5, broadcast_max_band_rows=1
+        spark, path, arrivals, threshold=0.5, broadcast_max_batch_bytes=1
     )
-    # auto-resolution: tiny batch broadcasts, over-budget batch does not
+    unknown = query_neardup_index(
+        spark,
+        path,
+        spark.createDataFrame([(103, "x")], "doc_id bigint, text string"),
+        threshold=0.5,
+    )
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    # auto-resolution: tiny file-backed batch broadcasts; over-budget and
+    # unknown-size batches do not
     assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in big._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in unknown._jdf.queryExecution().analyzed().toString()
     want = {(1, 101)}
     assert {(r.id_a, r.id_b) for r in small.collect()} == want
     assert {(r.id_a, r.id_b) for r in big.collect()} == want

@@ -54,9 +54,21 @@ def test_weighted_source_mix_digitless_tag_agrees(spark, tmp_path):
     pq.write_table(  # single file, readable by both engines
         pa.table(
             {
-                "doc_id": pa.array([1, 2, 3], pa.int64()),
-                "source": ["src0", "wiki", "src9"],  # "wiki": digitless tag
-                "text": ["alpha beta gamma", "delta epsilon", "zeta eta theta"],
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "source": [
+                    "src0",
+                    "wiki",  # digitless tag
+                    "src9",
+                    "src50000000",  # would overflow 45*int32
+                    "src99999999999999999999",  # exceeds bigint: counts as 0
+                ],
+                "text": [
+                    "alpha beta gamma",
+                    "delta epsilon",
+                    "zeta eta theta",
+                    "iota kappa",
+                    "lambda mu nu",
+                ],
             }
         ),
         str(sf / "documents.parquet"),
@@ -73,4 +85,11 @@ def test_weighted_source_mix_digitless_tag_agrees(spark, tmp_path):
         r.source: r.keep_permille
         for r in QUERIES["weighted_source_mix"](spark, str(sf)).collect()
     }
-    assert out["wiki"] == 1000  # untagged source counts as source 0: keep all
+    assert out.get("wiki") == 1000  # untagged source counts as 0: keep all
+    # huge tags clamp at the rate floor (src>=20 all keep 10%) instead of
+    # overflowing the 45*src_num multiply; beyond-bigint digits TRY_CAST to
+    # NULL and degrade to the same source-0 default as digitless tags
+    if "src50000000" in out:
+        assert out["src50000000"] == 100
+    if "src99999999999999999999" in out:
+        assert out["src99999999999999999999"] == 1000

@@ -124,7 +124,7 @@ def query_neardup_index(
     n_bands: int = 32,
     threshold: float = 0.8,
     broadcast_batch: bool | None = None,
-    broadcast_max_band_rows: int = 2_000_000,
+    broadcast_max_batch_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Near-dups between an arriving batch and the indexed corpus:
     (id_a = corpus doc, id_b = new doc, jaccard ≥ threshold).
@@ -135,9 +135,13 @@ def query_neardup_index(
     doc with no colliding bucket costs one join probe, nothing more.
 
     The batch side is broadcast only when it is actually small: with
-    ``broadcast_batch=None`` a bounded ``limit(k+1).count()`` probe (never
-    a full batch count) checks whether the batch's exploded band table
-    would stay under ``broadcast_max_band_rows``; an oversized admission
+    ``broadcast_batch=None`` the decision reads Catalyst's estimated size
+    of the batch plan (footer-derived for file sources, an upper-bound
+    estimate otherwise — zero jobs launched, the API stays fully lazy; an
+    unknown size estimates effectively-infinite and lands on the safe
+    shuffle side). The batch's TEXT bytes dominate its band-table bytes
+    (~32 longs/doc), so comparing the batch estimate against
+    ``broadcast_max_batch_bytes`` is conservative. An oversized admission
     batch falls through to a shuffle join instead of force-broadcasting
     ``batch_rows × n_bands`` rows into every executor. Pass ``True`` /
     ``False`` to pin the strategy explicitly.
@@ -147,10 +151,10 @@ def query_neardup_index(
     new_bands = signature_band_buckets(new_sigs, id_col, n_hashes, n_bands)
 
     if broadcast_batch is None:
-        max_docs = max(1, broadcast_max_band_rows // n_bands)
-        broadcast_batch = (
-            new_docs.select(id_col).limit(max_docs + 1).count() <= max_docs
+        est = int(
+            new_docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+        broadcast_batch = est <= broadcast_max_batch_bytes
     probe = new_bands.withColumnRenamed(id_col, "id_b")
     if broadcast_batch:
         probe = F.broadcast(probe)

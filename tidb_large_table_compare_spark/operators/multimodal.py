@@ -291,11 +291,24 @@ _DECODERS = {"ppm": _decode_ppm, "bmp": _decode_bmp, "qoi": _decode_qoi}
 def _decode_with_pil(payload: bytes):
     """Compressed-codec decoder via Pillow — registered only when PIL is
     importable (same gate pattern as the Avro source): decode to RGB,
-    return the (h, w, 3) uint8 array every other decoder returns."""
+    return the (h, w, 3) uint8 array every other decoder returns.
+
+    The registration gate runs on the DRIVER but this body runs in
+    executor tasks — a driver-only Pillow install would otherwise surface
+    as an opaque mid-job ImportError, so the import failure is re-raised
+    with the gate's name on it."""
     from io import BytesIO
 
     import numpy as np
-    from PIL import Image
+
+    try:
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - cluster-env dependent
+        raise RuntimeError(
+            "Pillow is importable on the driver (which registered the "
+            "jpeg/png decoders in _DECODERS) but not on this executor — "
+            "install pillow on every node or pin the decoder set explicitly"
+        ) from exc
 
     with Image.open(BytesIO(payload)) as img:
         return np.asarray(img.convert("RGB"), dtype=np.uint8)

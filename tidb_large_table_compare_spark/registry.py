@@ -3488,10 +3488,21 @@ def _weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output is one row per source.
     """
     docs = load_table(spark, sf_dir, "documents")
-    src_num = F.coalesce(
-        F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast("int"), F.lit(0)
+    # bigint + clamp: an int32 src_num would overflow 45*src_num for tags
+    # above ~47.7M (ANSI Spark throws, DuckDB errors), and even bigint
+    # overflows for ~19-digit tags — but the rate floors at 10% from
+    # source 20 on, so clamping there makes EVERY digit string (any
+    # length) behave uniformly on both engines instead of crash-vs-drop
+    src_num = F.least(
+        F.coalesce(
+            F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(20).cast("bigint"),
     )
-    keep_permille = F.greatest(F.lit(100), F.lit(1000) - F.lit(45) * src_num)
+    keep_permille = F.greatest(
+        F.lit(100).cast("bigint"), F.lit(1000) - F.lit(45) * src_num
+    )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long"),
@@ -3515,8 +3526,8 @@ _register(
     f"""
 WITH rated AS (
   SELECT source,
-         GREATEST(100, 1000 - 45 * COALESCE(
-             TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INTEGER), 0))
+         GREATEST(100, 1000 - 45 * LEAST(COALESCE(
+             TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0), 20))
            AS keep_permille,
          ({_MD5_60_DOCID_SQL}) % 1000 AS bucket,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
