@@ -447,3 +447,32 @@ def test_cli_profile_prints_both_sides(spark, tmp_path, capsys):
                      if " right o_orderkey " in l)
     assert "rows=1500" in left_key and "nulls=0" in left_key
     assert "rows=1470" in right_key  # 30 deleted rows show up immediately
+
+
+def test_cli_profile_approx_uses_hll(spark, tmp_path, capsys):
+    """--profile-approx prints the same report shape with HLL distinct
+    counts ('profile~' lines) — exact rows/nulls, sketched cardinality
+    within the error contract."""
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.write.parquet(str(slave_dir / "orders.parquet"))
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--profile-approx",
+        ]
+    )
+    assert code == 0
+    lines = [l for l in capsys.readouterr().out.splitlines()
+             if l.startswith("profile~ ")]
+    assert len(lines) == 2 * len(orders.columns)
+    key = next(l for l in lines if " left o_orderkey " in l)
+    assert "rows=1500" in key and "nulls=0" in key
+    est = int(next(p for p in key.split() if p.startswith("distinct=")).split("=")[1])
+    assert abs(est - 1500) <= 0.15 * 1500  # 3x default rsd

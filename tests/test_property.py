@@ -510,3 +510,80 @@ def test_compaction_plan_partition_invariants(spark, sizes, target):
             if b != last:
                 assert prefix >= (b + 1) * target
             assert by_bin[b] < 2 * target
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    dirs=st.sets(
+        st.lists(
+            st.sampled_from(["lake", "t1", "t2", "date=2020-01-01", "p 1", "a:b"]),
+            min_size=1,
+            max_size=4,
+        ).map(lambda cs: "/" + "/".join(cs)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_dest_suffixes_always_collision_free(dirs):
+    """For ANY set of distinct source dirs the dest suffixes are pairwise
+    distinct (or the function refuses loudly), never empty, and built only
+    from filesystem-safe characters — the invariant that makes
+    execute_compaction's output tree collision-free."""
+    from tidb_large_table_compare_spark.operators.compaction import _dest_suffixes
+
+    try:
+        out = _dest_suffixes(sorted(dirs))
+    except ValueError:
+        return  # refusing loudly is the documented fallback, never silent
+    assert set(out) == dirs
+    assert len(set(out.values())) == len(dirs)
+    for sfx in out.values():
+        assert sfx
+        assert all(c.isalnum() or c in "._=-/" for c in sfx)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=40),
+    target=st.integers(min_value=50, max_value=300),
+)
+def test_compaction_replan_converges_generally(spark, sizes, target):
+    """The maintenance-loop invariant behind `compaction_replan_converges`,
+    for ANY inventory: merge each planned bin into one file, re-plan, and
+    (a) every merged file that reached the target is kept, (b) the number
+    of under-target files strictly shrinks whenever any bin merged >1 file,
+    so repeated passes reach a fixed point instead of churning."""
+    from pyspark.sql import functions as F
+
+    from tidb_large_table_compare_spark.operators.compaction import compaction_plan
+
+    inv = spark.createDataFrame(
+        [(f"t/{i:04d}.parquet", b) for i, b in enumerate(sizes)],
+        "path string, bytes bigint",
+    )
+    plan1 = compaction_plan(inv, target).collect()
+    keeps = [(r.path, r.bytes) for r in plan1 if r.action == "keep"]
+    by_bin: dict[int, int] = {}
+    n_files_per_bin: dict[int, int] = {}
+    for r in plan1:
+        if r.action == "compact":
+            by_bin[r.bin] = by_bin.get(r.bin, 0) + r.bytes
+            n_files_per_bin[r.bin] = n_files_per_bin.get(r.bin, 0) + 1
+    merged = [(f"t/merged-{b:05d}.parquet", s) for b, s in sorted(by_bin.items())]
+    inv2 = spark.createDataFrame(keeps + merged, "path string, bytes bigint")
+    plan2 = compaction_plan(inv2, target).collect()
+
+    merged_paths = {p for p, _ in merged}
+    for r in plan2:
+        if r.path in merged_paths and r.bytes >= target:
+            assert r.action == "keep"
+    under1 = sum(1 for r in plan1 if r.action == "compact")
+    under2 = sum(1 for r in plan2 if r.action == "compact")
+    if any(n > 1 for n in n_files_per_bin.values()):
+        assert under2 < under1
+    else:
+        assert under2 <= under1

@@ -78,6 +78,11 @@ def _parse_args(argv: list[str] | None):
                    help="print per-column stats (rows/nulls/distinct/min/"
                         "max) for both sides of every compared table — the "
                         "cheap drift tripwire before a full compare")
+    p.add_argument("--profile-approx", action="store_true",
+                   help="like --profile but distinct counts use HLL "
+                        "sketches (fixed-size map-side state instead of a "
+                        "per-column distinct shuffle) — the only affordable "
+                        "profile at lake scale; counts are ±~2%%")
     p.add_argument("--fk", action="append", default=[], metavar="SPEC",
                    help="referential-integrity audit of the RIGHT (slave) "
                         "side: child.fk_col=parent.pk_col (repeatable; "
@@ -283,16 +288,17 @@ def _run(args) -> int:
 
     # per-column profiles of both sides — the ANALYZE-style first look and
     # the cheap drift tripwire (a diverging profile is a one-screen signal)
-    if args.profile:
+    if args.profile or args.profile_approx:
         from tidb_large_table_compare_spark.operators.profile import (
             profile_table,
         )
 
+        tag = "profile~" if args.profile_approx else "profile"
         for job in jobs:
             for side, frame in (("left", job.left), ("right", job.right)):
-                for r in profile_table(frame).collect():
+                for r in profile_table(frame, approx=args.profile_approx).collect():
                     print(
-                        f"profile {job.table} {side} {r.column_name} "
+                        f"{tag} {job.table} {side} {r.column_name} "
                         f"rows={r.n_rows} nulls={r.n_nulls} "
                         f"distinct={r.n_distinct} "
                         f"min={r.min_value} max={r.max_value}"
