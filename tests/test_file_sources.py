@@ -440,3 +440,42 @@ def test_dest_suffixes_no_common_root_and_single_dir():
     m = _dest_suffixes(["/lake/orders/d=1", "/lake/lineitem/d=1"])
     assert m["/lake/orders/d=1"] == "orders/d=1"
     assert m["/lake/lineitem/d=1"] == "lineitem/d=1"
+
+
+def test_maintenance_cli_plan_and_execute(spark, tmp_path, capsys):
+    """The maintenance CLI inventories a tree, prints the per-directory
+    plan summary, writes the plan parquet, and executes bins losslessly."""
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    for table, lo, hi in (("orders", 0, 100), ("lineitem", 1000, 1100)):
+        spark.range(lo, hi).repartition(4).write.parquet(
+            str(tmp_path / "lake" / table)
+        )
+    code = main(
+        [
+            "--dir", str(tmp_path / "lake"),
+            "--target-bytes", str(1 << 30),
+            "--plan-out", str(tmp_path / "plan"),
+            "--execute-out", str(tmp_path / "compacted"),
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    plan_lines = [l for l in out.splitlines() if l.startswith("plan ")]
+    assert sum("compact" in l for l in plan_lines) == 2  # one per table dir
+    exec_line = next(l for l in out.splitlines() if l.startswith("execute "))
+    import json as _json
+
+    manifest = _json.loads(exec_line[len("execute "):])
+    assert manifest["files_merged"] == 8 and manifest["bins"] == 2
+    merged = spark.read.parquet(*manifest["outputs"])
+    assert merged.count() == 200
+    # the written plan is re-readable and complete
+    assert spark.read.parquet(str(tmp_path / "plan")).count() == 8
+
+
+def test_maintenance_cli_rejects_bad_target(capsys):
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    assert main(["--dir", "/nonexistent", "--target-bytes", "0"]) == 2
+    assert "--target-bytes" in capsys.readouterr().err

@@ -1,0 +1,122 @@
+"""CLI for lake maintenance: small-file compaction over parquet datasets.
+
+The operational counterpart of `cli.py` (compare) and `curate_cli.py`
+(curation): inventory a directory tree, plan compaction bins per
+directory (`operators/compaction.py` — pure metadata algebra, oracle-
+checked as `compaction_plan_bins` / `compaction_replan_converges`), and
+optionally execute the plan into a mirror tree of merged files.
+
+Usage:
+  # plan only: print per-directory bin summary, write the plan as parquet
+  python -m tidb_large_table_compare_spark.maintenance_cli \
+      --dir /data/lake --target-bytes 134217728 [--plan-out /data/plan]
+
+  # plan + execute: merged files land under --execute-out, one per bin,
+  # mirroring each source directory relative to the inventory root;
+  # sources are only read (swap-in is a separate, deliberate step — see
+  # `execute_compaction`'s docstring for the rename protocol)
+  ... maintenance_cli --dir /data/lake --target-bytes 134217728 \
+      --execute-out /data/lake_compacted
+
+Exit code 0 on success; 2 on argument errors. A run lock keyed on the
+target directory refuses concurrent maintenance of the same tree.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import sys
+import tempfile
+
+from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
+from tidb_large_table_compare_spark.session import get_spark
+
+
+def _parse_args(argv: list[str] | None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dir", required=True,
+                   help="root directory to inventory (recursive)")
+    p.add_argument("--target-bytes", type=int, default=128 << 20,
+                   help="compaction bin target (default 128 MiB — one "
+                        "healthy parquet file per bin)")
+    p.add_argument("--no-recursive", action="store_true",
+                   help="inventory only the top-level directory")
+    p.add_argument("--plan-out", default=None,
+                   help="write the full plan (path, bytes, dir, action, "
+                        "bin) as parquet here")
+    p.add_argument("--execute-out", default=None,
+                   help="execute the plan: one merged file per bin under "
+                        "this directory (sources are only read)")
+    p.add_argument("--lock-file", default=None,
+                   help="run-lock path (default: keyed on --dir under the "
+                        "system temp dir)")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _parse_args(argv)
+    if args.target_bytes <= 0:
+        print("error: --target-bytes must be positive", file=sys.stderr)
+        return 2
+
+    lock_path = args.lock_file or (
+        tempfile.gettempdir()
+        + "/spark_maintenance_"
+        + hashlib.md5(args.dir.encode()).hexdigest()[:12]
+        + ".lock"
+    )
+    try:
+        with RunLock(lock_path):
+            return _run(args)
+    except LockHeld as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        return 1
+
+
+def _run(args) -> int:
+    from pyspark.sql import functions as F
+
+    from tidb_large_table_compare_spark.operators.compaction import (
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+    )
+
+    spark = get_spark("maintenance")
+    inv = file_inventory(spark, args.dir, recursive=not args.no_recursive)
+    plan = compaction_plan(inv, args.target_bytes).persist()
+    try:
+        summary = (
+            plan.groupBy("dir", "action")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("bytes").alias("bytes"),
+                F.count_distinct("bin").alias("n_bins"),
+            )
+            .orderBy("dir", "action")
+            .collect()
+        )
+        if not summary:
+            print(f"plan: no parquet files under {args.dir}")
+            return 0
+        for r in summary:
+            bins = f" bins={r.n_bins}" if r.action == "compact" else ""
+            print(
+                f"plan {r.dir} {r.action} files={r.n_files} "
+                f"bytes={r.bytes if r.bytes is not None else 0}{bins}"
+            )
+        if args.plan_out:
+            plan.write.mode("overwrite").parquet(args.plan_out)
+            print(f"plan written to {args.plan_out}")
+        if args.execute_out:
+            manifest = execute_compaction(spark, plan, args.execute_out)
+            print("execute " + json.dumps(manifest))
+    finally:
+        plan.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
