@@ -959,6 +959,24 @@ def test_profile_table_is_single_scan(spark):
     assert plan.count("Scan parquet") == 1
 
 
+def test_profile_table_approx_is_sketch_only(spark):
+    """The approx=True path — the only affordable profile at lake scale —
+    must keep the single scan AND drop the Expand node the exact
+    per-column COUNT(DISTINCT) plan needs (k row-groups map-side): HLL
+    sketches aggregate in fixed-size state with no expansion."""
+    from tidb_large_table_compare_spark.operators.profile import profile_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    cols = ["o_orderkey", "o_orderstatus", "o_custkey"]
+    exact = profile_table(df, cols)._jdf.queryExecution().executedPlan().toString()
+    approx = profile_table(df, cols, approx=True)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in exact  # the exact plan's multi-distinct expansion...
+    assert "Expand" not in plan  # ...is gone on the sketch path
+    assert "approx_count_distinct" in plan
+
+
 def test_profile_table_map_column_uses_canonical_form(spark):
     from tidb_large_table_compare_spark.operators.profile import profile_table
 

@@ -144,7 +144,7 @@ def file_inventory(
 
 
 def execute_compaction(
-    spark: SparkSession, plan: DataFrame, out_dir: str
+    spark: SparkSession, plan: DataFrame, out_dir: str, parallelism: int = 8
 ) -> dict:
     """Materialize a :func:`compaction_plan`: one merged parquet file per
     (directory, bin) under ``out_dir``, mirroring each source directory by
@@ -158,10 +158,18 @@ def execute_compaction(
     ``dedup_index.compact_neardup_index`` and applies verbatim. 'keep' and
     'unknown' rows are untouched and reported in the manifest.
 
-    Each bin is one small job (read its few files, coalesce(1), write);
-    bins are independent, so a maintenance scheduler can shard the plan
-    frame and run directories in parallel.
+    Each bin is one small job (read its few files, coalesce(1), write).
+    Bins are independent, so up to ``parallelism`` of them run as
+    CONCURRENT Spark jobs (submission is thread-safe; each coalesce(1) job
+    occupies one task slot, so a serial driver loop would leave the
+    cluster idle — with thousands of bins on a real lake the driver loop,
+    not the data, is otherwise the bottleneck). A bin that fails does not
+    stop the others; failures are re-raised together after the loop so a
+    partial maintenance run is visible, resumable (outputs are
+    idempotent overwrites), and never silently half-reported.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     rows = plan.collect()  # metadata-sized: one row per file
     by_bin: dict[tuple[str, int], list[str]] = {}
     kept = skipped = 0
@@ -175,12 +183,34 @@ def execute_compaction(
     manifest: dict = {"bins": 0, "files_merged": 0, "kept": kept,
                       "unknown": skipped, "outputs": []}
     suffixes = _dest_suffixes(sorted({d for d, _ in by_bin}))
-    for (src_dir, bin_id), paths in sorted(by_bin.items()):
+
+    def _merge(item: tuple[tuple[str, int], list[str]]) -> tuple[str, int]:
+        (src_dir, bin_id), paths = item
         dest = f"{out_dir}/{suffixes[src_dir]}/bin={bin_id:05d}"
         spark.read.parquet(*paths).coalesce(1).write.mode(
             "overwrite"
         ).parquet(dest)
-        manifest["bins"] += 1
-        manifest["files_merged"] += len(paths)
-        manifest["outputs"].append(dest)
+        return dest, len(paths)
+
+    items = sorted(by_bin.items())
+    failures: list[str] = []
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+        futures = [(key, pool.submit(_merge, (key, paths)))
+                   for key, paths in items]
+        for (src_dir, bin_id), fut in futures:
+            try:
+                dest, n = fut.result()
+            except Exception as exc:
+                failures.append(f"{src_dir} bin={bin_id}: {exc}")
+                continue
+            manifest["bins"] += 1
+            manifest["files_merged"] += n
+            manifest["outputs"].append(dest)
+    manifest["outputs"].sort()
+    if failures:
+        raise RuntimeError(
+            f"{len(failures)}/{len(items)} compaction bins failed "
+            f"({manifest['bins']} succeeded; outputs are idempotent — "
+            f"re-run to resume): " + "; ".join(failures[:5])
+        )
     return manifest
