@@ -750,19 +750,22 @@ def test_neardup_index_probe_broadcast_is_conditional(spark, tmp_path):
     ).write.parquet(str(tmp_path / "arrivals"))
     arrivals = spark.read.parquet(str(tmp_path / "arrivals"))
 
-    sc = spark.sparkContext
-    sc.setLocalProperty("spark.jobGroup.id", "probe-build-lazy")
-    small = query_neardup_index(spark, path, arrivals, threshold=0.5)
+    # verify_pushdown_max_ids=0 keeps candidate generation IN the plan so
+    # the broadcast-vs-shuffle resolution is visible in the analyzed tree
+    small = query_neardup_index(
+        spark, path, arrivals, threshold=0.5, verify_pushdown_max_ids=0
+    )
     big = query_neardup_index(
-        spark, path, arrivals, threshold=0.5, broadcast_max_batch_bytes=1
+        spark, path, arrivals, threshold=0.5, broadcast_max_batch_bytes=1,
+        verify_pushdown_max_ids=0,
     )
     unknown = query_neardup_index(
         spark,
         path,
         spark.createDataFrame([(103, "x")], "doc_id bigint, text string"),
         threshold=0.5,
+        verify_pushdown_max_ids=0,
     )
-    sc.setLocalProperty("spark.jobGroup.id", None)
     # auto-resolution: tiny file-backed batch broadcasts; over-budget and
     # unknown-size batches do not
     assert "ResolvedHint" in small._jdf.queryExecution().analyzed().toString()

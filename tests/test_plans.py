@@ -441,3 +441,64 @@ def test_ensure_min_partitions_size_cap(spark):
         .rdd.getNumPartitions()
         == cap
     )
+
+
+def test_admission_probe_scans_bands_not_corpus_text(spark, tmp_path):
+    """The probe's scale contract: candidate generation reads ONLY the
+    persisted band table (32 longs/doc, ~1/400th of corpus bytes); the
+    stored shingle sets appear once, in the verification join; corpus TEXT
+    is never read at all. Plan-asserted so a refactor can't silently turn
+    a probe back into a corpus scan."""
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words " * 3) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "probeidx")
+    build_neardup_index(corpus, path)
+    spark.createDataFrame(
+        [(101, "doc number 7 with some shared words " * 3)],
+        "doc_id bigint, text string",
+    ).write.parquet(str(tmp_path / "batch"))
+    batch = spark.read.parquet(str(tmp_path / "batch"))
+
+    def scan_lines(plan: str) -> list[str]:
+        # plan toString truncates Location paths, so scans are identified
+        # by their (stable) column signatures instead
+        return [l for l in plan.splitlines() if "FileScan parquet" in l]
+
+    # pushdown path (forced on — at test scale the store is far below the
+    # adaptive size floor): candidate generation ran eagerly into the
+    # checkpoint, and BOTH stored-shingle scans carry the pushed
+    # candidate-id IN filter, so parquet row-group stats bound verify IO
+    # by the candidate set, not the corpus (docs/ is written id-clustered
+    # for exactly this)
+    pushed = scan_lines(
+        _plan(
+            query_neardup_index(
+                spark, path, batch, threshold=0.5,
+                verify_pushdown_min_store_bytes=0,
+            )
+        )
+    )
+    docs = [l for l in pushed if "shingles#" in l]
+    assert 1 <= len(docs) <= 2
+    for l in docs:
+        assert "In(doc_id" in l, l
+    # corpus text is never read: the only text scans are the batch itself
+    # (signature leg + verify-union leg), never per-band
+    assert 1 <= len([l for l in pushed if "text#" in l]) <= 2
+
+    # lazy path (the default at this store size): candidate generation
+    # stays in-plan — the band table scans exactly once and corpus text
+    # still never appears
+    lazy = scan_lines(
+        _plan(query_neardup_index(spark, path, batch, threshold=0.5))
+    )
+    assert len([l for l in lazy if "band#" in l and "bucket#" in l]) == 1
+    # batch text: signature leg + the verify-union on each pair side
+    assert 1 <= len([l for l in lazy if "text#" in l]) <= 3

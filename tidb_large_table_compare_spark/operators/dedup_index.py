@@ -77,7 +77,11 @@ def build_neardup_index(
     that append to it (append new docs' rows; compact occasionally).
     """
     shingles = _shingle_sets(corpus, id_col, text_col, shingle_n)
-    shingles.write.mode("overwrite").parquet(f"{path}/docs")
+    # range-cluster by id: every row group covers a narrow id range, so
+    # the probe's verify-scan IN-list pushdown prunes via min/max stats
+    shingles.sortWithinPartitions(id_col).write.mode("overwrite").parquet(
+        f"{path}/docs"
+    )
     spark = corpus.sparkSession
     stored = spark.read.parquet(f"{path}/docs")  # reuse the written shingles
     sigs = minhash_signature_oph_np(stored, id_col, n_hashes=n_hashes)
@@ -107,7 +111,10 @@ def append_to_neardup_index(
     periodically to re-apply it and merge the accumulated append files.
     """
     shingles = _shingle_sets(corpus_batch, id_col, text_col, shingle_n)
-    shingles.write.mode("append").parquet(f"{path}/docs")
+    # appended files keep the same id clustering the build wrote
+    shingles.sortWithinPartitions(id_col).write.mode("append").parquet(
+        f"{path}/docs"
+    )
     sigs = minhash_signature_oph_np(shingles, id_col, n_hashes=n_hashes)
     bands = signature_band_buckets(sigs, id_col, n_hashes, n_bands)
     bands.write.mode("append").parquet(f"{path}/bands")
@@ -125,6 +132,8 @@ def query_neardup_index(
     threshold: float = 0.8,
     broadcast_batch: bool | None = None,
     broadcast_max_batch_bytes: int = 64 << 20,
+    verify_pushdown_max_ids: int = 50_000,
+    verify_pushdown_min_store_bytes: int = 256 << 20,
 ) -> DataFrame:
     """Near-dups between an arriving batch and the indexed corpus:
     (id_a = corpus doc, id_b = new doc, jaccard ≥ threshold).
@@ -137,14 +146,37 @@ def query_neardup_index(
     The batch side is broadcast only when it is actually small: with
     ``broadcast_batch=None`` the decision reads Catalyst's estimated size
     of the batch plan (footer-derived for file sources, an upper-bound
-    estimate otherwise — zero jobs launched, the API stays fully lazy; an
-    unknown size estimates effectively-infinite and lands on the safe
-    shuffle side). The batch's TEXT bytes dominate its band-table bytes
-    (~32 longs/doc), so comparing the batch estimate against
-    ``broadcast_max_batch_bytes`` is conservative. An oversized admission
-    batch falls through to a shuffle join instead of force-broadcasting
-    ``batch_rows × n_bands`` rows into every executor. Pass ``True`` /
-    ``False`` to pin the strategy explicitly.
+    estimate otherwise — zero extra jobs; an unknown size estimates
+    effectively-infinite and lands on the safe shuffle side). The batch's
+    TEXT bytes dominate its band-table bytes (~32 longs/doc), so comparing
+    the batch estimate against ``broadcast_max_batch_bytes`` is
+    conservative. An oversized admission batch falls through to a shuffle
+    join instead of force-broadcasting ``batch_rows × n_bands`` rows into
+    every executor. Pass ``True`` / ``False`` to pin the strategy.
+
+    **Verify-scan pushdown** (the probe's dominant IO term): the exact-
+    Jaccard verification joins the stored shingle table on BOTH pair
+    sides, and that store is roughly corpus-token-sized — left as plain
+    joins, a probe would scan it twice end to end no matter how small the
+    batch. Same problem, same cure as the compare drill-down
+    (``operators/compare.py``): the bounded candidate set is materialized
+    once (an eager ``localCheckpoint`` of O(batch × collisions) id
+    pairs — this is the one part of the probe that executes at build
+    time), and when it holds ≤ ``verify_pushdown_max_ids`` distinct
+    corpus ids, the stored-shingle scan gets a ``doc_id IN (...)``
+    predicate that parquet row-group stats can prune — the build and
+    compaction paths write ``docs/`` range-clustered by id exactly so
+    those stats are tight. Verify IO then scales with the candidate set,
+    not the corpus.
+
+    The pushdown engages only when the stored-shingle table is at least
+    ``verify_pushdown_min_store_bytes`` (footer-derived estimate, free):
+    measured at a 55k-doc store the checkpoint+collect overhead costs
+    ~0.25 s while the double scan it avoids is ~40 MB — a wash — so small
+    stores keep the fully-lazy plain join, and the pushdown switches on
+    where its savings are real (a store big enough that two end-to-end
+    scans dominate). Above the id cap (or with
+    ``verify_pushdown_max_ids=0``) the probe likewise stays lazy.
     """
     new_shingles = _shingle_sets(new_docs, id_col, text_col, shingle_n)
     new_sigs = minhash_signature_oph_np(new_shingles, id_col, n_hashes=n_hashes)
@@ -165,6 +197,22 @@ def query_neardup_index(
         .distinct()
     )
     idx_docs = spark.read.parquet(f"{path}/docs")
+    store_bytes = int(
+        idx_docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if verify_pushdown_max_ids > 0 and store_bytes >= verify_pushdown_min_store_bytes:
+        # small by construction (hot buckets are capped at build time);
+        # checkpointing also keeps candidate generation single-execution
+        cands = cands.localCheckpoint(eager=True)
+        corpus_ids = [
+            r[0]
+            for r in cands.select("id_a")
+            .distinct()
+            .limit(verify_pushdown_max_ids + 1)
+            .collect()
+        ]
+        if len(corpus_ids) <= verify_pushdown_max_ids:
+            idx_docs = idx_docs.filter(F.col(id_col).isin(corpus_ids))
     verify_sets = idx_docs.unionByName(new_shingles)
     return jaccard_verified_pairs(cands, verify_sets, id_col, threshold)
 
@@ -240,7 +288,16 @@ def compact_neardup_index(
         )
         n_files = max(1, -(-int(bytes_before) // target_file_bytes))
         side = f"{path}/{sub}.compacting"
-        df.repartition(n_files).write.mode("overwrite").parquet(side)
+        if sub == "docs":
+            # restore the id range-clustering the probe's verify-scan
+            # pushdown relies on (appends interleave id ranges over time);
+            # the id column is whatever the build used — the one that
+            # isn't the shingle payload
+            id_c = next(c for c in df.columns if c != "shingles")
+            df = df.repartitionByRange(n_files, id_c).sortWithinPartitions(id_c)
+        else:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(side)
         rows = spark.read.parquet(side).count()
         _, jside = _hadoop_fs(spark, side)
         old = f"{path}/{sub}.old"
