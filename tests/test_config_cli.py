@@ -476,3 +476,26 @@ def test_cli_profile_approx_uses_hll(spark, tmp_path, capsys):
     assert "rows=1500" in key and "nulls=0" in key
     est = int(next(p for p in key.split() if p.startswith("distinct=")).split("=")[1])
     assert abs(est - 1500) <= 0.15 * 1500  # 3x default rsd
+
+
+def test_cli_profile_both_flags_print_both_reports(spark, tmp_path, capsys):
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.write.parquet(str(slave_dir / "orders.parquet"))
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--profile", "--profile-approx",
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out.splitlines()
+    n_cols = len(orders.columns)
+    assert len([l for l in out if l.startswith("profile ")]) == 2 * n_cols
+    assert len([l for l in out if l.startswith("profile~ ")]) == 2 * n_cols

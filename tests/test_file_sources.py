@@ -479,3 +479,21 @@ def test_maintenance_cli_rejects_bad_target(capsys):
 
     assert main(["--dir", "/nonexistent", "--target-bytes", "0"]) == 2
     assert "--target-bytes" in capsys.readouterr().err
+
+
+def test_maintenance_cli_empty_inventory_still_writes_plan(spark, tmp_path, capsys):
+    """A requested --plan-out must exist (zero rows) even when the tree
+    holds no parquet — a scheduler reading it back should see an empty
+    dataset, not a missing path after exit code 0."""
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    (tmp_path / "empty_lake").mkdir()
+    code = main(
+        [
+            "--dir", str(tmp_path / "empty_lake"),
+            "--plan-out", str(tmp_path / "plan"),
+        ]
+    )
+    assert code == 0
+    assert "no parquet files" in capsys.readouterr().out
+    assert spark.read.parquet(str(tmp_path / "plan")).count() == 0

@@ -51,10 +51,13 @@ def test_weighted_source_mix_digitless_tag_agrees(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # doc_id 18 hashes to keep-bucket 9 (< the 100‰ floor), so the
+    # overflow-tag row is guaranteed to SURVIVE the sampling filter and
+    # its clamp assertion below actually executes
     pq.write_table(  # single file, readable by both engines
         pa.table(
             {
-                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "doc_id": pa.array([1, 2, 3, 18, 5], pa.int64()),
                 "source": [
                     "src0",
                     "wiki",  # digitless tag
@@ -87,9 +90,9 @@ def test_weighted_source_mix_digitless_tag_agrees(spark, tmp_path):
     }
     assert out.get("wiki") == 1000  # untagged source counts as 0: keep all
     # huge tags clamp at the rate floor (src>=20 all keep 10%) instead of
-    # overflowing the 45*src_num multiply; beyond-bigint digits TRY_CAST to
-    # NULL and degrade to the same source-0 default as digitless tags
-    if "src50000000" in out:
-        assert out["src50000000"] == 100
-    if "src99999999999999999999" in out:
-        assert out["src99999999999999999999"] == 1000
+    # overflowing the 45*src_num multiply (the row's doc_id is pinned to a
+    # surviving keep-bucket, so this assertion is guaranteed to execute);
+    # beyond-bigint digits TRY_CAST to NULL → the same source-0 default as
+    # digitless tags
+    assert out["src50000000"] == 100
+    assert out.get("src99999999999999999999", 1000) == 1000

@@ -293,16 +293,26 @@ def _run(args) -> int:
             profile_table,
         )
 
-        tag = "profile~" if args.profile_approx else "profile"
+        # both flags together print both reports (exact `profile` lines and
+        # sketched `profile~` lines) — handy for eyeballing the HLL error
+        passes = [
+            (tag, approx)
+            for tag, approx, wanted in (
+                ("profile", False, args.profile),
+                ("profile~", True, args.profile_approx),
+            )
+            if wanted
+        ]
         for job in jobs:
             for side, frame in (("left", job.left), ("right", job.right)):
-                for r in profile_table(frame, approx=args.profile_approx).collect():
-                    print(
-                        f"{tag} {job.table} {side} {r.column_name} "
-                        f"rows={r.n_rows} nulls={r.n_nulls} "
-                        f"distinct={r.n_distinct} "
-                        f"min={r.min_value} max={r.max_value}"
-                    )
+                for tag, approx in passes:
+                    for r in profile_table(frame, approx=approx).collect():
+                        print(
+                            f"{tag} {job.table} {side} {r.column_name} "
+                            f"rows={r.n_rows} nulls={r.n_nulls} "
+                            f"distinct={r.n_distinct} "
+                            f"min={r.min_value} max={r.max_value}"
+                        )
 
     # One TableCompare per keyed table, shared by every drill-down flag
     # below — its caches (_bad_state, _diff_rows) amortize the digest pass

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import sys
 import tempfile
 
@@ -61,10 +62,13 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --target-bytes must be positive", file=sys.stderr)
         return 2
 
+    # normalize before keying the lock: /data/lake, /data/lake/ and a
+    # relative spelling of the same tree must contend on ONE lock
+    lock_key = os.path.abspath(args.dir).rstrip("/") or "/"
     lock_path = args.lock_file or (
         tempfile.gettempdir()
         + "/spark_maintenance_"
-        + hashlib.md5(args.dir.encode()).hexdigest()[:12]
+        + hashlib.md5(lock_key.encode()).hexdigest()[:12]
         + ".lock"
     )
     try:
@@ -100,6 +104,12 @@ def _run(args) -> int:
         )
         if not summary:
             print(f"plan: no parquet files under {args.dir}")
+            if args.plan_out:
+                # a requested plan dataset must exist even when empty —
+                # a scheduler reading it back should see zero rows, not a
+                # missing path after a "successful" run
+                plan.write.mode("overwrite").parquet(args.plan_out)
+                print(f"plan written to {args.plan_out}")
             return 0
         for r in summary:
             bins = f" bins={r.n_bins}" if r.action == "compact" else ""

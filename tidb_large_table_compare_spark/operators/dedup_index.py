@@ -144,15 +144,20 @@ def query_neardup_index(
     doc with no colliding bucket costs one join probe, nothing more.
 
     The batch side is broadcast only when it is actually small: with
-    ``broadcast_batch=None`` the decision reads Catalyst's estimated size
-    of the batch plan (footer-derived for file sources, an upper-bound
-    estimate otherwise — zero extra jobs; an unknown size estimates
-    effectively-infinite and lands on the safe shuffle side). The batch's
-    TEXT bytes dominate its band-table bytes (~32 longs/doc), so comparing
-    the batch estimate against ``broadcast_max_batch_bytes`` is
-    conservative. An oversized admission batch falls through to a shuffle
-    join instead of force-broadcasting ``batch_rows × n_bands`` rows into
-    every executor. Pass ``True`` / ``False`` to pin the strategy.
+    ``broadcast_batch=None`` the decision first reads Catalyst's
+    estimated size of the batch plan (footer-derived for file sources —
+    zero jobs) and, only when that estimate is under
+    ``broadcast_max_batch_bytes``, confirms with a bounded
+    ``limit(k+1).count()`` row probe — byte size alone is not enough,
+    because a 64 MB batch of very short documents explodes into
+    ``rows × n_bands`` band rows that can dwarf its on-disk bytes; the
+    row probe restores that cap, and it only ever runs over a batch
+    already known to be small. A large or unknown estimate (filtered
+    lineages without CBO, in-memory frames) launches no job and lands on
+    the shuffle join, where AQE still upgrades to a broadcast at runtime
+    from the ACTUAL post-shuffle size — so the conservative static choice
+    costs at most one shuffle of a small batch, never a lost broadcast.
+    Pass ``True`` / ``False`` to pin the strategy.
 
     **Verify-scan pushdown** (the probe's dominant IO term): the exact-
     Jaccard verification joins the stored shingle table on BOTH pair
@@ -187,6 +192,14 @@ def query_neardup_index(
             new_docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
         broadcast_batch = est <= broadcast_max_batch_bytes
+        if broadcast_batch:
+            # bounded row confirmation (reads at most max_docs+1 rows of a
+            # batch already known to be byte-small): short docs can explode
+            # rows × n_bands past any byte budget
+            max_docs = max(1, 2_000_000 // n_bands)
+            broadcast_batch = (
+                new_docs.select(id_col).limit(max_docs + 1).count() <= max_docs
+            )
     probe = new_bands.withColumnRenamed(id_col, "id_b")
     if broadcast_batch:
         probe = F.broadcast(probe)
