@@ -443,6 +443,88 @@ def test_ensure_min_partitions_size_cap(spark):
     )
 
 
+class _NoJdfFrame:
+    """A DataFrame stand-in whose py4j internals are unreachable — the
+    shape Spark Connect presents (no `_jdf` on the client DataFrame).
+    Everything else delegates to the wrapped frame."""
+
+    def __init__(self, df):
+        object.__setattr__(self, "_df", df)
+
+    @property
+    def _jdf(self):
+        # deliberately NOT AttributeError: a property raising
+        # AttributeError would fall through to __getattr__ and silently
+        # delegate to the real _jdf, hiding the failure this simulates
+        raise RuntimeError("simulated Spark Connect: no py4j internals")
+
+    def __getattr__(self, name):
+        return getattr(self._df, name)
+
+
+def test_plan_size_probe_degrades_without_py4j_internals(spark):
+    """Every size-gated decision routes through
+    `optimized_plan_size_bytes`; when the py4j probe raises (Spark
+    Connect, internals drift) it must return None, and each call site
+    must take its conservative default instead of propagating."""
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+        optimized_plan_size_bytes,
+    )
+
+    real = spark.range(1000).coalesce(1)
+    assert optimized_plan_size_bytes(real) > 0
+    broken = _NoJdfFrame(real)
+    assert optimized_plan_size_bytes(broken) is None
+
+    # ensure_min_partitions: cap unavailable → full spread, never a raise
+    spread = ensure_min_partitions(broken, bytes_per_partition=1 << 20)
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_admission_probe_degrades_without_size_probe(spark, tmp_path, monkeypatch):
+    """With the size probe unavailable, query_neardup_index must land on
+    its documented fallbacks — no static broadcast (AQE can still upgrade)
+    and no verify-scan pushdown (the fully-lazy plain join) — and return
+    the same pairs."""
+    from tidb_large_table_compare_spark.operators import dedup_index
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words " * 3) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "noprobeidx")
+    dedup_index.build_neardup_index(corpus, path)
+    batch = spark.createDataFrame(
+        [(101, "doc number 7 with some shared words " * 3)],
+        "doc_id bigint, text string",
+    )
+    expected = {
+        (r.id_a, r.id_b)
+        for r in dedup_index.query_neardup_index(
+            spark, path, batch, threshold=0.5
+        ).collect()
+    }
+    assert expected  # the near-copy must collide with its original
+
+    monkeypatch.setattr(
+        dedup_index, "optimized_plan_size_bytes", lambda df: None
+    )
+    got = dedup_index.query_neardup_index(
+        spark, path, batch, threshold=0.5,
+        # pushdown explicitly invited: the None store size must decline it
+        verify_pushdown_min_store_bytes=0,
+    )
+    assert {(r.id_a, r.id_b) for r in got.collect()} == expected
+    # and the plan stayed lazy: no pushed candidate-id IN filter
+    plan = _plan(got)
+    shingle_scans = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "shingles#" in l
+    ]
+    assert shingle_scans and all("In(doc_id" not in l for l in shingle_scans)
+
+
 def test_admission_probe_scans_bands_not_corpus_text(spark, tmp_path):
     """The probe's scale contract: candidate generation reads ONLY the
     persisted band table (32 longs/doc, ~1/400th of corpus bytes); the

@@ -20,6 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def optimized_plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated plan size (footer-derived for file scans —
+    free, no job), or ``None`` when the probe is unavailable.
+
+    The probe reads py4j internals (``_jdf.queryExecution()``), which do
+    not exist under Spark Connect and are not a stable API — the same
+    exposure ``operators/compare.py::_estimate_rows`` guards. Every size-
+    gated decision in the engine routes through here so an internals
+    change degrades to each caller's conservative default (full spread /
+    no static broadcast / pushdown off) instead of raising.
+    """
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def ensure_min_partitions(
     df: DataFrame,
     min_partitions: int | None = None,
@@ -37,11 +54,15 @@ def ensure_min_partitions(
     component that doubles on a contended host. Only cheap-per-row stages
     (vector GEMM/argmin) should pass this; expensive-per-row stages
     (string shingling) want the full spread even for small inputs.
+
+    When the size probe is unavailable (Spark Connect), the cap is skipped
+    and the full spread applies — the pre-cap behavior, never an error.
     """
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if bytes_per_partition:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        target = max(1, min(target, -(-size // bytes_per_partition)))
+        size = optimized_plan_size_bytes(df)
+        if size is not None:
+            target = max(1, min(target, -(-size // bytes_per_partition)))
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

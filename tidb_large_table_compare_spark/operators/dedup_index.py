@@ -36,6 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tidb_large_table_compare_spark.functions.partitioning import (
+    optimized_plan_size_bytes,
+)
 from tidb_large_table_compare_spark.operators.dedup import (
     hashed_word_ngrams,
     jaccard_verified_pairs,
@@ -188,10 +191,10 @@ def query_neardup_index(
     new_bands = signature_band_buckets(new_sigs, id_col, n_hashes, n_bands)
 
     if broadcast_batch is None:
-        est = int(
-            new_docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        broadcast_batch = est <= broadcast_max_batch_bytes
+        # guarded size probe (absent under Spark Connect): unknown counts
+        # as large — no static broadcast, AQE still upgrades at runtime
+        est = optimized_plan_size_bytes(new_docs)
+        broadcast_batch = est is not None and est <= broadcast_max_batch_bytes
         if broadcast_batch:
             # bounded row confirmation (reads at most max_docs+1 rows of a
             # batch already known to be byte-small): short docs can explode
@@ -210,10 +213,14 @@ def query_neardup_index(
         .distinct()
     )
     idx_docs = spark.read.parquet(f"{path}/docs")
-    store_bytes = int(
-        idx_docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if verify_pushdown_max_ids > 0 and store_bytes >= verify_pushdown_min_store_bytes:
+    # guarded probe: an unknown store size keeps the fully-lazy plain join
+    # (the pre-pushdown plan), never an error
+    store_bytes = optimized_plan_size_bytes(idx_docs)
+    if (
+        verify_pushdown_max_ids > 0
+        and store_bytes is not None
+        and store_bytes >= verify_pushdown_min_store_bytes
+    ):
         # small by construction (hot buckets are capped at build time);
         # checkpointing also keeps candidate generation single-execution
         cands = cands.localCheckpoint(eager=True)
