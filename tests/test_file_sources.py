@@ -497,3 +497,218 @@ def test_maintenance_cli_empty_inventory_still_writes_plan(spark, tmp_path, caps
     assert code == 0
     assert "no parquet files" in capsys.readouterr().out
     assert spark.read.parquet(str(tmp_path / "plan")).count() == 0
+
+
+def test_swap_compacted_replaces_small_files_losslessly(spark, tmp_path):
+    """plan → execute → swap: the merged files replace the small originals
+    in place, keep-sized files and unplanned entries are carried across
+    untouched, and no protocol debris (.old / .compacting) survives."""
+    import os
+
+    from tidb_large_table_compare_spark.operators.compaction import (
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+        swap_compacted,
+    )
+
+    src = str(tmp_path / "lake" / "t1.parquet")
+    df = spark.range(0, 400).withColumn("v", F.col("id") * 3)
+    df.repartition(8).write.parquet(src)
+    # an unplanned non-parquet entry the swap must carry across
+    # (underscore-prefixed so Spark's own scans ignore it, like _SUCCESS)
+    with open(f"{src}/_notes.txt", "w") as fh:
+        fh.write("sidecar")
+
+    inv = file_inventory(spark, str(tmp_path / "lake"))
+    target = int(inv.agg(F.sum("bytes")).collect()[0][0] // 3)  # ~3 bins
+    plan = compaction_plan(inv, target).localCheckpoint()
+    out = str(tmp_path / "compacted")
+    execute_compaction(spark, plan, out)
+
+    manifest = swap_compacted(spark, plan, out)
+    assert manifest["dirs_swapped"] == 1
+    assert manifest["files_retired"] == 8
+    assert manifest["healed"] == []
+    assert manifest["files_swapped_in"] >= 2  # one merged file per bin
+    # carried: the sidecar plus Spark's _SUCCESS marker (the swap carries
+    # EVERY non-planned entry so directory contents are preserved exactly)
+    assert manifest["carried"] >= 2
+
+    # lossless: the swapped-in directory reads back to the original rows
+    back = spark.read.parquet(src)
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    names = os.listdir(src)
+    assert "_notes.txt" in names and "_SUCCESS" in names
+    merged = [n for n in names if n.startswith("compacted-")]
+    small = [n for n in names if n.startswith("part-")]
+    assert len(merged) == manifest["files_swapped_in"] and not small
+    assert not os.path.exists(src + ".old")
+    assert not os.path.exists(src + ".compacting")
+    # a re-inventory now sees only the merged (healthy-sized) files
+    assert file_inventory(spark, str(tmp_path / "lake")).count() == len(merged)
+
+
+def test_swap_compacted_skips_keep_only_dirs_and_verifies_mirror(spark, tmp_path):
+    """A directory whose files all planned 'keep' is untouched by the swap,
+    and a missing merged output fails BEFORE any source mutation."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        CompactionError,
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+        swap_compacted,
+    )
+
+    big = str(tmp_path / "lake" / "big.parquet")
+    small = str(tmp_path / "lake" / "small.parquet")
+    spark.range(0, 100).coalesce(1).write.parquet(big)
+    spark.range(100, 200).repartition(4).write.parquet(small)
+
+    inv = file_inventory(spark, str(tmp_path / "lake"))
+    big_bytes = int(
+        inv.filter(F.col("path").contains("big")).agg(F.sum("bytes")).collect()[0][0]
+    )
+    plan = compaction_plan(inv, big_bytes).localCheckpoint()  # big keeps
+    acts = {r.path: r.action for r in plan.collect()}
+    assert set(a for p, a in acts.items() if "/big.parquet/" in p) == {"keep"}
+
+    out = str(tmp_path / "compacted")
+    # swap before execute: the mirror is missing — refuse, sources intact
+    with pytest.raises(CompactionError, match="re-run execute_compaction"):
+        swap_compacted(spark, plan, out)
+    assert file_inventory(spark, str(tmp_path / "lake")).count() == 5
+
+    execute_compaction(spark, plan, out)
+    manifest = swap_compacted(spark, plan, out)
+    assert manifest["dirs_swapped"] == 1  # only small.parquet
+    import os
+    assert not any(
+        n.startswith("compacted-") for n in os.listdir(big)
+    )  # keep-only dir untouched
+    assert spark.read.parquet(str(tmp_path / "lake" / "*.parquet")).count() == 200
+
+
+def test_swap_compacted_heals_interrupted_swap(spark, tmp_path):
+    """Kill-between-renames recovery: a canonical dir left only under .old
+    (the two-rename window) and a half-staged .compacting side dir are both
+    healed on the next run, which then completes the swap."""
+    import os
+
+    from tidb_large_table_compare_spark.operators.compaction import (
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+        swap_compacted,
+    )
+
+    src = str(tmp_path / "lake" / "t1.parquet")
+    df = spark.range(0, 400).withColumn("v", F.col("id") * 3)
+    df.repartition(8).write.parquet(src)
+    inv = file_inventory(spark, str(tmp_path / "lake"))
+    target = int(inv.agg(F.sum("bytes")).collect()[0][0] // 3)
+    plan = compaction_plan(inv, target).localCheckpoint()
+    out = str(tmp_path / "compacted")
+    execute_compaction(spark, plan, out)
+
+    # crash window: src moved aside (between the two renames), plus a
+    # stale side dir in the state staging leaves it — carried (non-planned)
+    # entries moved out of src under their own names, merged files under
+    # the compacted- prefix. The heal must move the carried entry back and
+    # discard the stale merged one (execute's outputs are still in `out`,
+    # so the retried swap re-stages from there).
+    os.rename(src, src + ".old")
+    os.makedirs(src + ".compacting")
+    with open(f"{src}.compacting/compacted-junk.parquet", "w") as fh:
+        fh.write("stale merged debris")
+    with open(f"{src}.compacting/_notes.txt", "w") as fh:
+        fh.write("carried sidecar")
+
+    manifest = swap_compacted(spark, plan, out)
+    assert manifest["healed"] == [f"file:{src}"] or manifest["healed"] == [src]
+    assert manifest["dirs_swapped"] == 1
+    back = spark.read.parquet(src)
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    assert not os.path.exists(src + ".old")
+    assert not os.path.exists(src + ".compacting")
+    names = os.listdir(src)
+    assert not any(n == "compacted-junk.parquet" for n in names)
+    assert "_notes.txt" in names  # the carried entry survived the crash
+
+
+def test_maintenance_cli_swap_flag(spark, tmp_path, capsys):
+    """--swap completes the maintenance loop in one run: plan → execute →
+    in-place swap, with the swap manifest on stdout; --swap without
+    --execute-out is an argument error."""
+    import json as _json
+
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    assert main(["--dir", str(tmp_path), "--swap"]) == 2
+    assert "--execute-out" in capsys.readouterr().err
+
+    src = str(tmp_path / "lake" / "t1")
+    spark.range(0, 200).repartition(4).write.parquet(src)
+    code = main(
+        [
+            "--dir", str(tmp_path / "lake"),
+            "--target-bytes", str(1 << 30),
+            "--execute-out", str(tmp_path / "compacted"),
+            "--swap",
+        ]
+    )
+    assert code == 0
+    out = capsys.readouterr().out
+    swap_line = next(l for l in out.splitlines() if l.startswith("swap "))
+    swapped = _json.loads(swap_line[len("swap "):])
+    assert swapped["dirs_swapped"] == 1 and swapped["files_retired"] == 4
+    assert spark.read.parquet(src).count() == 200
+    import os
+    assert sum(n.startswith("compacted-") for n in os.listdir(src)) == 1
+
+
+def test_maintenance_cli_partial_failure_prints_manifest(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """A partial execute failure must follow the documented contract: the
+    partial manifest (succeeded bins) still prints for a scheduler to
+    resume from, the FULL failure list goes to stderr, exit code 3 — and
+    a requested --swap never runs over a half-built mirror."""
+    from tidb_large_table_compare_spark.maintenance_cli import main
+    from tidb_large_table_compare_spark.operators import compaction
+
+    src = str(tmp_path / "lake" / "t1")
+    spark.range(0, 200).repartition(4).write.parquet(src)
+
+    partial = {"bins": 1, "files_merged": 2, "kept": 0, "unknown": 0,
+               "outputs": ["x/bin=00000"]}
+    def _boom(spark_, plan, out_dir, parallelism=8):
+        raise compaction.CompactionError(
+            "1/2 compaction bins failed", manifest=partial,
+            failures=["t1 bin=1: boom", "t1 bin=2: also boom"],
+        )
+    monkeypatch.setattr(compaction, "execute_compaction", _boom)
+    swap_called = []
+    monkeypatch.setattr(
+        compaction, "swap_compacted",
+        lambda *a, **k: swap_called.append(1),
+    )
+
+    code = main(
+        [
+            "--dir", str(tmp_path / "lake"),
+            "--target-bytes", str(1 << 30),
+            "--execute-out", str(tmp_path / "compacted"),
+            "--swap",
+        ]
+    )
+    assert code == 3
+    captured = capsys.readouterr()
+    import json as _json
+    exec_line = next(
+        l for l in captured.out.splitlines() if l.startswith("execute ")
+    )
+    assert _json.loads(exec_line[len("execute "):]) == partial
+    assert "failed: t1 bin=1: boom" in captured.err
+    assert "failed: t1 bin=2: also boom" in captured.err
+    assert not swap_called  # never swap a half-built mirror

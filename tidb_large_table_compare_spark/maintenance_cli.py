@@ -13,13 +13,22 @@ Usage:
 
   # plan + execute: merged files land under --execute-out, one per bin,
   # mirroring each source directory relative to the inventory root;
-  # sources are only read (swap-in is a separate, deliberate step — see
-  # `execute_compaction`'s docstring for the rename protocol)
+  # sources are only read
   ... maintenance_cli --dir /data/lake --target-bytes 134217728 \
       --execute-out /data/lake_compacted
 
-Exit code 0 on success; 2 on argument errors. A run lock keyed on the
-target directory refuses concurrent maintenance of the same tree.
+  # plan + execute + swap: the destructive final step — merged files
+  # replace the small originals in place via the crash-healing side-dir +
+  # two-renames protocol (`operators/compaction.py::swap_compacted`); an
+  # interrupted swap heals on the next run
+  ... maintenance_cli --dir /data/lake --target-bytes 134217728 \
+      --execute-out /data/lake_compacted --swap
+
+Exit codes: 0 success; 1 run lock held; 2 argument errors; 3 partial
+compaction failure — the partial manifest (succeeded bins) and the full
+failure list are printed so a scheduler can resume (outputs are
+idempotent overwrites; re-run to finish). A run lock keyed on the target
+directory refuses concurrent maintenance of the same tree.
 """
 
 from __future__ import annotations
@@ -50,6 +59,10 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--execute-out", default=None,
                    help="execute the plan: one merged file per bin under "
                         "this directory (sources are only read)")
+    p.add_argument("--swap", action="store_true",
+                   help="after executing, swap the merged files in over "
+                        "the small originals (destructive; crash-healing "
+                        "rename protocol; requires --execute-out)")
     p.add_argument("--lock-file", default=None,
                    help="run-lock path (default: keyed on --dir under the "
                         "system temp dir)")
@@ -60,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
     args = _parse_args(argv)
     if args.target_bytes <= 0:
         print("error: --target-bytes must be positive", file=sys.stderr)
+        return 2
+    if args.swap and not args.execute_out:
+        print("error: --swap requires --execute-out", file=sys.stderr)
         return 2
 
     # normalize before keying the lock: /data/lake, /data/lake/ and a
@@ -83,9 +99,11 @@ def _run(args) -> int:
     from pyspark.sql import functions as F
 
     from tidb_large_table_compare_spark.operators.compaction import (
+        CompactionError,
         compaction_plan,
         execute_compaction,
         file_inventory,
+        swap_compacted,
     )
 
     spark = get_spark("maintenance")
@@ -121,8 +139,26 @@ def _run(args) -> int:
             plan.write.mode("overwrite").parquet(args.plan_out)
             print(f"plan written to {args.plan_out}")
         if args.execute_out:
-            manifest = execute_compaction(spark, plan, args.execute_out)
+            try:
+                manifest = execute_compaction(spark, plan, args.execute_out)
+            except CompactionError as exc:
+                # the documented exit-code contract: the partial manifest
+                # (succeeded bins) and the FULL failure list go to the
+                # streams so a scheduler can resume programmatically
+                print("execute " + json.dumps(exc.manifest))
+                print(f"error: {exc}", file=sys.stderr)
+                for f in exc.failures:
+                    print(f"failed: {f}", file=sys.stderr)
+                return 3
             print("execute " + json.dumps(manifest))
+            if args.swap:
+                try:
+                    swapped = swap_compacted(spark, plan, args.execute_out)
+                except CompactionError as exc:
+                    print("swap " + json.dumps(exc.manifest))
+                    print(f"error: {exc}", file=sys.stderr)
+                    return 3
+                print("swap " + json.dumps(swapped))
     finally:
         plan.unpersist()
     return 0

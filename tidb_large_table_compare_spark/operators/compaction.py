@@ -26,7 +26,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["compaction_plan", "file_inventory", "execute_compaction"]
+__all__ = [
+    "compaction_plan",
+    "file_inventory",
+    "execute_compaction",
+    "swap_compacted",
+    "CompactionError",
+]
+
+
+class CompactionError(RuntimeError):
+    """A partially-failed compaction run. Carries the full state a
+    scheduler needs to resume programmatically — the message alone only
+    previews the first failures:
+
+    - ``manifest``: the partial manifest (same shape as the success
+      return), listing every bin that DID complete,
+    - ``failures``: the complete list of per-bin failure strings.
+    """
+
+    def __init__(self, message: str, manifest: dict, failures: list[str]):
+        super().__init__(message)
+        self.manifest = manifest
+        self.failures = failures
 
 
 def _dest_suffixes(dirs: list[str]) -> dict[str, str]:
@@ -171,9 +193,9 @@ def execute_compaction(
 
     Deliberately NON-destructive: sources are only read. Swapping merged
     files in over the originals is the operator's explicit final step —
-    the safe swap protocol (side dir + two renames + crash healing) is
-    implemented for the admission index in
-    ``dedup_index.compact_neardup_index`` and applies verbatim. 'keep' and
+    :func:`swap_compacted` below, the generalization of the admission
+    index's side-dir + two-renames + crash-healing protocol
+    (``dedup_index.compact_neardup_index``). 'keep' and
     'unknown' rows are untouched and reported in the manifest.
 
     Each bin is one small job (read its few files, coalesce(1), write).
@@ -226,9 +248,164 @@ def execute_compaction(
             manifest["outputs"].append(dest)
     manifest["outputs"].sort()
     if failures:
-        raise RuntimeError(
+        raise CompactionError(  # full failure list + partial manifest attached
             f"{len(failures)}/{len(items)} compaction bins failed "
             f"({manifest['bins']} succeeded; outputs are idempotent — "
-            f"re-run to resume): " + "; ".join(failures[:5])
+            f"re-run to resume): " + "; ".join(failures[:5]),
+            manifest=manifest,
+            failures=failures,
         )
+    return manifest
+
+
+_MERGED_PREFIX = "compacted-"
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _heal_swap(spark: SparkSession, fs, src_dir: str) -> bool:
+    """Repair an interrupted :func:`swap_compacted` of ``src_dir``; returns
+    True if anything was healed. Safe to call on a healthy directory.
+
+    The three crash windows and their repairs (order matters):
+
+    1. canonical dir absent, ``.old`` present (crash between the two
+       renames) — rename ``.old`` back: the original files are intact.
+    2. a ``.compacting`` side dir present (crash while staging) — drain
+       every entry NOT carrying the merged-file prefix back into the
+       canonical dir (those are the carried keep/unplanned entries that
+       were MOVED out of it), then discard the side dir. The discarded
+       merged files are re-creatable: re-run ``execute_compaction``
+       (its outputs are idempotent overwrites).
+    3. canonical and ``.old`` both present (crash after the swap, before
+       the cleanup delete) — the swap completed; delete ``.old``.
+    """
+    jsrc = _jpath(spark, src_dir)
+    jold = _jpath(spark, src_dir + ".old")
+    jside = _jpath(spark, src_dir + ".compacting")
+    healed = False
+    if not fs.exists(jsrc) and fs.exists(jold):
+        if not fs.rename(jold, jsrc):
+            raise IOError(f"could not restore {src_dir} from its .old sibling")
+        healed = True
+    if fs.exists(jside):
+        if fs.exists(jsrc):
+            for status in fs.listStatus(jside):
+                name = status.getPath().getName()
+                if name.startswith(_MERGED_PREFIX):
+                    continue
+                if not fs.rename(status.getPath(), _jpath(spark, f"{src_dir}/{name}")):
+                    raise IOError(
+                        f"heal failed: could not move {name} back into {src_dir}"
+                    )
+        fs.delete(jside, True)
+        healed = True
+    if fs.exists(jsrc) and fs.exists(jold):
+        fs.delete(jold, True)
+        healed = True
+    return healed
+
+
+def swap_compacted(spark: SparkSession, plan: DataFrame, out_dir: str) -> dict:
+    """Swap :func:`execute_compaction`'s merged files in over the small
+    originals — the deliberate, destructive final step of the maintenance
+    loop (plan → execute → swap), kept separate so a run can stop at the
+    non-destructive mirror and be inspected.
+
+    Per source directory that planned ≥1 compact bin, the admission
+    index's crash-healing protocol (``dedup_index.compact_neardup_index``)
+    generalized to arbitrary directories:
+
+    1. heal any interrupted previous swap (:func:`_heal_swap`),
+    2. verify every planned bin's merged output exists under ``out_dir``
+       (raise BEFORE touching the source if not — e.g. after a partial
+       ``execute_compaction``),
+    3. stage the directory's NEW contents in a ``<dir>.compacting`` side
+       dir: the merged bin files move in under a ``compacted-<bin>-``
+       prefix (renamed out of ``out_dir`` — metadata ops, no data copy),
+       and every source entry that is NOT a planned-compact file (keep/
+       unknown files, subdirectories, markers like ``_SUCCESS``) moves
+       across unchanged,
+    4. two renames: ``<dir>`` → ``<dir>.old``, side dir → ``<dir>`` —
+       the retired small files leave with ``.old``, which is then deleted.
+
+    A crash anywhere leaves a state :func:`_heal_swap` restores on the
+    next run (the canonical dir is briefly absent only between the two
+    renames, exactly as in the index protocol). Run under the same lock
+    as readers of the tree (the maintenance CLI keys its run lock on the
+    tree) so no reader observes the window. Directories whose files all
+    planned 'keep' are untouched.
+
+    Returns ``{"dirs_swapped", "files_swapped_in", "files_retired",
+    "carried", "healed": [dirs]}``.
+    """
+    rows = plan.collect()  # metadata-sized: one row per file
+    by_dir: dict[str, set[int]] = {}
+    planned: dict[str, set[str]] = {}
+    for r in rows:
+        if r.action == "compact":
+            by_dir.setdefault(r.dir, set()).add(int(r.bin))
+            planned.setdefault(r.dir, set()).add(r.path)
+    suffixes = _dest_suffixes(sorted(by_dir))  # same derivation as execute
+    fs = _jpath(spark, out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    manifest: dict = {
+        "dirs_swapped": 0, "files_swapped_in": 0, "files_retired": 0,
+        "carried": 0, "healed": [],
+    }
+
+    def _data_files(dir_path: str) -> list:
+        return [
+            s for s in fs.listStatus(_jpath(spark, dir_path))
+            if not s.getPath().getName().startswith(("_", "."))
+        ]
+
+    for src_dir in sorted(by_dir):
+        if _heal_swap(spark, fs, src_dir):
+            manifest["healed"].append(src_dir)
+        # verify the mirror is complete before touching the source
+        bin_files: list[tuple[int, object]] = []
+        for bin_id in sorted(by_dir[src_dir]):
+            dest = f"{out_dir}/{suffixes[src_dir]}/bin={bin_id:05d}"
+            files = (
+                _data_files(dest) if fs.exists(_jpath(spark, dest)) else []
+            )
+            if not files:
+                raise CompactionError(
+                    f"no merged output for {src_dir} bin={bin_id} under "
+                    f"{dest} — re-run execute_compaction before swapping",
+                    manifest=manifest, failures=[f"{src_dir} bin={bin_id}"],
+                )
+            bin_files.extend((bin_id, s) for s in files)
+        side = src_dir + ".compacting"
+        jside = _jpath(spark, side)
+        fs.mkdirs(jside)
+        for bin_id, status in bin_files:
+            name = f"{_MERGED_PREFIX}{bin_id:05d}-{status.getPath().getName()}"
+            if not fs.rename(status.getPath(), _jpath(spark, f"{side}/{name}")):
+                raise IOError(f"could not stage merged file {name} into {side}")
+            manifest["files_swapped_in"] += 1
+        retired = 0
+        for status in fs.listStatus(_jpath(spark, src_dir)):
+            name = status.getPath().getName()
+            if status.getPath().toString() in planned[src_dir] or (
+                not status.isDirectory()
+                and f"{src_dir}/{name}" in planned[src_dir]
+            ):
+                retired += 1  # stays behind, leaves with .old
+                continue
+            if not fs.rename(status.getPath(), _jpath(spark, f"{side}/{name}")):
+                raise IOError(f"could not carry {name} into {side}")
+            manifest["carried"] += 1
+        jsrc = _jpath(spark, src_dir)
+        jold = _jpath(spark, src_dir + ".old")
+        if not fs.rename(jsrc, jold):
+            raise IOError(f"swap failed: could not move {src_dir} aside")
+        if not fs.rename(jside, jsrc):
+            fs.rename(jold, jsrc)  # restore so the tree stays readable
+            raise IOError(f"swap failed: could not move {side} into place")
+        fs.delete(jold, True)
+        manifest["dirs_swapped"] += 1
+        manifest["files_retired"] += retired
     return manifest
