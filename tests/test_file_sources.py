@@ -712,3 +712,55 @@ def test_maintenance_cli_partial_failure_prints_manifest(
     assert "failed: t1 bin=1: boom" in captured.err
     assert "failed: t1 bin=2: also boom" in captured.err
     assert not swap_called  # never swap a half-built mirror
+
+
+def test_file_inventory_distributed_matches_driver_walk(spark, tmp_path):
+    """The distributed (binaryFile-index) listing and the driver walk must
+    produce the SAME inventory — paths, bytes, hidden-entry semantics —
+    and the auto path must fall back to it above the driver-row bound."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        file_inventory,
+    )
+
+    lake = str(tmp_path / "lake")
+    spark.range(0, 100).repartition(3).write.parquet(f"{lake}/a/date=1")
+    spark.range(0, 50).repartition(2).write.parquet(f"{lake}/b")
+    (tmp_path / "lake" / "a" / "_hidden.parquet").write_text("x")
+
+    driver = sorted(
+        map(tuple, file_inventory(spark, lake, distributed=False).collect())
+    )
+    dist = sorted(
+        map(tuple, file_inventory(spark, lake, distributed=True).collect())
+    )
+    assert driver == dist and len(driver) == 5
+    assert not any("_hidden" in p for p, _ in driver)
+
+    # auto fallback: a tiny driver bound forces the distributed redo
+    auto = sorted(
+        map(tuple, file_inventory(spark, lake, max_driver_files=2).collect())
+    )
+    assert auto == driver
+
+    with pytest.raises(ValueError, match="recursive"):
+        file_inventory(spark, lake, recursive=False, distributed=True)
+
+
+def test_file_inventory_deep_narrow_chain_no_level_barrier(spark, tmp_path):
+    """A y=/m=/d= chain (one subdir per level) lists correctly through the
+    shared work queue — the shape that degraded to a serial walk under the
+    old per-level barrier."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        file_inventory,
+    )
+
+    deep = tmp_path / "lake"
+    for y in (2023, 2024):
+        for m in (1, 2):
+            spark.range(0, 10).coalesce(1).write.parquet(
+                str(deep / f"y={y}" / f"m={m}" / "d=01")
+            )
+    inv = file_inventory(spark, str(deep))
+    rows = inv.collect()
+    assert len(rows) == 4
+    assert all("/d=01/" in r.path and r.bytes > 0 for r in rows)
