@@ -90,6 +90,30 @@ def _persist_tracked(key: str, df: DataFrame) -> DataFrame:
     return out
 
 
+# Entries that materialize on-disk state (admission indexes, digest
+# snapshots, report trees) used a fresh mkdtemp per invocation — with the
+# bench's warmup + samples and repeated driver checks, the corpus-sized
+# index copies accumulated on disk for the session's lifetime. One scratch
+# dir per key, wiped on reuse, bounds that at one live copy per entry
+# (the same discipline _persist_tracked applies to caches).
+_SCRATCH_DIRS: dict[str, str] = {}
+
+
+def _scratch_dir(key: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    path = _SCRATCH_DIRS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix=f"sg_{key}_")
+        _SCRATCH_DIRS[key] = path
+    else:
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+    return path
+
+
 # ===========================================================================
 # 1. Comparison engine (SURVEY.md §2.B)
 # ===========================================================================
@@ -144,8 +168,6 @@ def _cmp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     detect drifted buckets in one linear scan of the perturbed side, then
     row-level-compare ONLY those buckets. Must reach the full compare's
     verdict — the oracle is the same full-compare SQL."""
-    import tempfile
-
     from tidb_large_table_compare_spark.operators.incremental import (
         incremental_compare,
         write_digests,
@@ -153,7 +175,7 @@ def _cmp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     opts = CompareOptions(n_buckets=64)
-    path = tempfile.mkdtemp(prefix="digests_") + "/orders"
+    path = _scratch_dir("digests") + "/orders"
     write_digests(spark, orders, ["o_orderkey"], path, opts)
     return incremental_compare(
         spark, orders, perturbed_orders(orders), ["o_orderkey"], path, opts,
@@ -1165,8 +1187,6 @@ def _neardup_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored shingle sets. Work ∝ batch × collisions; the corpus text is
     never re-read. The oracle recomputes the exact cross-pair Jaccard set,
     so the pruned probe must find exactly the true near-dup admissions."""
-    import tempfile
-
     from tidb_large_table_compare_spark.operators.dedup_index import (
         build_neardup_index,
         query_neardup_index,
@@ -1175,7 +1195,7 @@ def _neardup_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_all = _near_dup_corpus(spark, sf_dir)
     base = ensure_min_partitions(corpus_all.filter(F.col("doc_id") < 100_000))
     arrivals = corpus_all.filter(F.col("doc_id") >= 100_000)
-    path = tempfile.mkdtemp(prefix="ndidx_") + "/index"
+    path = _scratch_dir("ndidx") + "/index"
     build_neardup_index(base, path)
     return query_neardup_index(spark, path, arrivals)
 
@@ -1203,8 +1223,6 @@ def _neardup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     between (base ∪ day1) and day2, so a lifecycle step that loses or
     duplicates index rows goes red. Day batches split the +100k
     near-copies by original-id parity of the tens digit (%20)."""
-    import tempfile
-
     from tidb_large_table_compare_spark.operators.dedup_index import (
         append_to_neardup_index,
         build_neardup_index,
@@ -1220,7 +1238,7 @@ def _neardup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     day2 = corpus_all.filter(
         (F.col("doc_id") >= 100_000) & ((F.col("doc_id") - 100_000) % 20 == 13)
     )
-    path = tempfile.mkdtemp(prefix="ndidx_lc_") + "/index"
+    path = _scratch_dir("ndidx_lc") + "/index"
     build_neardup_index(base, path)
     append_to_neardup_index(day1, path)
     compact_neardup_index(spark, path)
@@ -2218,7 +2236,6 @@ def _parsed_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     '{schema}_{table}_{ts}/summary.txt'), then parse them back with the
     DataFrame-native parser. Output = the parsed summaries; oracle = the
     compare results computed directly in SQL."""
-    import tempfile
     from pathlib import Path
 
     from tidb_large_table_compare_spark.plans.report import EQUIVALENT_MARKER
@@ -2235,7 +2252,7 @@ def _parsed_report_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).summary().collect()[0]
         rows.append((table, r))
 
-    out_dir = Path(tempfile.mkdtemp(prefix="sg_reports_"))
+    out_dir = Path(_scratch_dir("reports"))
     for table, r in rows:
         d = out_dir / f"main_{table}_20240303_000000"
         d.mkdir(parents=True, exist_ok=True)
