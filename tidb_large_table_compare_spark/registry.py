@@ -3504,7 +3504,14 @@ def _weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only: a filter + hash-aggregation; at 100 TB the scan dominates and
     the output is one row per source.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _source_mix_agg(load_table(spark, sf_dir, "documents"))
+
+
+def _source_mix_agg(docs: DataFrame) -> DataFrame:
+    """The shared weighted-mix body: rate from the source tag, keep/drop
+    from the content-independent md5 bucket, aggregate per source.
+    Factored out so the hostile-tag canary feeds the IDENTICAL expression
+    tree the production entry runs."""
     # bigint + clamp: an int32 src_num would overflow 45*src_num for tags
     # above ~47.7M (ANSI Spark throws, DuckDB errors), and even bigint
     # overflows for ~19-digit tags — but the rate floors at 10% from
@@ -3556,6 +3563,61 @@ SELECT source, keep_permille,
 FROM rated WHERE bucket < keep_permille
 GROUP BY source, keep_permille
 """,
+)
+
+
+def _weighted_source_mix_hostile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digitless/overflow tag guard under FIRE: the driver's documents
+    table only ever carries well-formed `srcN` tags, so the production
+    entry never exercises the TRY_CAST+COALESCE+clamp pin. This canary
+    rewrites tags to the hostile shapes the guard exists for — empty,
+    digitless, a 19-digit overflow past bigint, leading zeros, multiple
+    digit groups — and runs the IDENTICAL shared mix body
+    (`_source_mix_agg`) against the same rewrite in the oracle, so a
+    drift back to crash-vs-drop divergence on either engine goes red."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    hostile = (
+        F.when(m == 0, F.lit(""))                       # no match at all
+        .when(m == 1, F.lit("no-digits-here"))          # digitless
+        .when(m == 2, F.lit("src" + "9" * 19))          # > bigint max
+        .when(m == 3, F.lit("src0042"))                 # leading zeros
+        .when(m == 4, F.lit("batch-77-of-99"))          # first group wins
+        .otherwise(F.col("source"))
+    )
+    return _source_mix_agg(docs.withColumn("source", hostile))
+
+
+_register(
+    "weighted_source_mix_hostile_tags",
+    _weighted_source_mix_hostile,
+    f"""
+WITH hostile AS (
+  SELECT doc_id, text,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN ''
+           WHEN 1 THEN 'no-digits-here'
+           WHEN 2 THEN 'src{"9" * 19}'
+           WHEN 3 THEN 'src0042'
+           WHEN 4 THEN 'batch-77-of-99'
+           ELSE source END AS source
+  FROM documents
+),
+rated AS (
+  SELECT source,
+         GREATEST(100, 1000 - 45 * LEAST(COALESCE(
+             TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT), 0), 20))
+           AS keep_permille,
+         ({{md5}}) % 1000 AS bucket,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+  FROM hostile
+)
+SELECT source, keep_permille,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS total_tokens
+FROM rated WHERE bucket < keep_permille
+GROUP BY source, keep_permille
+""".replace("{md5}", _MD5_60_DOCID_SQL),
 )
 
 
@@ -4310,74 +4372,71 @@ FROM w GROUP BY window_start
 # oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) the full round-4 cohort (ledger-derived: 31 entries whose latest
-    # green signal is r4) — at 128 entries the cadence bound is
-    # ⌈128/50⌉−1 = 2 rounds, so every one of these MUST re-verify this
+    # (a) the full round-5 cohort (ledger-derived: 34 entries whose latest
+    # green signal is r5) — at 129 entries the cadence bound is
+    # ⌈129/50⌉−1 = 2 rounds, so every one of these MUST re-verify this
     # round; the phase-aware test_registry_order.py rotation test enforces
     # the bound
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "base64_roundtrip_docs",
-    "cmp_diff_rows_composite_pk",
-    "cmp_summary_incremental",
-    "cmp_summary_orders",
-    "cmp_summary_self",
-    "cube_order_price_stats",
-    "customers_never_finished",
-    "customers_with_both_statuses",
-    "doc_fingerprints",
-    "doc_lang_guess",
-    "doc_quality_scores",
-    "doc_token_counts",
-    "embedding_array_stats",
-    "embedding_neardup_pairs",
-    "event_prop_keys",
-    "event_ts_labels",
-    "grouping_sets_order_counts",
-    "hourly_event_counts",
-    "knn_label_classify_ivf",
-    "latest_event_per_user",
-    "multimodal_frame_samples",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "rollup_quantity_by_flag_status",
-    "running_revenue_per_customer",
-    "salted_lineitem_counts",
-    "sessionize_events",
-    "stale_worklist",
-    "tfidf_top_terms",
-    # (b) never-checked: registered this round, need their first signal —
-    # the admission-index append→compact lifecycle, the second-iteration
-    # compaction-plan convergence invariant, and the HLL profile graded
-    # against its own error contract
-    "neardup_index_lifecycle",
-    "compaction_replan_converges",
-    "profile_orders_approx_bounds",
-    # (c) regression canaries for round-7 changes: the familiarity scalar
-    # now comes from the persisted freqs table, the digitless-tag guard in
-    # the source mix, the conditional probe broadcast in the admission
-    # index, the compaction dest-suffix rework, the profile module feeding
-    # the new approx entry, and the kmeans steady state under driver-host
-    # investigation
-    "unigram_familiarity_scores",
+    "approx_distinct_parts",
+    "bpe_ish_token_counts",
+    "cmp_struct_only_drift",
+    "cmp_summary_composite_pk",
+    "cmp_summary_orders_multiset",
+    "cmp_summary_orders_ranged",
+    "kmeans_cluster_assignments",
+    "knn_label_classify",
+    "pack_training_chunks",
+    "pivot_docs_by_source",
+    "q10_top_return_customers",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q1_pricing_summary",
+    "q2_cheapest_part_per_brand",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q7_nation_pair_volume",
+    "q8_brand_share_by_year",
+    "q9_profit_by_nation_year",
+    "quality_filter_verdicts",
+    "render_report_lines",
+    "render_summary_lines",
+    "repetition_filter_docs",
+    "report_latest_totals",
+    "sliding_event_counts",
+    "stratified_sample_docs",
+    "streaming_dedup_events",
+    "streaming_purchase_signup_join",
+    "streaming_session_counts",
+    "streaming_user_totals_stateful",
+    "top3_customers_per_nation",
+    "top_tokens_documents",
+    "train_val_split",
+    # (b) never-checked: registered this round — the hostile-tag canary
+    # feeding the digitless/overflow tag guard the shapes it exists for
+    "weighted_source_mix_hostile_tags",
+    # (c) regression canaries for round-8 changes: the shared mix body
+    # refactor, the guarded Catalyst size probes (admission index +
+    # partitioning spread cap), the compaction swap-in step and inventory
+    # rework, and the scratch-dir reuse in the disk-materializing entries
     "weighted_source_mix",
     "neardup_index_admission",
+    "neardup_index_lifecycle",
     "compaction_plan_bins",
-    "profile_orders_columns",
-    "kmeans_cluster_sizes",
-    # (d) early rotation of round-5 signals adjacent to this round's
-    # touched code (dedup/near-dup chain, compare tolerance, curation) —
-    # shrinks the 44-entry r5 cohort round 8 must otherwise carry whole
-    "dedup_exact_docs",
-    "dedup_corpus_stats",
-    "neardup_minhash_lsh_capped",
-    "neardup_simhash_pairs",
-    "simhash_docs",
-    "contamination_check",
-    "pack_training_chunks_sharded",
-    "cmp_float_tolerance",
+    "compaction_replan_converges",
+    "cmp_summary_incremental",
     "parsed_report_roundtrip",
-    "ann_cosine_topk",
+    "kmeans_cluster_sizes",
+    "ann_ivf_topk",
+    # (d) early rotation of round-6 signals adjacent to this round's
+    # touched code (the compare drill-down family shares the digest state
+    # the incremental/scratch changes exercise) — shrinks the 44-entry r6
+    # cohort round 9 must otherwise carry whole
+    "catalog_discovery",
+    "cmp_column_drift_orders",
+    "cmp_diff_rows_orders",
+    "cmp_fix_sql_orders",
+    "cmp_reconcile_orders",
+    "cmp_schema_diff_drift",
 ]
 
 
