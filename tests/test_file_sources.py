@@ -764,3 +764,73 @@ def test_file_inventory_deep_narrow_chain_no_level_barrier(spark, tmp_path):
     rows = inv.collect()
     assert len(rows) == 4
     assert all("/d=01/" in r.path and r.bytes > 0 for r in rows)
+
+
+def test_swap_compacted_nested_planned_dirs_wave_order(spark, tmp_path):
+    """A planned dir nested inside another planned dir: the descendant must
+    swap before the ancestor (the ancestor briefly renames its whole
+    subtree aside), and both end lossless."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+        swap_compacted,
+    )
+
+    parent = str(tmp_path / "lake" / "t")
+    child = str(tmp_path / "lake" / "t" / "date=1")
+    spark.range(0, 100).repartition(3).write.parquet(parent)
+    spark.range(1000, 1100).repartition(3).write.parquet(child)
+
+    inv = file_inventory(spark, str(tmp_path / "lake"))
+    plan = compaction_plan(inv, 1 << 30).localCheckpoint()  # all compact
+    out = str(tmp_path / "compacted")
+    execute_compaction(spark, plan, out)
+    manifest = swap_compacted(spark, plan, out)
+    assert manifest["dirs_swapped"] == 2 and manifest["files_retired"] == 6
+
+    import os
+    assert spark.read.parquet(child).count() == 100
+    # the parent's own rows: read only its top-level merged file
+    top = [n for n in os.listdir(parent) if n.startswith("compacted-")]
+    assert len(top) == 1
+    assert spark.read.parquet(f"{parent}/{top[0]}").count() == 100
+    assert {r.id for r in spark.read.parquet(f"{parent}/{top[0]}").collect()} == set(
+        range(0, 100)
+    )
+
+
+def test_swap_compacted_sibling_failure_isolation(spark, tmp_path):
+    """One directory's missing mirror fails its swap only: siblings still
+    swap, and the CompactionError carries the partial manifest plus the
+    full failure list (same contract as execute_compaction)."""
+    import os
+    import shutil
+
+    from tidb_large_table_compare_spark.operators.compaction import (
+        CompactionError,
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+        swap_compacted,
+    )
+
+    a = str(tmp_path / "lake" / "a")
+    b = str(tmp_path / "lake" / "b")
+    spark.range(0, 100).repartition(3).write.parquet(a)
+    spark.range(1000, 1100).repartition(3).write.parquet(b)
+    inv = file_inventory(spark, str(tmp_path / "lake"))
+    plan = compaction_plan(inv, 1 << 30).localCheckpoint()
+    out = str(tmp_path / "compacted")
+    execute_compaction(spark, plan, out)
+    shutil.rmtree(f"{out}/b")  # sabotage one mirror
+
+    with pytest.raises(CompactionError) as exc_info:
+        swap_compacted(spark, plan, out)
+    exc = exc_info.value
+    assert exc.manifest["dirs_swapped"] == 1
+    assert len(exc.failures) == 1 and "b bin=0" in exc.failures[0]
+    # the healthy sibling really swapped; the failed one is untouched
+    assert any(n.startswith("compacted-") for n in os.listdir(a))
+    assert sum(n.startswith("part-") for n in os.listdir(b)) == 3
+    assert spark.read.parquet(b).count() == 100

@@ -361,7 +361,9 @@ def _heal_swap(spark: SparkSession, fs, src_dir: str) -> bool:
     return healed
 
 
-def swap_compacted(spark: SparkSession, plan: DataFrame, out_dir: str) -> dict:
+def swap_compacted(
+    spark: SparkSession, plan: DataFrame, out_dir: str, parallelism: int = 8
+) -> dict:
     """Swap :func:`execute_compaction`'s merged files in over the small
     originals — the deliberate, destructive final step of the maintenance
     loop (plan → execute → swap), kept separate so a run can stop at the
@@ -391,9 +393,21 @@ def swap_compacted(spark: SparkSession, plan: DataFrame, out_dir: str) -> dict:
     tree) so no reader observes the window. Directories whose files all
     planned 'keep' are untouched.
 
+    Directories swap as up to ``parallelism`` concurrent workers (each
+    dir's protocol is a handful of independent metadata renames — network
+    round-trips on an object store, so a serial loop over thousands of
+    planned dirs would be latency-bound). A planned ancestor dir briefly
+    renames its whole subtree aside, so nested planned dirs are scheduled
+    deepest-first in waves. A dir whose swap fails does not stop its
+    siblings; failures are collected and re-raised together as
+    :class:`CompactionError` with the partial manifest attached — every
+    failure state is healable on the next run.
+
     Returns ``{"dirs_swapped", "files_swapped_in", "files_retired",
     "carried", "healed": [dirs]}``.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     rows = plan.collect()  # metadata-sized: one row per file
     by_dir: dict[str, set[int]] = {}
     planned: dict[str, set[str]] = {}
@@ -414,9 +428,9 @@ def swap_compacted(spark: SparkSession, plan: DataFrame, out_dir: str) -> dict:
             if not s.getPath().getName().startswith(("_", "."))
         ]
 
-    for src_dir in sorted(by_dir):
-        if _heal_swap(spark, fs, src_dir):
-            manifest["healed"].append(src_dir)
+    def _swap_one(src_dir: str) -> dict:
+        out = {"swapped_in": 0, "retired": 0, "carried": 0, "healed": False}
+        out["healed"] = _heal_swap(spark, fs, src_dir)
         # verify the mirror is complete before touching the source
         bin_files: list[tuple[int, object]] = []
         for bin_id in sorted(by_dir[src_dir]):
@@ -425,40 +439,93 @@ def swap_compacted(spark: SparkSession, plan: DataFrame, out_dir: str) -> dict:
                 _data_files(dest) if fs.exists(_jpath(spark, dest)) else []
             )
             if not files:
-                raise CompactionError(
+                raise IOError(
                     f"no merged output for {src_dir} bin={bin_id} under "
-                    f"{dest} — re-run execute_compaction before swapping",
-                    manifest=manifest, failures=[f"{src_dir} bin={bin_id}"],
+                    f"{dest} — re-run execute_compaction before swapping"
                 )
             bin_files.extend((bin_id, s) for s in files)
         side = src_dir + ".compacting"
-        jside = _jpath(spark, side)
-        fs.mkdirs(jside)
+        fs.mkdirs(_jpath(spark, side))
         for bin_id, status in bin_files:
             name = f"{_MERGED_PREFIX}{bin_id:05d}-{status.getPath().getName()}"
             if not fs.rename(status.getPath(), _jpath(spark, f"{side}/{name}")):
                 raise IOError(f"could not stage merged file {name} into {side}")
-            manifest["files_swapped_in"] += 1
-        retired = 0
+            out["swapped_in"] += 1
         for status in fs.listStatus(_jpath(spark, src_dir)):
             name = status.getPath().getName()
             if status.getPath().toString() in planned[src_dir] or (
                 not status.isDirectory()
                 and f"{src_dir}/{name}" in planned[src_dir]
             ):
-                retired += 1  # stays behind, leaves with .old
+                out["retired"] += 1  # stays behind, leaves with .old
                 continue
             if not fs.rename(status.getPath(), _jpath(spark, f"{side}/{name}")):
                 raise IOError(f"could not carry {name} into {side}")
-            manifest["carried"] += 1
+            out["carried"] += 1
         jsrc = _jpath(spark, src_dir)
         jold = _jpath(spark, src_dir + ".old")
         if not fs.rename(jsrc, jold):
             raise IOError(f"swap failed: could not move {src_dir} aside")
-        if not fs.rename(jside, jsrc):
+        if not fs.rename(_jpath(spark, side), jsrc):
             fs.rename(jold, jsrc)  # restore so the tree stays readable
             raise IOError(f"swap failed: could not move {side} into place")
         fs.delete(jold, True)
-        manifest["dirs_swapped"] += 1
-        manifest["files_retired"] += retired
+        return out
+
+    # Each directory's protocol is independent metadata work (a handful of
+    # renames — on an object store each is a network round-trip), so dirs
+    # swap as CONCURRENT workers, like execute_compaction's bins and
+    # file_inventory's listings. The one ordering constraint: a planned
+    # ancestor briefly renames its WHOLE subtree aside, so it must not run
+    # while a planned descendant is mid-protocol — dirs are scheduled in
+    # waves, a dir eligible only once no pending dir lies beneath it
+    # (nested planned dirs are rare; the common flat case is one wave).
+    remaining = sorted(by_dir)
+    failures: list[str] = []
+    failed_dirs: list[str] = []
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+        while remaining:
+            wave = [
+                d for d in remaining
+                if not any(
+                    o != d and o.startswith(d.rstrip("/") + "/")
+                    for o in remaining
+                )
+            ]
+            remaining = [d for d in remaining if d not in wave]
+            # never swap an ancestor of a failed dir: its subtree state is
+            # whatever the failed protocol left (healable, but not here)
+            held = [
+                d for d in wave
+                if any(f.startswith(d.rstrip("/") + "/") for f in failed_dirs)
+            ]
+            for d in held:
+                failures.append(f"{d}: skipped — descendant swap failed")
+                failed_dirs.append(d)
+            wave = [d for d in wave if d not in held]
+            for src_dir, fut in [
+                (d, pool.submit(_swap_one, d)) for d in wave
+            ]:
+                try:
+                    res = fut.result()
+                except Exception as exc:
+                    failures.append(f"{src_dir}: {exc}")
+                    failed_dirs.append(src_dir)
+                    continue
+                manifest["dirs_swapped"] += 1
+                manifest["files_swapped_in"] += res["swapped_in"]
+                manifest["files_retired"] += res["retired"]
+                manifest["carried"] += res["carried"]
+                if res["healed"]:
+                    manifest["healed"].append(src_dir)
+    manifest["healed"].sort()
+    if failures:
+        raise CompactionError(
+            f"{len(failures)}/{len(by_dir)} directory swaps failed "
+            f"({manifest['dirs_swapped']} succeeded; every failure is "
+            f"healable — re-run execute_compaction then swap again): "
+            + "; ".join(failures[:5]),
+            manifest=manifest,
+            failures=failures,
+        )
     return manifest
