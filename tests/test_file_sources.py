@@ -730,9 +730,12 @@ def test_file_inventory_distributed_matches_driver_walk(spark, tmp_path):
     driver = sorted(
         map(tuple, file_inventory(spark, lake, distributed=False).collect())
     )
-    dist = sorted(
-        map(tuple, file_inventory(spark, lake, distributed=True).collect())
-    )
+    dist_df = file_inventory(spark, lake, distributed=True)
+    # the binaryFile scan must stay metadata-only: path+length requested,
+    # content never in the ReadSchema (selecting it would OPEN every file)
+    plan = dist_df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<path:string,length:bigint>" in plan, plan
+    dist = sorted(map(tuple, dist_df.collect()))
     assert driver == dist and len(driver) == 5
     assert not any("_hidden" in p for p, _ in driver)
 
@@ -834,3 +837,97 @@ def test_swap_compacted_sibling_failure_isolation(spark, tmp_path):
     assert any(n.startswith("compacted-") for n in os.listdir(a))
     assert sum(n.startswith("part-") for n in os.listdir(b)) == 3
     assert spark.read.parquet(b).count() == 100
+
+
+def test_swap_crash_at_every_protocol_step_heals(spark, tmp_path):
+    """Kill the swap at EVERY mutating FS operation in turn (the
+    _before_op crash-injection seam) and run the operational recovery
+    flow a scheduler would (heal_tree → re-inventory → re-plan →
+    re-execute → re-swap): every crash point must end fully healed,
+    lossless, and debris-free."""
+    import os
+
+    from tidb_large_table_compare_spark.operators.compaction import (
+        CompactionError,
+        compaction_plan,
+        execute_compaction,
+        file_inventory,
+        heal_tree,
+        swap_compacted,
+    )
+
+    labels = ["stage-merged", "carry", "rename-aside", "rename-in",
+              "delete-old"]
+    df = spark.range(0, 300).withColumn("v", F.col("id") * 7)
+    expected = sorted(map(tuple, df.collect()))
+
+    for i, label in enumerate(labels):
+        lake = str(tmp_path / f"lake_{label}")
+        src = f"{lake}/t1"
+        df.repartition(6).write.parquet(src)
+        with open(f"{src}/_sidecar.txt", "w") as fh:
+            fh.write("carried")  # ensures the 'carry' label fires
+        out = str(tmp_path / f"out_{label}")
+        inv = file_inventory(spark, lake)
+        plan = compaction_plan(inv, 1 << 30).localCheckpoint()
+        execute_compaction(spark, plan, out)
+
+        def crash(op, _label=label):
+            if op == _label:
+                raise OSError(f"injected crash at {op}")
+
+        with pytest.raises(CompactionError, match="injected crash"):
+            swap_compacted(spark, plan, out, _before_op=crash)
+
+        # operational recovery: heal, then re-run the whole loop
+        heal_tree(spark, lake)
+        assert not os.path.exists(src + ".old")
+        assert not os.path.exists(src + ".compacting")
+        inv2 = file_inventory(spark, lake)
+        plan2 = compaction_plan(inv2, 1 << 30).localCheckpoint()
+        todo = plan2.filter(F.col("action") == "compact")
+        if todo.count() > 0:  # crash before completion: finish the swap
+            out2 = str(tmp_path / f"out2_{label}")
+            execute_compaction(spark, plan2, out2)
+            swap_compacted(spark, plan2, out2)
+        back = sorted(map(tuple, spark.read.parquet(src).collect()))
+        assert back == expected, f"data loss after crash at {label}"
+        names = os.listdir(src)
+        assert "_sidecar.txt" in names, f"carried entry lost at {label}"
+        assert not os.path.exists(src + ".old")
+        assert not os.path.exists(src + ".compacting")
+        # post-swap crashes must need NO further compaction (idempotent
+        # fixed point), pre-swap crashes must have re-compacted
+        merged = [n for n in names if n.startswith("compacted-")]
+        assert len(merged) == 1, f"{label}: {names}"
+
+
+def test_file_inventory_and_heal_tree_skip_reclaim_protocol_dirs(spark, tmp_path):
+    """An unhealed X.old must never be inventoried (it holds retired
+    duplicates of X), and heal_tree must reclaim it tree-wide — including
+    the post-swap crash shape no later plan would ever revisit."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        file_inventory,
+        heal_tree,
+    )
+
+    import os
+    import shutil
+
+    lake = str(tmp_path / "lake")
+    src = f"{lake}/t1"
+    spark.range(0, 50).coalesce(1).write.parquet(src)
+    # simulate the post-swap crash: canonical healthy, .old still present
+    shutil.copytree(src, src + ".old")
+    os.makedirs(f"{lake}/t2.compacting")
+
+    inv = file_inventory(spark, lake).collect()
+    assert all(".old" not in r.path and ".compacting" not in r.path for r in inv)
+    dist = file_inventory(spark, lake, distributed=True).collect()
+    assert sorted(r.path for r in inv) == sorted(r.path for r in dist)
+
+    healed = heal_tree(spark, lake)
+    assert [h.rsplit("/", 1)[-1] for h in healed] == ["t1", "t2"]
+    assert not os.path.exists(src + ".old")
+    assert not os.path.exists(f"{lake}/t2.compacting")
+    assert spark.read.parquet(src).count() == 50

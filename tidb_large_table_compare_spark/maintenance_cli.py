@@ -103,10 +103,16 @@ def _run(args) -> int:
         compaction_plan,
         execute_compaction,
         file_inventory,
+        heal_tree,
         swap_compacted,
     )
 
     spark = get_spark("maintenance")
+    # reclaim any interrupted swap BEFORE inventorying (we hold the run
+    # lock): an X.old left by a crash holds retired duplicates that a
+    # naive listing would resurrect as an independent table
+    for healed in heal_tree(spark, args.dir):
+        print(f"healed interrupted swap: {healed}")
     inv = file_inventory(spark, args.dir, recursive=not args.no_recursive)
     plan = compaction_plan(inv, args.target_bytes).persist()
     try:

@@ -31,8 +31,14 @@ __all__ = [
     "file_inventory",
     "execute_compaction",
     "swap_compacted",
+    "heal_tree",
     "CompactionError",
 ]
+
+# Transient protocol-dir suffixes reserved by swap_compacted (a user table
+# directory may not end in these — the inventory skips them as in-flight
+# swap state and heal_tree reclaims them).
+_PROTOCOL_SUFFIXES = (".old", ".compacting")
 
 
 class CompactionError(RuntimeError):
@@ -154,6 +160,10 @@ def _file_inventory_distributed(spark: SparkSession, dir_path: str) -> DataFrame
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .load(dir_path)
+        # same protocol-dir exclusion as the driver walk: files under an
+        # interrupted swap's X.old / X.compacting are in-flight state,
+        # not inventory
+        .filter(~F.col("path").rlike(r"\.(old|compacting)/"))
         .select(F.col("path"), F.col("length").alias("bytes"))
     )
 
@@ -205,7 +215,11 @@ def file_inventory(
             if name.startswith(("_", ".")):
                 continue
             if status.isDirectory():
-                if recursive:
+                # never inventory in-flight swap state: an interrupted
+                # swap's X.old holds retired duplicates of X — listing it
+                # as an independent table would resurrect them; heal the
+                # tree first (heal_tree / the maintenance CLI does)
+                if recursive and not name.endswith(_PROTOCOL_SUFFIXES):
                     subdirs.append(status.getPath())
             elif name.endswith(".parquet"):
                 files.append((status.getPath().toString(), status.getLen()))
@@ -361,8 +375,61 @@ def _heal_swap(spark: SparkSession, fs, src_dir: str) -> bool:
     return healed
 
 
+def heal_tree(
+    spark: SparkSession, dir_path: str, parallelism: int = 16
+) -> list[str]:
+    """Find and repair every interrupted swap under ``dir_path``; returns
+    the sorted canonical dirs that needed healing.
+
+    :func:`swap_compacted` heals the dirs in ITS plan, but a crashed swap
+    can leave debris for a directory no later plan revisits — e.g. a crash
+    after the swap but before the ``.old`` cleanup: the re-planned dir now
+    holds only healthy merged files (all 'keep', so no future swap touches
+    it) while ``X.old`` still holds the retired small files, which an
+    unsuspecting inventory would list as an independent table and
+    resurrect. The maintenance CLI therefore heals the whole tree, under
+    its run lock, BEFORE inventorying (``file_inventory`` additionally
+    skips protocol dirs outright, so even an unhealed tree never
+    double-counts). Walks with the same work-queue concurrency as the
+    inventory; never descends into protocol dirs themselves.
+    """
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    jroot = _jpath(spark, dir_path)
+    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jroot):
+        return []
+
+    def _scan_one(cur) -> tuple[list, set[str]]:
+        subdirs, debris = [], set()
+        for status in fs.listStatus(cur):
+            name = status.getPath().getName()
+            if not status.isDirectory() or name.startswith(("_", ".")):
+                continue
+            if name.endswith(_PROTOCOL_SUFFIXES):
+                full = status.getPath().toString()
+                debris.add(full[: full.rindex(".")])
+            else:
+                subdirs.append(status.getPath())
+        return subdirs, debris
+
+    canonicals: set[str] = set()
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+        pending = {pool.submit(_scan_one, jroot)}
+        while pending:
+            done, pending = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                subdirs, debris = fut.result()
+                canonicals |= debris
+                for d in subdirs:
+                    pending.add(pool.submit(_scan_one, d))
+    healed = [c for c in sorted(canonicals) if _heal_swap(spark, fs, c)]
+    return healed
+
+
 def swap_compacted(
-    spark: SparkSession, plan: DataFrame, out_dir: str, parallelism: int = 8
+    spark: SparkSession, plan: DataFrame, out_dir: str, parallelism: int = 8,
+    _before_op=None,
 ) -> dict:
     """Swap :func:`execute_compaction`'s merged files in over the small
     originals — the deliberate, destructive final step of the maintenance
@@ -405,6 +472,12 @@ def swap_compacted(
 
     Returns ``{"dirs_swapped", "files_swapped_in", "files_retired",
     "carried", "healed": [dirs]}``.
+
+    ``_before_op`` is the crash-injection seam for the healing tests: a
+    callable invoked with a label before every mutating FS operation
+    (``stage-merged``/``carry``/``rename-aside``/``rename-in``/
+    ``delete-old``); raising from it simulates a crash at exactly that
+    protocol step. Production callers leave it None.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -447,6 +520,8 @@ def swap_compacted(
         side = src_dir + ".compacting"
         fs.mkdirs(_jpath(spark, side))
         for bin_id, status in bin_files:
+            if _before_op:
+                _before_op("stage-merged")
             name = f"{_MERGED_PREFIX}{bin_id:05d}-{status.getPath().getName()}"
             if not fs.rename(status.getPath(), _jpath(spark, f"{side}/{name}")):
                 raise IOError(f"could not stage merged file {name} into {side}")
@@ -459,16 +534,24 @@ def swap_compacted(
             ):
                 out["retired"] += 1  # stays behind, leaves with .old
                 continue
+            if _before_op:
+                _before_op("carry")
             if not fs.rename(status.getPath(), _jpath(spark, f"{side}/{name}")):
                 raise IOError(f"could not carry {name} into {side}")
             out["carried"] += 1
         jsrc = _jpath(spark, src_dir)
         jold = _jpath(spark, src_dir + ".old")
+        if _before_op:
+            _before_op("rename-aside")
         if not fs.rename(jsrc, jold):
             raise IOError(f"swap failed: could not move {src_dir} aside")
+        if _before_op:
+            _before_op("rename-in")
         if not fs.rename(_jpath(spark, side), jsrc):
             fs.rename(jold, jsrc)  # restore so the tree stays readable
             raise IOError(f"swap failed: could not move {side} into place")
+        if _before_op:
+            _before_op("delete-old")
         fs.delete(jold, True)
         return out
 
