@@ -931,3 +931,30 @@ def test_file_inventory_and_heal_tree_skip_reclaim_protocol_dirs(spark, tmp_path
     assert not os.path.exists(src + ".old")
     assert not os.path.exists(f"{lake}/t2.compacting")
     assert spark.read.parquet(src).count() == 50
+
+
+def test_maintenance_cli_heal_only_mode(spark, tmp_path, capsys):
+    """--heal-only reclaims interrupted swaps and exits without planning;
+    it refuses to combine with plan/execute/swap flags."""
+    import os
+    import shutil
+
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    assert main(
+        ["--dir", str(tmp_path), "--heal-only", "--plan-out", str(tmp_path / "p")]
+    ) == 2
+    assert "heal-only" in capsys.readouterr().err
+
+    lake = str(tmp_path / "lake")
+    src = f"{lake}/t1"
+    spark.range(0, 50).coalesce(1).write.parquet(src)
+    shutil.copytree(src, src + ".old")  # post-swap crash shape
+
+    assert main(["--dir", lake, "--heal-only"]) == 0
+    out = capsys.readouterr().out
+    assert "healed interrupted swap" in out and "1 interrupted swap" in out
+    assert not os.path.exists(src + ".old")
+    assert spark.read.parquet(src).count() == 50
+    # nothing planned or executed
+    assert "plan " not in out and "execute " not in out

@@ -63,6 +63,10 @@ def _parse_args(argv: list[str] | None):
                    help="after executing, swap the merged files in over "
                         "the small originals (destructive; crash-healing "
                         "rename protocol; requires --execute-out)")
+    p.add_argument("--heal-only", action="store_true",
+                   help="only reclaim interrupted swaps under --dir (run "
+                        "after a crashed maintenance job), then exit — no "
+                        "inventory, plan, or execute")
     p.add_argument("--lock-file", default=None,
                    help="run-lock path (default: keyed on --dir under the "
                         "system temp dir)")
@@ -76,6 +80,10 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.swap and not args.execute_out:
         print("error: --swap requires --execute-out", file=sys.stderr)
+        return 2
+    if args.heal_only and (args.swap or args.execute_out or args.plan_out):
+        print("error: --heal-only takes no plan/execute/swap flags",
+              file=sys.stderr)
         return 2
 
     # normalize before keying the lock: /data/lake, /data/lake/ and a
@@ -111,8 +119,12 @@ def _run(args) -> int:
     # reclaim any interrupted swap BEFORE inventorying (we hold the run
     # lock): an X.old left by a crash holds retired duplicates that a
     # naive listing would resurrect as an independent table
-    for healed in heal_tree(spark, args.dir):
-        print(f"healed interrupted swap: {healed}")
+    healed = heal_tree(spark, args.dir)
+    for h in healed:
+        print(f"healed interrupted swap: {h}")
+    if args.heal_only:
+        print(f"heal-only: {len(healed)} interrupted swap(s) reclaimed")
+        return 0
     inv = file_inventory(spark, args.dir, recursive=not args.no_recursive)
     plan = compaction_plan(inv, args.target_bytes).persist()
     try:
