@@ -182,9 +182,11 @@ def query_neardup_index(
     measured at a 55k-doc store the checkpoint+collect overhead costs
     ~0.25 s while the double scan it avoids is ~40 MB — a wash — so small
     stores keep the fully-lazy plain join, and the pushdown switches on
-    where its savings are real (a store big enough that two end-to-end
-    scans dominate). Above the id cap (or with
-    ``verify_pushdown_max_ids=0``) the probe likewise stays lazy.
+    where its savings are real. Above the floor the savings are MEASURED,
+    not extrapolated: an 800k-doc / 326 MB store probed with a 200-doc
+    batch runs 0.52 s with the pushdown vs 2.63 s without (5.1×,
+    identical pairs; PERFORMANCE.md round-8). Above the id cap (or with
+    ``verify_pushdown_max_ids=0``) the probe stays lazy.
     """
     new_shingles = _shingle_sets(new_docs, id_col, text_col, shingle_n)
     new_sigs = minhash_signature_oph_np(new_shingles, id_col, n_hashes=n_hashes)
