@@ -134,8 +134,6 @@ def main(argv: list[str] | None = None) -> int:
                              indent=2))
             return 0
         if args.mode == "admit":
-            from pyspark.sql import functions as F
-
             from tidb_large_table_compare_spark.operators.dedup_index import (
                 query_neardup_index,
             )

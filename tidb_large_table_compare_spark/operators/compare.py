@@ -30,7 +30,7 @@ multiplicities — an ``exceptAll``-style diff that needs no key at all.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

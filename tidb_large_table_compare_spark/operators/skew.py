@@ -13,7 +13,7 @@ concentrates one bucket/partition. Two standard remedies, both shipped:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["with_salt", "salted_count_by_key"]
