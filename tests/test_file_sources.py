@@ -714,6 +714,47 @@ def test_maintenance_cli_partial_failure_prints_manifest(
     assert not swap_called  # never swap a half-built mirror
 
 
+def test_maintenance_cli_swap_failure_prints_full_failure_list(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """A partial SWAP failure follows the same contract as execute: partial
+    swap manifest on stdout, the FULL failure list on stderr (the exception
+    message previews only the first 5), exit code 3."""
+    from tidb_large_table_compare_spark.maintenance_cli import main
+    from tidb_large_table_compare_spark.operators import compaction
+
+    src = str(tmp_path / "lake" / "t1")
+    spark.range(0, 200).repartition(4).write.parquet(src)
+
+    partial = {"dirs_swapped": 1, "files_swapped_in": 1, "files_retired": 4,
+               "carried": 1, "healed": []}
+    fail_list = [f"t{i}: rename boom" for i in range(1, 8)]  # > 5-preview
+    def _boom(spark_, plan, out_dir, parallelism=8):
+        raise compaction.CompactionError(
+            "7/8 directory swaps failed", manifest=partial,
+            failures=fail_list,
+        )
+    monkeypatch.setattr(compaction, "swap_compacted", _boom)
+
+    code = main(
+        [
+            "--dir", str(tmp_path / "lake"),
+            "--target-bytes", str(1 << 30),
+            "--execute-out", str(tmp_path / "compacted"),
+            "--swap",
+        ]
+    )
+    assert code == 3
+    captured = capsys.readouterr()
+    import json as _json
+    swap_line = next(
+        l for l in captured.out.splitlines() if l.startswith("swap ")
+    )
+    assert _json.loads(swap_line[len("swap "):]) == partial
+    for f in fail_list:  # every failure, not just the 5-preview
+        assert f"failed: {f}" in captured.err
+
+
 def test_file_inventory_distributed_matches_driver_walk(spark, tmp_path):
     """The distributed (binaryFile-index) listing and the driver walk must
     produce the SAME inventory — paths, bytes, hidden-entry semantics —

@@ -173,8 +173,13 @@ def _run(args) -> int:
                 try:
                     swapped = swap_compacted(spark, plan, args.execute_out)
                 except CompactionError as exc:
+                    # same contract as the execute branch: partial manifest
+                    # to stdout, the FULL failure list to stderr (the
+                    # message alone previews only the first 5)
                     print("swap " + json.dumps(exc.manifest))
                     print(f"error: {exc}", file=sys.stderr)
+                    for f in exc.failures:
+                        print(f"failed: {f}", file=sys.stderr)
                     return 3
                 print("swap " + json.dumps(swapped))
     finally:
