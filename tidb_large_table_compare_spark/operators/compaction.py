@@ -161,9 +161,13 @@ def _file_inventory_distributed(spark: SparkSession, dir_path: str) -> DataFrame
         .option("recursiveFileLookup", "true")
         .load(dir_path)
         # same protocol-dir exclusion as the driver walk: files under an
-        # interrupted swap's X.old / X.compacting are in-flight state,
-        # not inventory
-        .filter(~F.col("path").rlike(r"\.(old|compacting)/"))
+        # interrupted swap's X.old / X.compacting are in-flight state, not
+        # inventory (pattern derived from _PROTOCOL_SUFFIXES so the two
+        # listing paths cannot drift)
+        .filter(~F.col("path").rlike(
+            "(" + "|".join(s.replace(".", r"\.") for s in _PROTOCOL_SUFFIXES)
+            + ")/"
+        ))
         .select(F.col("path"), F.col("length").alias("bytes"))
     )
 
