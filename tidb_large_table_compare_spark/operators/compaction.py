@@ -278,6 +278,13 @@ def execute_compaction(
     stop the others; failures are re-raised together after the loop so a
     partial maintenance run is visible, resumable (outputs are
     idempotent overwrites), and never silently half-reported.
+
+    The ``plan.collect()`` is driver-bound by design: execution IS driver
+    work (each bin is a driver-submitted job), so the bin→paths map must
+    live there — same ~4.8 s/100k-row py4j conversion cost as the
+    inventory walk (PERFORMANCE.md). On a lake big enough for that to
+    matter, scope the plan (filter to one table/partition subtree) and
+    run several maintenance processes; the run lock is per-tree.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -427,8 +434,14 @@ def heal_tree(
                 canonicals |= debris
                 for d in subdirs:
                     pending.add(pool.submit(_scan_one, d))
-    healed = [c for c in sorted(canonicals) if _heal_swap(spark, fs, c)]
-    return healed
+        # heal concurrently too: each repair is a couple of FS renames —
+        # network round-trips on an object store, so a serial loop over
+        # many debris dirs would be latency-bound like the listing. Safe:
+        # distinct canonicals touch disjoint paths (a canonical inside
+        # another's .old tree is never scanned, so never in the set).
+        flags = list(pool.map(lambda c: _heal_swap(spark, fs, c),
+                              sorted(canonicals)))
+    return [c for c, h in zip(sorted(canonicals), flags) if h]
 
 
 def swap_compacted(
