@@ -755,6 +755,31 @@ def test_maintenance_cli_swap_failure_prints_full_failure_list(
         assert f"failed: {f}" in captured.err
 
 
+def test_maintenance_cli_distributed_inventory_flag(spark, tmp_path, capsys):
+    """--distributed-inventory plans from the Spark-index listing and must
+    produce the same plan as the driver walk; combining it with
+    --no-recursive is an argument error (the binaryFile index always
+    recurses)."""
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    assert main(
+        ["--dir", str(tmp_path), "--distributed-inventory", "--no-recursive"]
+    ) == 2
+    assert "recursive" in capsys.readouterr().err
+
+    src = str(tmp_path / "lake" / "t1")
+    spark.range(0, 200).repartition(4).write.parquet(src)
+    for flag in ([], ["--distributed-inventory"]):
+        code = main(
+            ["--dir", str(tmp_path / "lake"),
+             "--target-bytes", str(1 << 30)] + flag
+        )
+        assert code == 0
+    out = capsys.readouterr().out
+    plans = [l for l in out.splitlines() if l.startswith("plan ")]
+    assert len(plans) == 2 and plans[0] == plans[1]
+
+
 def test_file_inventory_distributed_matches_driver_walk(spark, tmp_path):
     """The distributed (binaryFile-index) listing and the driver walk must
     produce the SAME inventory — paths, bytes, hidden-entry semantics —

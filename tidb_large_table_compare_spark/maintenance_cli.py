@@ -53,6 +53,12 @@ def _parse_args(argv: list[str] | None):
                         "healthy parquet file per bin)")
     p.add_argument("--no-recursive", action="store_true",
                    help="inventory only the top-level directory")
+    p.add_argument("--distributed-inventory", action="store_true",
+                   help="list via Spark's own file index (executors, no "
+                        "driver row marshaling) instead of the driver "
+                        "walk; the walk auto-delegates above 1M files "
+                        "anyway — this flag skips straight there (always "
+                        "recursive)")
     p.add_argument("--plan-out", default=None,
                    help="write the full plan (path, bytes, dir, action, "
                         "bin) as parquet here")
@@ -83,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.heal_only and (args.swap or args.execute_out or args.plan_out):
         print("error: --heal-only takes no plan/execute/swap flags",
+              file=sys.stderr)
+        return 2
+    if args.distributed_inventory and args.no_recursive:
+        print("error: --distributed-inventory is always recursive",
               file=sys.stderr)
         return 2
 
@@ -125,7 +135,10 @@ def _run(args) -> int:
     if args.heal_only:
         print(f"heal-only: {len(healed)} interrupted swap(s) reclaimed")
         return 0
-    inv = file_inventory(spark, args.dir, recursive=not args.no_recursive)
+    inv = file_inventory(
+        spark, args.dir, recursive=not args.no_recursive,
+        distributed=True if args.distributed_inventory else None,
+    )
     plan = compaction_plan(inv, args.target_bytes).persist()
     try:
         summary = (
