@@ -999,6 +999,32 @@ def test_file_inventory_and_heal_tree_skip_reclaim_protocol_dirs(spark, tmp_path
     assert spark.read.parquet(src).count() == 50
 
 
+def test_heal_refuses_orphan_side_dir_with_carried_entries(spark, tmp_path):
+    """An orphan .compacting dir (no canonical sibling, no .old) is
+    unreachable under the protocol — manual deletion made it. If it holds
+    carried entries, they may be their only copy, so heal_tree must raise
+    rather than discard them; merged-prefixed entries alone (re-creatable
+    by execute_compaction) are still reclaimed."""
+    import os
+
+    from tidb_large_table_compare_spark.operators.compaction import heal_tree
+
+    lake = str(tmp_path / "lake")
+    side = f"{lake}/gone.compacting"
+    os.makedirs(side)
+    with open(f"{side}/keep-0001.parquet", "w") as f:
+        f.write("x")  # a carried (non-merged) entry
+    with pytest.raises(Exception, match="refusing to discard"):
+        heal_tree(spark, lake)
+    assert os.path.exists(f"{side}/keep-0001.parquet")  # nothing lost
+
+    os.remove(f"{side}/keep-0001.parquet")
+    with open(f"{side}/compacted-00001-part.parquet", "w") as f:
+        f.write("x")  # merged-only: safe to reclaim
+    assert [h.rsplit("/", 1)[-1] for h in heal_tree(spark, lake)] == ["gone"]
+    assert not os.path.exists(side)
+
+
 def test_maintenance_cli_heal_only_mode(spark, tmp_path, capsys):
     """--heal-only reclaims interrupted swaps and exits without planning;
     it refuses to combine with plan/execute/swap flags."""

@@ -359,6 +359,14 @@ def _heal_swap(spark: SparkSession, fs, src_dir: str) -> bool:
        (its outputs are idempotent overwrites).
     3. canonical and ``.old`` both present (crash after the swap, before
        the cleanup delete) — the swap completed; delete ``.old``.
+
+    A side dir with NO canonical sibling and no ``.old`` to restore it
+    from is unreachable under the protocol (the canonical is absent only
+    between the two renames, when ``.old`` exists) — it means someone
+    deleted state by hand. If that orphan holds only re-creatable
+    merged files (or nothing), it is still discarded; if it holds
+    carried entries — possibly their only copy — healing raises instead
+    of discarding them.
     """
     jsrc = _jpath(spark, src_dir)
     jold = _jpath(spark, src_dir + ".old")
@@ -369,15 +377,24 @@ def _heal_swap(spark: SparkSession, fs, src_dir: str) -> bool:
             raise IOError(f"could not restore {src_dir} from its .old sibling")
         healed = True
     if fs.exists(jside):
-        if fs.exists(jsrc):
-            for status in fs.listStatus(jside):
-                name = status.getPath().getName()
-                if name.startswith(_MERGED_PREFIX):
-                    continue
-                if not fs.rename(status.getPath(), _jpath(spark, f"{src_dir}/{name}")):
-                    raise IOError(
-                        f"heal failed: could not move {name} back into {src_dir}"
-                    )
+        for status in fs.listStatus(jside):
+            name = status.getPath().getName()
+            if name.startswith(_MERGED_PREFIX):
+                continue  # re-creatable: execute_compaction overwrites
+            if not fs.exists(jsrc):
+                # unreachable under the protocol (see docstring): this
+                # carried entry may be its own last copy — refuse to
+                # discard state we cannot prove is a duplicate
+                raise IOError(
+                    f"refusing to discard {src_dir}.compacting: it holds "
+                    f"carried entry {name} but no canonical dir or .old "
+                    f"sibling exists — manual intervention left an "
+                    f"undefined state"
+                )
+            if not fs.rename(status.getPath(), _jpath(spark, f"{src_dir}/{name}")):
+                raise IOError(
+                    f"heal failed: could not move {name} back into {src_dir}"
+                )
         fs.delete(jside, True)
         healed = True
     if fs.exists(jsrc) and fs.exists(jold):
