@@ -300,6 +300,60 @@ def test_reconcile_repairs_drifted_side(spark):
     assert orders.exceptAll(repaired).count() == 0
 
 
+def test_verify_repair_scoped_catches_broken_repair(spark):
+    """verify_repair re-checks the ACTUAL repaired frame (not the patch
+    algebra): a repair that silently skips part of the diff must come back
+    non-equivalent, with the residual up/downcounts derived."""
+    import pytest
+
+    from tidb_large_table_compare_spark.operators.compare import (
+        CompareOptions,
+        compare_tables,
+    )
+    from tidb_large_table_compare_spark.operators.reconcile import (
+        apply_fixes,
+        verify_repair,
+    )
+    from tidb_large_table_compare_spark.perturb import perturbed_orders
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    slave = perturbed_orders(orders)
+    # pin a bucket count far above the drift so the SCOPED branch engages
+    # (at the default 32 buckets this perturbation drifts most of them and
+    # verify_repair falls back to the full re-compare — also a valid path,
+    # but not the one under test here)
+    tc = compare_tables(
+        spark, orders, slave, ["o_orderkey"],
+        CompareOptions(n_buckets=4096), table_name="o",
+    )
+    n_buckets, bad_ids, _ = tc._bad_bucket_state()
+    assert bad_ids is not None and len(bad_ids) <= 0.25 * n_buckets
+
+    # a "repair" built from only half the diff: modified rows never patched
+    partial_diff = tc.diff_rows().filter("diff_type != 'modified'")
+    broken = apply_fixes(orders, slave, ["o_orderkey"], partial_diff)
+    bad = verify_repair(tc, broken).collect()[0]
+    full = compare_tables(
+        spark, orders, broken, ["o_orderkey"], table_name="o"
+    ).summary().collect()[0]
+    assert not bad.equivalent
+    assert (bad.upcount, bad.downcount) == (full.upcount, full.downcount)
+    assert bad.upcount > 0  # the skipped modifications are the residue
+
+    # good repair: scoped verdict equivalent, matching the unscoped one
+    repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
+    assert verify_repair(tc, repaired).collect()[0].equivalent
+
+    # bucket scoping is PK-determined, so multiset compares must refuse
+    tc_ms = compare_tables(
+        spark, orders, slave, ["o_orderkey"],
+        CompareOptions(force_multiset=True), table_name="o",
+    )
+    with pytest.raises(ValueError, match="keyed"):
+        verify_repair(tc_ms, repaired)
+
+
 def test_fk_orphans_null_and_composite_semantics(spark):
     from tidb_large_table_compare_spark.operators.integrity import (
         fk_orphans,

@@ -200,8 +200,13 @@ def test_numpy_oph_matches_reference_formula(spark, docs):
 @given(plan=perturbation_plan())
 def test_reconcile_always_restores_equivalence(spark, plan):
     """For ANY perturbation (deletes + modifies + inserts, incl. NULL fields),
-    compare → apply_fixes → re-compare must land on the exact master multiset."""
-    from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+    compare → apply_fixes → re-compare must land on the exact master multiset,
+    and the drift-scoped re-verify (verify_repair) must return the same
+    full-table summary as an unscoped second compare."""
+    from tidb_large_table_compare_spark.operators.reconcile import (
+        apply_fixes,
+        verify_repair,
+    )
 
     n, missing, modified, n_extra = plan
     schema = "pk bigint, s string, d double"
@@ -213,8 +218,8 @@ def test_reconcile_always_restores_equivalence(spark, plan):
     ] + [(10_000 + i, "extra", None) for i in range(n_extra)]
     slave = spark.createDataFrame(slave_rows, schema)
 
-    diff = compare_tables(spark, master, slave, ["pk"], table_name="t").diff_rows()
-    repaired = apply_fixes(master, slave, ["pk"], diff)
+    tc = compare_tables(spark, master, slave, ["pk"], table_name="t")
+    repaired = apply_fixes(master, slave, ["pk"], tc.diff_rows())
     verdict = (
         compare_tables(spark, master, repaired, ["pk"], table_name="t")
         .summary()
@@ -222,6 +227,9 @@ def test_reconcile_always_restores_equivalence(spark, plan):
     )
     assert verdict.equivalent
     assert repaired.exceptAll(master).union(master.exceptAll(repaired)).count() == 0
+    # the scoped re-verify is the full-table verdict (incl. the empty-diff
+    # case, where the scope is empty and the summary must still be zeros)
+    assert verify_repair(tc, repaired).collect() == [verdict]
 
 
 # --- report rendering byte-width invariant (A24 printf parity) --------------

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_fixes"]
+__all__ = ["apply_fixes", "verify_repair"]
 
 
 def apply_fixes(
@@ -35,3 +35,86 @@ def apply_fixes(
     kept = right.join(F.broadcast(to_delete), pk, "left_anti")
     replacement = left.join(F.broadcast(to_insert), pk, "left_semi")
     return kept.select(left.columns).unionByName(replacement.select(left.columns))
+
+
+# Scoped re-verify engages only below this mismatched-bucket fraction;
+# above it the filter discards too little to pay for its own plan (see
+# verify_repair's docstring for the measured heavy-drift regression).
+_SCOPE_FRACTION = 0.25
+
+
+def verify_repair(tc, repaired: DataFrame) -> DataFrame:
+    """Re-verify ``repaired`` against ``tc.left``, scoped to ``tc``'s
+    mismatched buckets — same one-row summary schema as
+    :meth:`TableCompare.summary`, full-table semantics, drift-sized cost.
+
+    Sound because :func:`apply_fixes` cannot touch a clean bucket: every
+    key it deletes or inserts comes from ``tc.diff_rows()``, whose
+    drill-down only examines mismatched-bucket rows, and a row's bucket is
+    a pure function of its PK (identical on both sides) — so the repaired
+    table's clean buckets are bit-for-bit the right side's, which already
+    digest-matched the left. Only the mismatched buckets can differ, and
+    the scoped compare re-checks exactly those ON THE ACTUAL ``repaired``
+    FRAME (not by folding the patch into the digests, which would verify
+    the patch algebra rather than the applied result).
+
+    At scale this replaces the full second compare's table-wide digest
+    shuffle + drill-down with ones over drift-sized input: both sides
+    still scan once (the bucket-hash filter is map-side, not pushable),
+    but everything downstream of the scan — digest agg, bucket join, row
+    drill-down — is ∝ drift, and the bad-bucket set is reused from
+    ``tc``'s already-materialized state, so no extra digest pass runs.
+
+    Adaptive, same shape as the admission probe's verify-scan floor
+    (``dedup_index.py``): scoping only pays when mismatched buckets are a
+    small fraction of all buckets. Hash bucketing spreads random drift
+    uniformly, so per-row drift fraction p marks ~p·chunk_size of the
+    buckets bad — the scope engages when drift is below ~1/chunk_size
+    (tens of drifted rows in millions: the steady-state regime of a sync
+    pipeline that repairs every cycle). Above the fraction gate (heavy
+    drift, or a bad set past the IN-list cap) the scope discards nothing
+    and the plain full re-compare is used — the sf0.1 bench perturbation
+    drifts every one of its 31 buckets and measured 2.9 s scoped vs
+    1.45 s full before the gate existed. In-regime at the sf1 replica
+    (1.5M rows, 40/4096 buckets bad): scoped 2.31 s vs full 2.79 s, the
+    margin being the skipped full-width canonicalize+hash of clean rows
+    (map-side filter hashes only the PK), which widens with column count
+    and table size (PERFORMANCE.md round-8). Verdicts are identical on
+    both paths (pinned for arbitrary perturbation plans by
+    tests/test_property.py).
+
+    Keyed compares only: the bucket-scoping argument needs PK-determined
+    buckets, so multiset/keyless compares must re-verify in full.
+    """
+    if tc.options.force_multiset or not tc.pk:
+        raise ValueError(
+            "verify_repair needs a keyed compare (bucket scoping is "
+            "PK-determined); re-verify multiset compares in full"
+        )
+    from tidb_large_table_compare_spark.operators.compare import (
+        CompareOptions,
+        compare_tables,
+    )
+
+    n_buckets, bad_ids, _bad_frame = tc._bad_bucket_state()
+    # frame-based state means >MAX_INLIST bad buckets — never a small scope
+    scope_helps = bad_ids is not None and len(bad_ids) <= _SCOPE_FRACTION * n_buckets
+    if not scope_helps:
+        full = compare_tables(
+            tc.spark, tc.left, repaired, tc.pk, tc.options, tc.table_name
+        )
+        return full.summary()
+    # pin the original bucket count: granularity is already drift-scoped,
+    # and the pin skips the scoped compare's row-estimate probe (which
+    # would otherwise fall back to an extra count() job on the filtered
+    # frame, whose stats Catalyst cannot see through the hash filter)
+    opts = CompareOptions(**{**tc.options.__dict__, "n_buckets": n_buckets})
+    scoped = compare_tables(
+        tc.spark,
+        tc._restrict_to_bad_buckets(tc.left),
+        tc._restrict_to_bad_buckets(repaired),
+        tc.pk,
+        opts,
+        tc.table_name,
+    )
+    return scoped.summary()

@@ -188,11 +188,20 @@ _register("cmp_summary_incremental", _cmp_incremental, _CMP_SUMMARY_ORDERS_SQL)
 
 def _cmp_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-loop repair: compute the row diff, apply it natively to the
-    drifted side (operators/reconcile.py), then re-compare — the summary
-    must come back equivalent. The oracle rebuilds the same patch in SQL
-    and recomputes the post-repair verdict, so the zeros are *derived* on
-    both engines, not asserted."""
-    from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+    drifted side (operators/reconcile.py), then re-verify — the summary
+    must come back equivalent. The re-verify runs on the ACTUAL repaired
+    frame but scoped to the first pass's mismatched buckets
+    (reconcile.verify_repair — clean buckets are untouchable by
+    construction, so the scoped summary IS the full-table one at
+    drift-sized cost). The oracle rebuilds the same patch in SQL and
+    recomputes the post-repair verdict over the WHOLE table, so the
+    scoping soundness is itself oracle-checked, not asserted; the
+    scoped-vs-full equivalence is additionally pinned for arbitrary
+    perturbation plans by tests/test_property.py."""
+    from tidb_large_table_compare_spark.operators.reconcile import (
+        apply_fixes,
+        verify_repair,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     slave = perturbed_orders(orders)
@@ -200,9 +209,7 @@ def _cmp_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, orders, slave, pk=["o_orderkey"], table_name="main.orders"
     )
     repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
-    return compare_tables(
-        spark, orders, repaired, pk=["o_orderkey"], table_name="main.orders"
-    ).summary()
+    return verify_repair(tc, repaired)
 
 
 _register(
