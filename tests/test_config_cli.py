@@ -327,6 +327,82 @@ def test_cli_reconcile_out_writes_repaired_table(spark, tmp_path):
     assert orders.exceptAll(repaired).count() == 0
 
 
+def test_cli_verify_repaired_reads_back_and_verdicts(spark, tmp_path, capsys):
+    """--verify-repaired re-reads the WRITTEN repair and prints the scoped
+    verdict; a clean loop exits 0 with equivalent=True per table."""
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.filter(F.col("o_orderkey") % 50 != 7).write.parquet(
+        str(slave_dir / "orders.parquet")
+    )
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(slave_dir),
+            "--tables", "orders",
+            "--pk", "orders=o_orderkey",
+            "--reconcile-out", str(tmp_path / "repaired"),
+            "--verify-repaired",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert code == 0
+    assert (
+        "repair-verify main.orders: equivalent=True upcount=0 downcount=0"
+        in out
+    )
+
+
+def test_cli_verify_repaired_flags_corrupted_write(spark, tmp_path, capsys):
+    """If the written repair is tampered with inside a drifted bucket, the
+    read-back verify must catch it and fail the run (exit 1 + UNREPAIRED)."""
+    from unittest.mock import patch
+
+    from tidb_large_table_compare_spark.cli import main
+
+    slave_dir = tmp_path / "slave"
+    slave_dir.mkdir()
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    orders.filter(F.col("o_orderkey") % 50 != 7).write.parquet(
+        str(slave_dir / "orders.parquet")
+    )
+
+    # simulate a bad write: drop one of the repaired (drifted-bucket) rows
+    # between apply_fixes and the parquet sink (patch the CONCRETE class —
+    # pyspark.sql.DataFrame is abstract in Spark 4)
+    real_write = type(orders).write
+
+    class _LossyWriter:
+        def __init__(self, df):
+            self._df = df
+
+        def __getattr__(self, name):
+            lossy = self._df.filter(F.col("o_orderkey") != 7)
+            return getattr(real_write.fget(lossy), name)
+
+    with patch.object(
+        type(orders), "write", property(lambda self: _LossyWriter(self))
+    ):
+        code = main(
+            [
+                "--left-dir", SF_SMALL,
+                "--right-dir", str(slave_dir),
+                "--tables", "orders",
+                "--pk", "orders=o_orderkey",
+                "--reconcile-out", str(tmp_path / "repaired"),
+                "--verify-repaired",
+            ]
+        )
+    captured = capsys.readouterr()
+    assert code == 1
+    assert "equivalent=False" in captured.out
+    assert "UNREPAIRED tables: main.orders" in captured.err
+
+
 def test_cli_column_drift_prints_histogram(spark, tmp_path, capsys):
     """--column-drift: drift lines name the columns that actually drifted
     (and only those), per keyed table."""

@@ -91,6 +91,13 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--reconcile-out", default=None,
                    help="dir to write each table's repaired right side "
                         "(the native application of the fix-SQL diff)")
+    p.add_argument("--verify-repaired", action="store_true",
+                   help="after --reconcile-out, read each written repair "
+                        "back and re-verify it against the master, scoped "
+                        "to the drifted buckets (drift-sized cost; "
+                        "untouched buckets already digest-matched and are "
+                        "covered by parquet page checksums on the "
+                        "write). Non-equivalent repairs fail the run")
     p.add_argument("--report-out", default=None, help="file for the rendered report")
     p.add_argument("--lock-file", default=None,
                    help="run-lock path (default: per-comparison file in tmpdir)")
@@ -395,8 +402,12 @@ def _run(args) -> int:
 
     # native repair application (closing the fix-SQL loop): write the right
     # side patched to match the left, per keyed table with diffs
+    unrepaired: list[str] = []
     if args.reconcile_out:
-        from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+        from tidb_large_table_compare_spark.operators.reconcile import (
+            apply_fixes,
+            verify_repair,
+        )
 
         for job in jobs:
             if not job.pk:
@@ -406,9 +417,25 @@ def _run(args) -> int:
             )
             out = f"{args.reconcile_out}/{job.table.replace('.', '_')}_repaired"
             repaired.write.mode("overwrite").parquet(out)
+            if args.verify_repaired:
+                # verify the WRITTEN bytes, not the in-memory frame: read
+                # back and re-check against the master at drift-sized cost
+                verdict = verify_repair(
+                    _drill_cmp(job), spark.read.parquet(out)
+                ).collect()[0]
+                print(
+                    f"repair-verify {job.table}: equivalent="
+                    f"{verdict.equivalent} upcount={verdict.upcount} "
+                    f"downcount={verdict.downcount}"
+                )
+                if not verdict.equivalent:
+                    unrepaired.append(job.table)
 
     if run.fail_count:
         print(f"FAILED tables: {', '.join(run.failed_tables)}", file=sys.stderr)
+    if unrepaired:
+        print(f"UNREPAIRED tables: {', '.join(unrepaired)}", file=sys.stderr)
+        return 1
     return run.exit_code
 
 
