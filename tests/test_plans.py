@@ -49,7 +49,43 @@ def test_compare_drilldown_scans_bounded(spark):
     assert plan.count("FileScan parquet") <= 3
 
 
-def test_compare_narrow_shuffle_columns(spark):
+def test_verify_repair_filters_before_row_hash(spark):
+    """The scoped re-verify must discard clean-bucket rows BEFORE the
+    full-width canonicalize+hash: in its digest plan, EVERY parquet scan
+    carries the bad-bucket membership predicate (pmod of the pk hash) as
+    a data filter, so the saved work — hashing every payload column of
+    the clean ~1-p of the table — is structural, not incidental.
+
+    (Asserted on the scoped digest plan, the shape verify_repair builds
+    internally; verify_repair's own returned summary folds to a local
+    relation once the drill-down finds nothing, so the interesting plan
+    is the eager digest pass.)"""
+    from tidb_large_table_compare_spark.operators.compare import CompareOptions
+    from tidb_large_table_compare_spark.operators.reconcile import apply_fixes
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    slave = perturbed_orders(orders)
+    # pin buckets high so drift is a small fraction and the scope engages
+    tc = compare_tables(
+        spark, orders, slave, pk=["o_orderkey"],
+        options=CompareOptions(n_buckets=4096), table_name="t",
+    )
+    n_buckets, bad_ids, _ = tc._bad_bucket_state()
+    assert bad_ids is not None and len(bad_ids) < 0.25 * n_buckets
+    repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
+    scoped = compare_tables(
+        spark,
+        tc._restrict_to_bad_buckets(tc.left),
+        tc._restrict_to_bad_buckets(repaired),
+        tc.pk,
+        CompareOptions(**{**tc.options.__dict__, "n_buckets": n_buckets}),
+        "t",
+    )
+    plan = _plan(scoped.mismatched_buckets())
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) >= 2  # left + the repaired union's branches
+    for line in scans:
+        assert "pmod" in line, f"unfiltered scan in scoped verify: {line[:160]}"
     """The PK join must shuffle only (pk, hash) — no payload columns."""
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     cmp = compare_tables(
