@@ -417,6 +417,34 @@ def test_column_drift_wide_drift_broadcast_path(spark, master, slave, monkeypatc
     assert cmp._bad_state is state
 
 
+def test_verify_repair_scoped_via_broadcast_frame(spark, monkeypatch):
+    """Past the IN-list cap the bad-bucket set restricts via the persisted
+    broadcast frame; a small FRACTION must still take the scoped path and
+    produce the full-table verdict (lake-scale bucket counts can exceed
+    the cap while drift stays in-regime)."""
+    from tidb_large_table_compare_spark.operators.reconcile import (
+        apply_fixes,
+        verify_repair,
+    )
+    from tidb_large_table_compare_spark.perturb import perturbed_orders
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    slave = perturbed_orders(orders)
+    monkeypatch.setattr(TableCompare, "_MAX_INLIST", 2)
+    tc = compare_tables(
+        spark, orders, slave, ["o_orderkey"],
+        CompareOptions(n_buckets=4096), table_name="o",
+    )
+    n_buckets, bad_ids, bad_frame = tc._bad_bucket_state()
+    assert bad_ids is None and bad_frame is not None  # frame form
+    assert bad_frame.count() <= 0.25 * n_buckets  # but in-regime
+
+    repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
+    verdict = verify_repair(tc, repaired).collect()[0]
+    assert verdict.equivalent and (verdict.upcount, verdict.downcount) == (0, 0)
+
+
 def test_column_drift_refuses_multiset_mode(spark, master, slave):
     cmp = compare_tables(
         spark, master, slave, pk=["pk"],

@@ -71,8 +71,10 @@ def verify_repair(tc, repaired: DataFrame) -> DataFrame:
     uniformly, so per-row drift fraction p marks ~p·chunk_size of the
     buckets bad — the scope engages when drift is below ~1/chunk_size
     (tens of drifted rows in millions: the steady-state regime of a sync
-    pipeline that repairs every cycle). Above the fraction gate (heavy
-    drift, or a bad set past the IN-list cap) the scope discards nothing
+    pipeline that repairs every cycle; at lake-scale bucket counts the
+    bad set may exceed the IN-list cap and restrict via the persisted
+    broadcast frame instead — still in-regime if the fraction is small).
+    Above the fraction gate (heavy drift) the scope discards nothing
     and the plain full re-compare is used — the sf0.1 bench perturbation
     drifts every one of its 31 buckets and measured 2.9 s scoped vs
     1.45 s full before the gate existed. In-regime at the sf1 replica
@@ -96,9 +98,12 @@ def verify_repair(tc, repaired: DataFrame) -> DataFrame:
         compare_tables,
     )
 
-    n_buckets, bad_ids, _bad_frame = tc._bad_bucket_state()
-    # frame-based state means >MAX_INLIST bad buckets — never a small scope
-    scope_helps = bad_ids is not None and len(bad_ids) <= _SCOPE_FRACTION * n_buckets
+    n_buckets, bad_ids, bad_frame = tc._bad_bucket_state()
+    # the frame form (bad set past the IN-list cap) can still be a small
+    # fraction at lake-scale bucket counts (e.g. 60k of 2^20) — it is
+    # persisted, so counting it is a cache read, not a digest re-run
+    n_bad = len(bad_ids) if bad_ids is not None else bad_frame.count()
+    scope_helps = n_bad <= _SCOPE_FRACTION * n_buckets
     if not scope_helps:
         full = compare_tables(
             tc.spark, tc.left, repaired, tc.pk, tc.options, tc.table_name
