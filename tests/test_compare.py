@@ -396,9 +396,12 @@ def test_column_drift_wide_drift_broadcast_path(spark, master, slave, monkeypatc
     """When more buckets drift than the IN-list cap, column_drift and
     diff_rows share the persisted broadcast bad-bucket frame (materialized
     once via _bad_bucket_state) and results match the IN-list path."""
+    # n_buckets pinned well above the ~100 drifted keys: the bad set must
+    # overflow the (monkeypatched) IN-list cap yet stay under the
+    # restriction-skip fraction, so the broadcast-frame form is exercised
     baseline_cmp = compare_tables(
         spark, master, slave, pk=["pk"],
-        options=CompareOptions(chunk_size=500), table_name="t",
+        options=CompareOptions(n_buckets=512), table_name="t",
     )
     baseline = {r.column_name: r.mismatch_rows
                 for r in baseline_cmp.column_drift().collect()}
@@ -406,7 +409,7 @@ def test_column_drift_wide_drift_broadcast_path(spark, master, slave, monkeypatc
     monkeypatch.setattr(TableCompare, "_MAX_INLIST", 2)
     cmp = compare_tables(
         spark, master, slave, pk=["pk"],
-        options=CompareOptions(chunk_size=500), table_name="t",
+        options=CompareOptions(n_buckets=512), table_name="t",
     )
     wide = {r.column_name: r.mismatch_rows for r in cmp.column_drift().collect()}
     assert wide == baseline
@@ -443,6 +446,27 @@ def test_verify_repair_scoped_via_broadcast_frame(spark, monkeypatch):
     repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
     verdict = verify_repair(tc, repaired).collect()[0]
     assert verdict.equivalent and (verdict.upcount, verdict.downcount) == (0, 0)
+
+
+def test_heavy_drift_skips_bucket_restriction(spark, master, slave):
+    """When drift marks more than half the buckets, restriction is dropped
+    outright — no big-IN predicate, no broadcast frame — and the diff is
+    still exact (clean rows hash-equal and vanish in the full-outer join)."""
+    cmp = compare_tables(
+        spark, master, slave, pk=["pk"],
+        options=CompareOptions(chunk_size=500), table_name="t",
+    )
+    n_buckets, ids, frame = cmp._bad_bucket_state()
+    assert ids is None and frame is None  # the deliberate no-op form
+    counts = dict(
+        (r.diff_type, r["count"])
+        for r in cmp.diff_rows().groupBy("diff_type").count().collect()
+    )
+    assert counts == {
+        "missing_in_right": K_MISSING,
+        "extra_in_right": K_EXTRA,
+        "modified": K_MODIFIED,
+    }
 
 
 def test_column_drift_refuses_multiset_mode(spark, master, slave):

@@ -93,3 +93,30 @@ def test_null_pk_rows_have_defined_semantics(spark):
         ("None", "extra_in_right"),
         ("None", "missing_in_right"),
     ]
+
+
+def test_in_list_matches_isin_semantics(spark):
+    """hashing.in_list must be result-identical to Column.isin for the
+    integer fast path (one SQL string, no per-element py4j literals), for
+    the non-integer fallback, and for the empty list (match-nothing)."""
+    from tidb_large_table_compare_spark.functions.hashing import in_list
+
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    ids = [3, 17, 99, 42]
+    fast = sorted(r.k for r in df.filter(in_list("k", ids)).collect())
+    slow = sorted(r.k for r in df.filter(F.col("k").isin(ids)).collect())
+    assert fast == slow == [3, 17, 42, 99]
+    assert df.filter(in_list("k", [])).count() == 0
+
+    # numpy ints are NOT Python ints → the isin fallback, same result
+    # (collect()ed bucket/doc ids are always Python ints, so the fast path
+    # covers every engine call site)
+    import numpy as np
+
+    got = sorted(r.k for r in df.filter(in_list("k", [np.int64(5), 7])).collect())
+    assert got == [5, 7]
+
+    # non-integer ids take the isin fallback verbatim
+    sdf = df.select(F.concat(F.lit("v"), F.col("k")).alias("s"))
+    got = sorted(r.s for r in sdf.filter(in_list("s", ["v1", "v2"])).collect())
+    assert got == ["v1", "v2"]

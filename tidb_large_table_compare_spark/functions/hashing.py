@@ -36,8 +36,30 @@ __all__ = [
     "canonical_value",
     "row_hash",
     "bucket_id",
+    "in_list",
     "with_hash_columns",
 ]
+
+
+def in_list(col_name: str, ids: list) -> Column:
+    """Membership predicate for a possibly-huge id list.
+
+    ``Column.isin`` converts every element to a literal through its own
+    py4j round trip — ~30 s of DRIVER time at the 50k bad-bucket cap,
+    ~7 s at 10k (measured, PERFORMANCE.md round-8), superlinear enough to
+    dwarf the jobs it guards. For integer ids the same predicate rendered
+    as one ``IN (...)`` SQL string crosses py4j once and parses JVM-side
+    (~1.5 s at 50k); Catalyst folds the literal list to the identical
+    INSET hash set, so the executed plan is unchanged. Elements are
+    ``int()``-rendered, so the SQL fragment cannot contain anything but
+    digits; non-integer ids fall back to ``isin`` unchanged.
+    """
+    ids = list(ids)
+    if not ids:
+        return F.lit(False)
+    if all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
+        return F.expr(f"`{col_name}` IN ({','.join(str(i) for i in ids)})")
+    return F.col(col_name).isin(ids)
 
 
 def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Column:

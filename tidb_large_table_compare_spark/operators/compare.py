@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from tidb_large_table_compare_spark.functions.hashing import (
     bucket_id,
     canonical_value,
+    in_list,
     row_hash,
 )
 from tidb_large_table_compare_spark.operators.schema_diff import schema_diff
@@ -145,6 +146,10 @@ class TableCompare:
 
     _BYTES_PER_ROW_GUESS = 64
     _MAX_INLIST = 50_000  # bad-bucket count above which we broadcast instead
+    # bad-bucket FRACTION above which restriction is skipped outright —
+    # the filter would discard under half the rows while every downstream
+    # job re-pays the big-IN/semi-join plan cost (see _bad_bucket_state)
+    _RESTRICT_SKIP_FRACTION = 0.5
 
     def _estimate_rows(self) -> int:
         if self.options.row_count_hint is not None:  # catalog stats (TABLE_ROWS)
@@ -204,38 +209,59 @@ class TableCompare:
         form is BOUNDED (one long per bucket, few MB at the 2^20 cap),
         never ∝ diff rows.
 
-        Returns ``(n_buckets, ids | None, persisted_frame | None)``:
-        exactly one of ids/frame is non-None. The persisted frame is a
-        deliberate session-lifetime cache — it is embedded in returned lazy
-        diff plans that callers re-consume (fix-SQL, reconcile); releasing
-        it here would re-run the digest compare per consumer.
+        When the bad set covers MOST buckets (heavy drift), restriction
+        would discard almost nothing while embedding a thousands-element
+        IN predicate that every downstream job re-pays in analysis and
+        optimizer time (INSET conversion is per-action; measured ~0.2-0.4 s
+        per job at 2-10k elements, PERFORMANCE.md round-8) — so above
+        ``_RESTRICT_SKIP_FRACTION`` the state records "no restriction"
+        and the drill-down simply compares everything: sound because
+        clean-bucket rows hash-equal and drop out of the diff join, and
+        cheaper because the join reads at most 1/fraction more rows than
+        the restricted plan would.
+
+        Returns ``(n_buckets, ids | None, persisted_frame | None)``: at
+        most one of ids/frame is non-None; both None (with a non-empty
+        diff) means restriction is a deliberate no-op. The persisted
+        frame is a deliberate session-lifetime cache — it is embedded in
+        returned lazy diff plans that callers re-consume (fix-SQL,
+        reconcile); releasing it here would re-run the digest compare per
+        consumer.
         """
         if self._bad_state is None:
             n_buckets = self._n_buckets()
+            skip_above = self._RESTRICT_SKIP_FRACTION * n_buckets
             bad = self.mismatched_buckets()
             bad_ids = [
                 r["__bucket"] for r in bad.limit(self._MAX_INLIST + 1).collect()
             ]
             if len(bad_ids) <= self._MAX_INLIST:
-                self._bad_state = (n_buckets, bad_ids, None)
+                if bad_ids and len(bad_ids) > skip_above:
+                    self._bad_state = (n_buckets, None, None)
+                else:
+                    self._bad_state = (n_buckets, bad_ids, None)
             else:
                 bad = bad.persist()
-                bad.count()
-                self._bad_state = (n_buckets, None, bad)
+                if bad.count() > skip_above:
+                    bad.unpersist()
+                    self._bad_state = (n_buckets, None, None)
+                else:
+                    self._bad_state = (n_buckets, None, bad)
         return self._bad_state
 
     def _restrict_to_bad_buckets(self, df: DataFrame) -> DataFrame:
         """``df`` (a full-width side of this compare) filtered to rows whose
         PK hashes into a mismatched bucket — the scan-level discard that
-        keeps drill-down cost ∝ drift."""
+        keeps drill-down cost ∝ drift (skipped when drift covers most
+        buckets; see _bad_bucket_state)."""
         n_buckets, bad_ids, bad = self._bad_bucket_state()
+        if bad_ids is None and bad is None:
+            return df
         withb = df.withColumn("__bucket", bucket_id(self.pk, n_buckets))
         if bad_ids is not None:
-            restricted = (
-                withb.filter(F.col("__bucket").isin(bad_ids))
-                if bad_ids
-                else withb.filter(F.lit(False))
-            )
+            # in_list, not Column.isin: the py4j per-element literal cost of
+            # isin is ~30 s of driver time at the 50k cap (hashing.in_list)
+            restricted = withb.filter(in_list("__bucket", bad_ids))
         else:
             restricted = withb.join(F.broadcast(bad), "__bucket", "left_semi")
         return restricted.drop("__bucket")
@@ -266,11 +292,13 @@ class TableCompare:
                     "diff_type", F.lit(None).cast("string")
                 )
                 return self._diff_rows
-            lh = lh.filter(F.col("__bucket").isin(bad_ids))
-            rh = rh.filter(F.col("__bucket").isin(bad_ids))
-        else:
+            lh = lh.filter(in_list("__bucket", bad_ids))
+            rh = rh.filter(in_list("__bucket", bad_ids))
+        elif bad is not None:
             lh = lh.join(F.broadcast(bad), "__bucket", "left_semi")
             rh = rh.join(F.broadcast(bad), "__bucket", "left_semi")
+        # else: heavy drift — restriction skipped, clean rows hash-equal
+        # and drop out of the diff join below (see _bad_bucket_state)
         lh = lh.select(*self.pk, F.col("__row_hash").alias("l_hash"))
         rh = rh.select(*self.pk, F.col("__row_hash").alias("r_hash"))
         joined = lh.join(rh, self.pk, "full_outer")

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tidb_large_table_compare_spark.functions.hashing import in_list
 from tidb_large_table_compare_spark.functions.partitioning import (
     optimized_plan_size_bytes,
 )
@@ -234,7 +235,9 @@ def query_neardup_index(
             .collect()
         ]
         if len(corpus_ids) <= verify_pushdown_max_ids:
-            idx_docs = idx_docs.filter(F.col(id_col).isin(corpus_ids))
+            # in_list, not Column.isin — per-element py4j literal cost (see
+            # hashing.in_list); integer doc ids render as one SQL IN string
+            idx_docs = idx_docs.filter(in_list(id_col, corpus_ids))
     verify_sets = idx_docs.unionByName(new_shingles)
     return jaccard_verified_pairs(cands, verify_sets, id_col, threshold)
 

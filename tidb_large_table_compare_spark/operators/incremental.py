@@ -118,7 +118,7 @@ def incremental_compare(
     changed = changed_buckets(spark, digests_path, right, pk, options)
     opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
     cmp = compare_tables(spark, left, right, pk, opts, table_name)
-    from tidb_large_table_compare_spark.functions.hashing import bucket_id
+    from tidb_large_table_compare_spark.functions.hashing import bucket_id, in_list
 
     # Bounded driver collect (mirrors TableCompare.diff_rows): small drift
     # becomes an IN-list evaluated at the scan; wide drift — millions of
@@ -135,9 +135,20 @@ def incremental_compare(
         cmp.left = cmp.left.limit(0)
         cmp.right = cmp.right.limit(0)
     elif len(ids) <= cap:
-        keep = bucket_id(pk, n_buckets).isin(ids)
-        cmp.left = cmp.left.filter(keep)
-        cmp.right = cmp.right.filter(keep)
+        # in_list, not Column.isin — same per-element py4j cost note as
+        # TableCompare._restrict_to_bad_buckets (hashing.in_list); the
+        # predicate needs a named column, so stage the bucket id
+        bcol = bucket_id(pk, n_buckets)
+        cmp.left = (
+            cmp.left.withColumn("__bucket", bcol)
+            .filter(in_list("__bucket", ids))
+            .drop("__bucket")
+        )
+        cmp.right = (
+            cmp.right.withColumn("__bucket", bcol)
+            .filter(in_list("__bucket", ids))
+            .drop("__bucket")
+        )
     else:
         # deliberate session-lifetime cache, same contract as the compare
         # drill-down's bucket set: embedded in the returned lazy plan and

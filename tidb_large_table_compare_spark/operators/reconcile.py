@@ -99,11 +99,17 @@ def verify_repair(tc, repaired: DataFrame) -> DataFrame:
     )
 
     n_buckets, bad_ids, bad_frame = tc._bad_bucket_state()
-    # the frame form (bad set past the IN-list cap) can still be a small
-    # fraction at lake-scale bucket counts (e.g. 60k of 2^20) — it is
-    # persisted, so counting it is a cache read, not a digest re-run
-    n_bad = len(bad_ids) if bad_ids is not None else bad_frame.count()
-    scope_helps = n_bad <= _SCOPE_FRACTION * n_buckets
+    if bad_ids is None and bad_frame is None:
+        # the compare itself already judged the drift heavy enough to skip
+        # bucket restriction (_RESTRICT_SKIP_FRACTION) — never in-regime
+        scope_helps = False
+    else:
+        # the frame form (bad set past the IN-list cap) can still be a
+        # small fraction at lake-scale bucket counts (e.g. 60k of 2^20) —
+        # it is persisted, so counting it is a cache read, not a digest
+        # re-run
+        n_bad = len(bad_ids) if bad_ids is not None else bad_frame.count()
+        scope_helps = n_bad <= _SCOPE_FRACTION * n_buckets
     if not scope_helps:
         full = compare_tables(
             tc.spark, tc.left, repaired, tc.pk, tc.options, tc.table_name

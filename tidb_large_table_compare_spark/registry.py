@@ -197,7 +197,12 @@ def _cmp_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the post-repair verdict over the WHOLE table, so the
     scoping soundness is itself oracle-checked, not asserted; the
     scoped-vs-full equivalence is additionally pinned for arbitrary
-    perturbation plans by tests/test_property.py."""
+    perturbation plans by tests/test_property.py.
+
+    n_buckets is pinned at 4096 so the driver's sf0.01 check exercises
+    the SCOPED branch (361 diffs → ~8% of buckets bad, inside the
+    fraction gate) while the sf0.1 bench perturbation (~70% bad) still
+    takes the full-fallback branch — both paths stay driver-covered."""
     from tidb_large_table_compare_spark.operators.reconcile import (
         apply_fixes,
         verify_repair,
@@ -206,7 +211,8 @@ def _cmp_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     slave = perturbed_orders(orders)
     tc = compare_tables(
-        spark, orders, slave, pk=["o_orderkey"], table_name="main.orders"
+        spark, orders, slave, pk=["o_orderkey"],
+        options=CompareOptions(n_buckets=4096), table_name="main.orders",
     )
     repaired = apply_fixes(orders, slave, ["o_orderkey"], tc.diff_rows())
     return verify_repair(tc, repaired)
