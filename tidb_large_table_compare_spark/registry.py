@@ -4430,7 +4430,10 @@ _DRIVER_PRIORITY: list[str] = [
     # (c) regression canaries for round-8 changes: the shared mix body
     # refactor, the guarded Catalyst size probes (admission index +
     # partitioning spread cap), the compaction swap-in step and inventory
-    # rework, and the scratch-dir reuse in the disk-materializing entries
+    # rework, the scratch-dir reuse in the disk-materializing entries,
+    # the drift-scoped reconcile re-verify, and the in_list / heavy-drift
+    # restriction-skip rework of the compare drill-down (the cmp_* entries
+    # here and in (d) cover every changed path)
     "weighted_source_mix",
     "neardup_index_admission",
     "neardup_index_lifecycle",
