@@ -49,6 +49,22 @@ def test_compare_drilldown_scans_bounded(spark):
     assert plan.count("FileScan parquet") <= 3
 
 
+def test_fix_sql_pushes_pk_inlist_to_master_scan(spark):
+    """With a single integer PK and a bounded diff, the REPLACE retrieval
+    must push ``pk IN (...)`` into the master's parquet scan (row-group
+    pruning on pk-clustered files) instead of semi-joining a full scan —
+    the admission index's verify-scan trick applied to repair export."""
+    from tidb_large_table_compare_spark.operators.fixsql import fix_sql
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cmp = compare_tables(
+        spark, orders, perturbed_orders(orders), pk=["o_orderkey"],
+        table_name="main.orders",
+    )
+    plan = _plan(fix_sql(cmp))
+    assert "In(o_orderkey, [" in plan  # reached PushedFilters
+
+
 def test_verify_repair_filters_before_row_hash(spark):
     """The scoped re-verify must discard clean-bucket rows BEFORE the
     full-width canonicalize+hash: in its digest plan, EVERY parquet scan

@@ -8,9 +8,11 @@ get ``REPLACE INTO`` built from the master's values; rows present only on the
 target get ``DELETE``.
 
 Everything is built with JVM-side string expressions (``format_string`` /
-``concat_ws`` / ``regexp_replace``) — no Python UDFs — and the master scan is
-joined against the (small) diff row set, which AQE converts to a broadcast
-join, so producing fix SQL never shuffles the large table.
+``concat_ws`` / ``regexp_replace``) — no Python UDFs — and the master's
+repair rows are retrieved either by a ``pk IN (...)`` predicate pushed into
+the parquet scan (single integer PK, bounded diff — row-group pruning on
+pk-clustered files) or by a broadcast semi-join against the small diff set;
+either way producing fix SQL never shuffles the large table.
 """
 
 from __future__ import annotations
@@ -18,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from tidb_large_table_compare_spark.functions.hashing import in_list
 
 __all__ = ["sql_literal", "fix_sql"]
 
@@ -59,8 +63,25 @@ def fix_sql(cmp) -> DataFrame:
     cols = list(left.columns)
 
     to_replace = diff.filter(F.col("diff_type") != "extra_in_right").select(pk)
-    # AQE broadcasts the small diff side — the master scan never shuffles.
-    master_rows = left.join(to_replace, pk, "left_semi")
+    # Retrieval of the master's repair rows, cheapest applicable form:
+    # a single integer PK with a bounded diff collects the keys and pushes
+    # ``pk IN (...)`` into the parquet scan (row-group pruning on
+    # pk-clustered files — the same adaptive trick as the admission
+    # index's verify-scan pushdown, dedup_index.py; the key set is the
+    # drill-down's own bounded output and in_list renders it in one py4j
+    # call). Composite/non-integer PKs or an oversized diff keep the
+    # semi-join — AQE broadcasts the small diff side, so the master scan
+    # still never shuffles (it just cannot prune).
+    master_rows = None
+    if len(pk) == 1:
+        cap = cmp._MAX_INLIST
+        ids = [r[0] for r in to_replace.limit(cap + 1).collect()]
+        if len(ids) <= cap and all(
+            isinstance(i, int) and not isinstance(i, bool) for i in ids
+        ):
+            master_rows = left.filter(in_list(pk[0], ids))
+    if master_rows is None:
+        master_rows = left.join(to_replace, pk, "left_semi")
     values = F.concat_ws(", ", *[sql_literal(F.col(c), fields[c]) for c in cols])
     replaces = master_rows.select(
         F.format_string(
