@@ -65,6 +65,19 @@ def test_fix_sql_pushes_pk_inlist_to_master_scan(spark):
     assert "In(o_orderkey, [" in plan  # reached PushedFilters
 
 
+def test_column_drift_pushes_pk_inlist_to_both_scans(spark):
+    """Single integer PK + bounded diff: column_drift retrieves both sides
+    by ``pk IN (modified pks)`` pushed to the parquet scans — join input is
+    exactly the modified rows, not chunk_size-amplified bucket rows."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cmp = compare_tables(
+        spark, orders, perturbed_orders(orders), pk=["o_orderkey"],
+        table_name="t",
+    )
+    plan = _plan(cmp.column_drift())
+    assert plan.count("In(o_orderkey, [") >= 2  # both sides' PushedFilters
+
+
 def test_verify_repair_filters_before_row_hash(spark):
     """The scoped re-verify must discard clean-bucket rows BEFORE the
     full-width canonicalize+hash: in its digest plan, EVERY parquet scan

@@ -368,13 +368,18 @@ class TableCompare:
         reconcile with the row-level verdicts: every 'modified' row has ≥1
         mismatching column here, and no unmodified row is counted.
 
-        Scale: both sides are restricted to mismatched buckets at the scan
-        (the same bounded bad-bucket set the row drill-down uses — never a
-        broadcast ∝ diff rows), then inner-joined on PK. Agreeing pairs
-        inside a bad bucket contribute 0 to every count and unpaired rows
-        (missing/extra) drop out of the inner join, so no explicit
-        modified-rows filter is needed: the restriction is purely a cost
-        bound. Shuffled bytes ∝ bad-bucket rows ≈ drift, never table size.
+        Scale: with a single integer PK and a bounded diff, both sides are
+        retrieved by ``pk IN (modified pks)`` pushed into the parquet scan
+        — row-group pruning on pk-clustered files, and the join input is
+        exactly the modified rows rather than the chunk_size-amplified
+        bad-bucket rows (a hash bucket drags in ~chunk_size rows per
+        drifted one). Otherwise both sides fall back to the mismatched-
+        bucket restriction (the same bounded bad-bucket set the row
+        drill-down uses — never a broadcast ∝ diff rows), then inner-join
+        on PK. Agreeing pairs contribute 0 to every count and unpaired
+        rows (missing/extra) drop out of the inner join, so neither form
+        changes the counts: the restriction is purely a cost bound.
+        Shuffled bytes ∝ drift, never table size.
         """
         if not self.pk or self.options.force_multiset:
             # a duplicated PK would cross-product in the pairing join and
@@ -392,14 +397,28 @@ class TableCompare:
         fr = self.options.float_round
         ltypes = {f.name: f.dataType for f in self.left.schema.fields}
         rtypes = {f.name: f.dataType for f in self.right.schema.fields}
-        lrows = self._restrict_to_bad_buckets(self.left).select(
+        lsrc = rsrc = None
+        if len(self.pk) == 1:
+            mod = self.diff_rows().filter(
+                F.col("diff_type") == "modified"
+            ).select(self.pk[0])
+            ids = [r[0] for r in mod.limit(self._MAX_INLIST + 1).collect()]
+            if len(ids) <= self._MAX_INLIST and all(
+                isinstance(i, int) and not isinstance(i, bool) for i in ids
+            ):
+                pred = in_list(self.pk[0], ids)
+                lsrc, rsrc = self.left.filter(pred), self.right.filter(pred)
+        if lsrc is None:
+            lsrc = self._restrict_to_bad_buckets(self.left)
+            rsrc = self._restrict_to_bad_buckets(self.right)
+        lrows = lsrc.select(
             *self.pk,
             *[
                 canonical_value(F.col(c), ltypes[c], fr).alias(f"__l_{c}")
                 for c in cols
             ],
         )
-        rrows = self._restrict_to_bad_buckets(self.right).select(
+        rrows = rsrc.select(
             *self.pk,
             *[
                 canonical_value(F.col(c), rtypes[c], fr).alias(f"__r_{c}")
