@@ -53,13 +53,16 @@ def test_fix_sql_pushes_pk_inlist_to_master_scan(spark):
     """With a single integer PK and a bounded diff, the REPLACE retrieval
     must push ``pk IN (...)`` into the master's parquet scan (row-group
     pruning on pk-clustered files) instead of semi-joining a full scan —
-    the admission index's verify-scan trick applied to repair export."""
+    the admission index's verify-scan trick applied to repair export.
+    (n_buckets pinned high so the bounded IN-list form holds — the
+    pushdown deliberately stays off in heavy-drift/skip forms.)"""
+    from tidb_large_table_compare_spark.operators.compare import CompareOptions
     from tidb_large_table_compare_spark.operators.fixsql import fix_sql
 
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     cmp = compare_tables(
         spark, orders, perturbed_orders(orders), pk=["o_orderkey"],
-        table_name="main.orders",
+        options=CompareOptions(n_buckets=4096), table_name="main.orders",
     )
     plan = _plan(fix_sql(cmp))
     assert "In(o_orderkey, [" in plan  # reached PushedFilters
@@ -68,11 +71,15 @@ def test_fix_sql_pushes_pk_inlist_to_master_scan(spark):
 def test_column_drift_pushes_pk_inlist_to_both_scans(spark):
     """Single integer PK + bounded diff: column_drift retrieves both sides
     by ``pk IN (modified pks)`` pushed to the parquet scans — join input is
-    exactly the modified rows, not chunk_size-amplified bucket rows."""
+    exactly the modified rows, not chunk_size-amplified bucket rows.
+    (n_buckets pinned high so the bounded IN-list form holds — the
+    pushdown deliberately stays off in heavy-drift/skip forms.)"""
+    from tidb_large_table_compare_spark.operators.compare import CompareOptions
+
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     cmp = compare_tables(
         spark, orders, perturbed_orders(orders), pk=["o_orderkey"],
-        table_name="t",
+        options=CompareOptions(n_buckets=4096), table_name="t",
     )
     plan = _plan(cmp.column_drift())
     assert plan.count("In(o_orderkey, [") >= 2  # both sides' PushedFilters
@@ -238,6 +245,9 @@ def test_compare_drilldown_shuffle_bounded_under_hot_bucket(spark):
         CompareOptions(n_buckets=n_buckets), "t",
     )
     diff = cmp.diff_rows()
+    # the bounded-drift persist would serve the second action from cache
+    # and hide the very shuffle this test measures — measure the raw plan
+    diff.unpersist()
     assert diff.count() == hot_rows  # all-and-only the hot bucket's rows
     diff_executed = cmp.diff_rows()  # cached DataFrame; execute it directly
     rows = diff_executed.collect()

@@ -312,6 +312,15 @@ class TableCompare:
             .filter(F.col("diff_type").isNotNull())
             .select(*self.pk, "diff_type")
         )
+        if bad_ids is not None:
+            # bounded drift (IN-list form): the narrow (pk, diff_type) frame
+            # is drift-sized, and every consumer fan-out (summary, fix-SQL,
+            # reconcile, column_drift's key collect, CLI's composed flags)
+            # otherwise re-executes the drill-down join per action — persist
+            # it with the same session-lifetime contract as the bad-bucket
+            # state. Heavy-drift forms (frame / restriction-skip) stay lazy:
+            # their diff is not size-bounded.
+            self._diff_rows = self._diff_rows.persist()
         return self._diff_rows
 
     def _diff_rows_multiset(self) -> DataFrame:
@@ -398,7 +407,15 @@ class TableCompare:
         ltypes = {f.name: f.dataType for f in self.left.schema.fields}
         rtypes = {f.name: f.dataType for f in self.right.schema.fields}
         lsrc = rsrc = None
-        if len(self.pk) == 1:
+        # pk-IN retrieval only when the bad state is the bounded IN-list
+        # form: there the diff frame is persisted (drift-sized; see
+        # diff_rows) so collecting the modified keys is a cache read, and
+        # the key count is bounded by construction. Heavy-drift forms keep
+        # the bucket-restriction shape unchanged — an eager diff execution
+        # there would cost a full unrestricted drill-down just to discover
+        # the keys are too many to push.
+        _, bad_ids, _ = self._bad_bucket_state()
+        if len(self.pk) == 1 and bad_ids:
             mod = self.diff_rows().filter(
                 F.col("diff_type") == "modified"
             ).select(self.pk[0])

@@ -73,7 +73,11 @@ def fix_sql(cmp) -> DataFrame:
     # semi-join — AQE broadcasts the small diff side, so the master scan
     # still never shuffles (it just cannot prune).
     master_rows = None
-    if len(pk) == 1:
+    _, bad_ids, _ = cmp._bad_bucket_state()
+    # the pushdown engages only in the bounded IN-list form, where the
+    # diff frame is persisted (drift-sized) and the key collect is a cache
+    # read; heavy-drift forms keep the lazy semi-join shape untouched
+    if len(pk) == 1 and bad_ids:
         cap = cmp._MAX_INLIST
         ids = [r[0] for r in to_replace.limit(cap + 1).collect()]
         if len(ids) <= cap and all(
