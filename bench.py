@@ -117,7 +117,10 @@ EXTRA_BENCHES = {
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    try:  # label only — a replica dir like /tmp/sf1_r8 must not crash the run
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    except ValueError:
+        sf = -1.0
 
     # -- cold start: session init + JVM + parquet reader + codegen warmup ----
     t_cold = time.monotonic()
