@@ -118,9 +118,13 @@ def test_incremental_wide_drift_takes_broadcast_path(spark, tmp_path, monkeypatc
     monkeypatch.setattr(TableCompare, "_MAX_INLIST", 2)
     orders = _orders(spark)
     path = str(tmp_path / "digests")
-    write_digests(spark, orders, ["o_orderkey"], path, OPTS)
+    # enough buckets that the drift stays clearly under the restriction-skip
+    # fraction (at OPTS's 64 the perturbation lands near the 50% boundary,
+    # where the scope is deliberately dropped instead of broadcast)
+    opts = CompareOptions(n_buckets=256)
+    write_digests(spark, orders, ["o_orderkey"], path, opts)
     inc = incremental_compare(
-        spark, orders, perturbed_orders(orders), ["o_orderkey"], path, OPTS, "t"
+        spark, orders, perturbed_orders(orders), ["o_orderkey"], path, opts, "t"
     )
     # the scoped side must carry the broadcast semi-join, not an IN-list
     plan = inc.left._jdf.queryExecution().executedPlan().toString()
@@ -129,6 +133,32 @@ def test_incremental_wide_drift_takes_broadcast_path(spark, tmp_path, monkeypatc
 
     full = compare_tables(
         spark, orders, perturbed_orders(orders), ["o_orderkey"], OPTS, "t"
+    )
+    inc_rows = {
+        (r["o_orderkey"], r["diff_type"]) for r in inc.diff_rows().collect()
+    }
+    full_rows = {
+        (r["o_orderkey"], r["diff_type"]) for r in full.diff_rows().collect()
+    }
+    assert inc_rows == full_rows and inc_rows
+
+
+def test_incremental_heavy_drift_skips_scope(spark, tmp_path):
+    """When most buckets changed since the snapshot, scoping would keep most
+    rows while every job re-pays the predicate — the compare must fall back
+    to the plain full form (no bucket join, no IN) with identical results."""
+    orders = _orders(spark)
+    path = str(tmp_path / "digests")
+    # few buckets → the perturbation drifts well over half of them
+    opts = CompareOptions(n_buckets=8)
+    write_digests(spark, orders, ["o_orderkey"], path, opts)
+    inc = incremental_compare(
+        spark, orders, perturbed_orders(orders), ["o_orderkey"], path, opts, "t"
+    )
+    plan = inc.left._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" not in plan  # neither IN-list nor semi-join scope
+    full = compare_tables(
+        spark, orders, perturbed_orders(orders), ["o_orderkey"], opts, "t"
     )
     inc_rows = {
         (r["o_orderkey"], r["diff_type"]) for r in inc.diff_rows().collect()

@@ -129,11 +129,17 @@ def incremental_compare(
     # re-analyze).
     cap = TableCompare._MAX_INLIST
     ids = [r["__bucket"] for r in changed.limit(cap + 1).collect()]
+    skip_above = TableCompare._RESTRICT_SKIP_FRACTION * n_buckets
     # scope cmp.left/right (post-range_sql) rather than the raw inputs so a
     # configured range predicate stays in force
     if not ids:
         cmp.left = cmp.left.limit(0)
         cmp.right = cmp.right.limit(0)
+    elif len(ids) <= cap and len(ids) > skip_above:
+        # most buckets drifted since the snapshot: the scope would keep
+        # most rows while every job re-pays the predicate — run the plain
+        # full compare (same skip rule as TableCompare._bad_bucket_state)
+        pass
     elif len(ids) <= cap:
         # in_list, not Column.isin — same per-element py4j cost note as
         # TableCompare._restrict_to_bad_buckets (hashing.in_list); the
@@ -154,18 +160,21 @@ def incremental_compare(
         # drill-down's bucket set: embedded in the returned lazy plan and
         # bounded by the bucket cap (one long per changed bucket)
         changed = changed.persist()
-        changed.count()
-        bcol = bucket_id(pk, n_buckets)
-        cmp.left = (
-            cmp.left.withColumn("__bucket", bcol)
-            .join(F.broadcast(changed), "__bucket", "left_semi")
-            .drop("__bucket")
-        )
-        cmp.right = (
-            cmp.right.withColumn("__bucket", bcol)
-            .join(F.broadcast(changed), "__bucket", "left_semi")
-            .drop("__bucket")
-        )
+        if changed.count() > skip_above:
+            # heavy drift in the frame form — same skip rule as above
+            changed.unpersist()
+        else:
+            bcol = bucket_id(pk, n_buckets)
+            cmp.left = (
+                cmp.left.withColumn("__bucket", bcol)
+                .join(F.broadcast(changed), "__bucket", "left_semi")
+                .drop("__bucket")
+            )
+            cmp.right = (
+                cmp.right.withColumn("__bucket", bcol)
+                .join(F.broadcast(changed), "__bucket", "left_semi")
+                .drop("__bucket")
+            )
     return cmp
 
 
