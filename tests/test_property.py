@@ -39,8 +39,11 @@ def _master_rows(n):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(plan=perturbation_plan())
-def test_compare_counts_match_construction(spark, plan):
+@given(plan=perturbation_plan(), nb=st.sampled_from([None, 8, 4096]))
+def test_compare_counts_match_construction(spark, plan, nb):
+    # nb spans the bad-state forms: 8 buckets pushes most perturbations
+    # over the restriction-skip fraction (no-op form), 4096 keeps them in
+    # the bounded IN-list form, None exercises the chunk-size sizing path
     n, missing, modified, n_extra = plan
     schema = "pk bigint, s string, d double"
     master = spark.createDataFrame(_master_rows(n), schema)
@@ -50,10 +53,10 @@ def test_compare_counts_match_construction(spark, plan):
         if pk not in missing
     ] + [(n + 1000 + i, f"extra{i}", float(i)) for i in range(n_extra)]
     slave = spark.createDataFrame(slave_rows, schema)
-    cmp = compare_tables(
-        spark, master, slave, ["pk"],
-        CompareOptions(chunk_size=16), "prop",
+    opts = (
+        CompareOptions(chunk_size=16) if nb is None else CompareOptions(n_buckets=nb)
     )
+    cmp = compare_tables(spark, master, slave, ["pk"], opts, "prop")
     row = cmp.summary().collect()[0]
     assert row.upcount == len(missing) + len(modified)
     assert row.downcount == n_extra + len(modified)
