@@ -72,8 +72,11 @@ def test_column_drift_pushes_pk_inlist_to_both_scans(spark):
     """Single integer PK + bounded diff: column_drift retrieves both sides
     by ``pk IN (modified pks)`` pushed to the parquet scans — join input is
     exactly the modified rows, not chunk_size-amplified bucket rows.
-    (n_buckets pinned high so the bounded IN-list form holds — the
-    pushdown deliberately stays off in heavy-drift/skip forms.)"""
+    (n_buckets pinned high so the bounded IN-list form holds, and the row
+    diff computed first — the pushdown engages only when a prior consumer
+    already owns the diff, as in the CLI's composed drill-down flow; a
+    standalone column_drift keeps the bucket restriction, which measured
+    faster than materializing the diff solely for the keys.)"""
     from tidb_large_table_compare_spark.operators.compare import CompareOptions
 
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
@@ -81,6 +84,9 @@ def test_column_drift_pushes_pk_inlist_to_both_scans(spark):
         spark, orders, perturbed_orders(orders), pk=["o_orderkey"],
         options=CompareOptions(n_buckets=4096), table_name="t",
     )
+    standalone = _plan(cmp.column_drift())
+    assert "In(o_orderkey, [" not in standalone  # fallback without a diff
+    cmp.diff_rows()  # a prior consumer computes the diff (CLI flow)
     plan = _plan(cmp.column_drift())
     assert plan.count("In(o_orderkey, [") >= 2  # both sides' PushedFilters
 

@@ -341,7 +341,13 @@ def _run(args) -> int:
         for job in jobs:
             if not job.pk:
                 continue
-            for r in _drill_cmp(job).column_drift().collect():
+            cmp = _drill_cmp(job)
+            if args.fix_sql_out or args.reconcile_out:
+                # later flags consume the row diff anyway; computing it
+                # first lets column_drift share the persisted frame via
+                # the pk-IN retrieval instead of a second bucket join
+                cmp.diff_rows()
+            for r in cmp.column_drift().collect():
                 if r.mismatch_rows:
                     print(f"drift {job.table} {r.column_name} {r.mismatch_rows}")
 

@@ -407,15 +407,18 @@ class TableCompare:
         ltypes = {f.name: f.dataType for f in self.left.schema.fields}
         rtypes = {f.name: f.dataType for f in self.right.schema.fields}
         lsrc = rsrc = None
-        # pk-IN retrieval only when the bad state is the bounded IN-list
-        # form: there the diff frame is persisted (drift-sized; see
-        # diff_rows) so collecting the modified keys is a cache read, and
-        # the key count is bounded by construction. Heavy-drift forms keep
-        # the bucket-restriction shape unchanged — an eager diff execution
-        # there would cost a full unrestricted drill-down just to discover
-        # the keys are too many to push.
+        # pk-IN retrieval only when (a) the bad state is the bounded
+        # IN-list form — there the diff frame is persisted (drift-sized;
+        # see diff_rows) so collecting the modified keys is a cache read —
+        # AND (b) some consumer already computed the diff (the CLI's
+        # composed flow runs the summary first; sharing its materialized
+        # frame makes this retrieval strictly cheaper than the bucket
+        # join). A standalone column_drift keeps the bucket-restriction
+        # shape: materializing the drill-down solely to learn the keys
+        # measured SLOWER than the restriction it would replace (sf1
+        # in-regime: 1.45 s vs 1.22 s, PERFORMANCE.md round-8).
         _, bad_ids, _ = self._bad_bucket_state()
-        if len(self.pk) == 1 and bad_ids:
+        if len(self.pk) == 1 and bad_ids and self._diff_rows is not None:
             mod = self.diff_rows().filter(
                 F.col("diff_type") == "modified"
             ).select(self.pk[0])
