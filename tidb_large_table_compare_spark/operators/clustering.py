@@ -46,8 +46,13 @@ def _driver_components(pairs: DataFrame) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     out = [(n, find(n)) for n in sorted(parent)]
+    # pandas input takes the Arrow batch path — at the 100k-edge bound the
+    # assignment list is ~2e5 rows, ~6 s of per-row py4j otherwise
+    import pandas as pd
+
     return pairs.sparkSession.createDataFrame(
-        out, "node bigint, cluster_id bigint"
+        pd.DataFrame(out, columns=["node", "cluster_id"]),
+        schema="node bigint, cluster_id bigint",
     )
 
 

@@ -192,9 +192,10 @@ def file_inventory(
     own task the moment it is discovered.
 
     The driver walk is bounded: past ``max_driver_files`` entries the
-    accumulating py4j row conversion — not the listing itself — becomes
-    the cost (measured locally: ~4.8 s per 100k rows of createDataFrame
-    conversion, so a 10M-file lake would spend ~8 min marshaling rows),
+    accumulating driver-side row conversion — not the listing itself —
+    becomes the cost (the Arrow batch path used below converts 100k rows
+    in ~1.3 s vs ~6 s for per-row py4j; a 10M-file lake would still
+    spend ~2 min marshaling plus hold every entry in driver memory),
     and with ``recursive=True`` the walk abandons and delegates to
     :func:`_file_inventory_distributed`, Spark's own parallel/distributed
     file index. ``distributed=True`` skips straight to that path (it
@@ -251,7 +252,14 @@ def file_inventory(
                 for fut in pending:
                     fut.cancel()
                 return _file_inventory_distributed(spark, dir_path)
-    return spark.createDataFrame(rows, "path string, bytes bigint")
+    # pandas input takes the Arrow batch path (list-of-tuples marshals
+    # row-by-row over py4j: measured 6.0 s vs 1.3 s per 100k rows)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["path", "bytes"]),
+        schema="path string, bytes bigint",
+    )
 
 
 def execute_compaction(
@@ -281,8 +289,8 @@ def execute_compaction(
 
     The ``plan.collect()`` is driver-bound by design: execution IS driver
     work (each bin is a driver-submitted job), so the bin→paths map must
-    live there — same ~4.8 s/100k-row py4j conversion cost as the
-    inventory walk (PERFORMANCE.md). On a lake big enough for that to
+    live there — the collect is the inventory walk's conversion cost in
+    reverse (PERFORMANCE.md). On a lake big enough for that to
     matter, scope the plan (filter to one table/partition subtree) and
     run several maintenance processes; the run lock is per-tree.
     """
