@@ -58,7 +58,8 @@ def in_list(col_name: str, ids: list) -> Column:
     if not ids:
         return F.lit(False)
     if all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
-        return F.expr(f"`{col_name}` IN ({','.join(str(i) for i in ids)})")
+        quoted = col_name.replace("`", "``")  # user PK names may need quoting
+        return F.expr(f"`{quoted}` IN ({','.join(str(i) for i in ids)})")
     return F.col(col_name).isin(ids)
 
 
