@@ -194,8 +194,9 @@ def file_inventory(
     The driver walk is bounded: past ``max_driver_files`` entries the
     accumulating driver-side row conversion — not the listing itself —
     becomes the cost (the Arrow batch path used below converts 100k rows
-    in ~1.3 s vs ~6 s for per-row py4j; a 10M-file lake would still
-    spend ~2 min marshaling plus hold every entry in driver memory),
+    in ~1.3 s and 1M in ~5 s, vs ~6 s/100k for per-row py4j — measured;
+    a 10M-file lake would still spend ~a minute marshaling plus hold
+    every entry in driver memory),
     and with ``recursive=True`` the walk abandons and delegates to
     :func:`_file_inventory_distributed`, Spark's own parallel/distributed
     file index. ``distributed=True`` skips straight to that path (it
