@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import base64
 
+import pytest
 from pyspark.sql import functions as F
 
 from tidb_large_table_compare_spark.config import (
@@ -355,6 +356,25 @@ def test_cli_verify_repaired_reads_back_and_verdicts(spark, tmp_path, capsys):
         "repair-verify main.orders: equivalent=True upcount=0 downcount=0"
         in out
     )
+
+
+def test_cli_verify_repaired_requires_reconcile_out(tmp_path):
+    """--verify-repaired without --reconcile-out must refuse up front
+    (argparse exit 2), not silently skip verification — an operator would
+    otherwise read exit 0 as 'repairs verified' when none ran."""
+    from tidb_large_table_compare_spark.cli import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(
+            [
+                "--left-dir", SF_SMALL,
+                "--right-dir", SF_SMALL,
+                "--tables", "orders",
+                "--pk", "orders=o_orderkey",
+                "--verify-repaired",
+            ]
+        )
+    assert ei.value.code == 2
 
 
 def test_cli_verify_repaired_flags_corrupted_write(spark, tmp_path, capsys):

@@ -120,3 +120,13 @@ def test_in_list_matches_isin_semantics(spark):
     sdf = df.select(F.concat(F.lit("v"), F.col("k")).alias("s"))
     got = sorted(r.s for r in sdf.filter(in_list("s", ["v1", "v2"])).collect())
     assert got == ["v1", "v2"]
+
+    # an int SUBCLASS passes the isinstance gate but may override __str__
+    # (IntEnum on old Pythons renders 'E.A'; a hostile one renders an
+    # arbitrary predicate) — the fast path must render int(i), digits only
+    class Evil(int):
+        def __str__(self):
+            return "1) OR (1=1"
+
+    got = sorted(r.k for r in df.filter(in_list("k", [Evil(5), 7])).collect())
+    assert got == [5, 7]

@@ -792,6 +792,10 @@ def test_file_inventory_distributed_matches_driver_walk(spark, tmp_path):
     spark.range(0, 100).repartition(3).write.parquet(f"{lake}/a/date=1")
     spark.range(0, 50).repartition(2).write.parquet(f"{lake}/b")
     (tmp_path / "lake" / "a" / "_hidden.parquet").write_text("x")
+    # the hard case: Spark's own index KEEPS _name=value dirs (the
+    # partition-dir exception) while the driver walk hides them — the
+    # explicit relative-path filter must make the listings agree
+    spark.range(0, 10).write.parquet(f"{lake}/_staging=1")
 
     driver = sorted(
         map(tuple, file_inventory(spark, lake, distributed=False).collect())
@@ -1009,14 +1013,30 @@ def test_heal_refuses_orphan_side_dir_with_carried_entries(spark, tmp_path):
 
     from tidb_large_table_compare_spark.operators.compaction import heal_tree
 
+    from tidb_large_table_compare_spark.operators.compaction import (
+        CompactionError,
+    )
+
     lake = str(tmp_path / "lake")
     side = f"{lake}/gone.compacting"
     os.makedirs(side)
     with open(f"{side}/keep-0001.parquet", "w") as f:
         f.write("x")  # a carried (non-merged) entry
-    with pytest.raises(Exception, match="refusing to discard"):
+    # a HEALABLE swap alongside the orphan: its repair must complete and
+    # be reported even though the orphan raises — one failing heal must
+    # not discard the others' outcomes (CompactionError carries both)
+    os.makedirs(f"{lake}/fine")
+    with open(f"{lake}/fine/compacted-00000-part.parquet", "w") as f:
+        f.write("x")
+    os.makedirs(f"{lake}/fine.old")
+    with pytest.raises(CompactionError, match="refusing to discard") as ei:
         heal_tree(spark, lake)
     assert os.path.exists(f"{side}/keep-0001.parquet")  # nothing lost
+    assert [h.rsplit("/", 1)[-1] for h in ei.value.manifest["healed"]] == [
+        "fine"
+    ]
+    assert not os.path.exists(f"{lake}/fine.old")  # the good heal ran
+    assert len(ei.value.failures) == 1
 
     os.remove(f"{side}/keep-0001.parquet")
     with open(f"{side}/compacted-00001-part.parquet", "w") as f:
@@ -1050,3 +1070,30 @@ def test_maintenance_cli_heal_only_mode(spark, tmp_path, capsys):
     assert spark.read.parquet(src).count() == 50
     # nothing planned or executed
     assert "plan " not in out and "execute " not in out
+
+
+def test_maintenance_cli_heal_failure_exit_contract(spark, tmp_path, capsys):
+    """A failing heal (the orphan .compacting refusal) follows the same
+    contract as execute/swap failures: the heals that DID complete print
+    to stdout, the full failure list goes to stderr, exit code 3 (never
+    1, which means 'run lock held')."""
+    import os
+    import shutil
+
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    lake = str(tmp_path / "lake")
+    src = f"{lake}/t1"
+    spark.range(0, 50).coalesce(1).write.parquet(src)
+    shutil.copytree(src, src + ".old")  # healable: post-swap crash shape
+    orphan = f"{lake}/gone.compacting"
+    os.makedirs(orphan)
+    with open(f"{orphan}/keep-0001.parquet", "w") as f:
+        f.write("x")  # carried entry with no canonical: heal must refuse
+
+    assert main(["--dir", lake, "--heal-only"]) == 3
+    cap = capsys.readouterr()
+    assert "healed interrupted swap" in cap.out and "/t1" in cap.out
+    assert "refusing to discard" in cap.err
+    assert not os.path.exists(src + ".old")  # the good heal still ran
+    assert os.path.exists(f"{orphan}/keep-0001.parquet")  # nothing lost

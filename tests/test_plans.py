@@ -128,6 +128,9 @@ def test_verify_repair_filters_before_row_hash(spark):
     assert len(scans) >= 2  # left + the repaired union's branches
     for line in scans:
         assert "pmod" in line, f"unfiltered scan in scoped verify: {line[:160]}"
+
+
+def test_compare_narrow_shuffle_columns(spark):
     """The PK join must shuffle only (pk, hash) — no payload columns."""
     orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
     cmp = compare_tables(

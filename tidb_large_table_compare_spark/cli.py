@@ -111,7 +111,13 @@ def _parse_args(argv: list[str] | None):
                    help="non-interactive: skip the --detach confirmation prompt")
     p.add_argument("--log-dir", default="logs",
                    help="directory for detached-run logs and PID file")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.verify_repaired and not args.reconcile_out:
+        # mirror maintenance_cli's --swap-without---execute-out refusal: a
+        # silently ignored flag here would read as "repairs verified" when
+        # no verification ran at all
+        p.error("--verify-repaired requires --reconcile-out")
+    return args
 
 
 def _default_lock_path(args) -> str:

@@ -59,7 +59,10 @@ def in_list(col_name: str, ids: list) -> Column:
         return F.lit(False)
     if all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
         quoted = col_name.replace("`", "``")  # user PK names may need quoting
-        return F.expr(f"`{quoted}` IN ({','.join(str(i) for i in ids)})")
+        # int(i), not i: an int SUBCLASS passes the isinstance gate but may
+        # override __str__ (IntEnum renders 'E.A'; a hostile one renders an
+        # arbitrary predicate) — int() pins the rendering to digits.
+        return F.expr(f"`{quoted}` IN ({','.join(str(int(i)) for i in ids)})")
     return F.col(col_name).isin(ids)
 
 

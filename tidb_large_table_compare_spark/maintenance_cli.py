@@ -129,7 +129,18 @@ def _run(args) -> int:
     # reclaim any interrupted swap BEFORE inventorying (we hold the run
     # lock): an X.old left by a crash holds retired duplicates that a
     # naive listing would resurrect as an independent table
-    healed = heal_tree(spark, args.dir)
+    try:
+        healed = heal_tree(spark, args.dir)
+    except CompactionError as exc:
+        # same contract as the execute/swap branches: the heals that DID
+        # complete go to stdout, the full failure list to stderr, and the
+        # exit code stays distinct from 1 (= run lock held)
+        for h in exc.manifest["healed"]:
+            print(f"healed interrupted swap: {h}")
+        print(f"error: {exc}", file=sys.stderr)
+        for f in exc.failures:
+            print(f"failed: {f}", file=sys.stderr)
+        return 3
     for h in healed:
         print(f"healed interrupted swap: {h}")
     if args.heal_only:

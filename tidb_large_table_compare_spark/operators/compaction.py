@@ -152,9 +152,23 @@ def _file_inventory_distributed(spark: SparkSession, dir_path: str) -> DataFrame
     InMemoryFileIndex lists in parallel and switches to a listing JOB
     above ``spark.sql.sources.parallelPartitionDiscovery.threshold``
     paths, and the resulting inventory stays a DataFrame end to end (no
-    py4j row conversion, no driver list). Hidden-entry semantics match
-    the driver walk: Spark skips ``_``/``.``-prefixed entries itself.
+    py4j row conversion, no driver list). Hidden-entry semantics are
+    pinned to the driver walk's: Spark's own index skips most ``_``/
+    ``.``-prefixed entries but KEEPS ``_name=value`` directories (the
+    partition-dir exception in ``shouldFilterOutPathName``), which the
+    driver walk excludes — and the swap step is destructive, so the two
+    listings drifting on a ``_staging=1/`` dir would rewrite files the
+    walk deliberately treated as hidden. The explicit relative-path
+    filter below closes that gap; the root is FS-qualified so the filter
+    never inspects segments of ``dir_path`` itself.
     """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # both Spark's FileIndex and this qualification funnel through Hadoop
+    # Path.toString, so the returned `path` column is prefix-stable
+    root = fs.makeQualified(jpath).toString()
+    rel = F.col("path").substr(F.lit(len(root) + 2), F.lit(1 << 30))
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -168,6 +182,9 @@ def _file_inventory_distributed(spark: SparkSession, dir_path: str) -> DataFrame
             "(" + "|".join(s.replace(".", r"\.") for s in _PROTOCOL_SUFFIXES)
             + ")/"
         ))
+        # driver-walk hidden semantics: no segment below the root may start
+        # with '_' or '.' (covers the _name=value partition-dir exception)
+        .filter(~rel.rlike(r"(^|/)[_.]"))
         .select(F.col("path"), F.col("length").alias("bytes"))
     )
 
@@ -465,9 +482,26 @@ def heal_tree(
         # many debris dirs would be latency-bound like the listing. Safe:
         # distinct canonicals touch disjoint paths (a canonical inside
         # another's .old tree is never scanned, so never in the set).
-        flags = list(pool.map(lambda c: _heal_swap(spark, fs, c),
-                              sorted(canonicals)))
-    return [c for c, h in zip(sorted(canonicals), flags) if h]
+        # Collected per-future rather than pool.map: one raising repair
+        # (e.g. the orphan .compacting refusal) must not discard the
+        # report of every heal that DID complete.
+        futs = {c: pool.submit(_heal_swap, spark, fs, c)
+                for c in sorted(canonicals)}
+    healed, failures = [], []
+    for c, fut in futs.items():
+        try:
+            if fut.result():
+                healed.append(c)
+        except Exception as exc:  # noqa: BLE001 — reported, not swallowed
+            failures.append(f"{c}: {exc}")
+    if failures:
+        raise CompactionError(
+            f"{len(failures)}/{len(canonicals)} heals failed "
+            f"({len(healed)} succeeded): " + "; ".join(failures[:5]),
+            manifest={"healed": healed},
+            failures=failures,
+        )
+    return healed
 
 
 def swap_compacted(

@@ -266,6 +266,23 @@ class TableCompare:
             restricted = withb.join(F.broadcast(bad), "__bucket", "left_semi")
         return restricted.drop("__bucket")
 
+    def _bounded_int_keys(self, frame: DataFrame, col: str) -> list | None:
+        """``col``'s values from ``frame`` when they qualify for the pk-IN
+        scan pushdown: at most ``_MAX_INLIST`` of them and every one a
+        plain int (bool excluded; in_list renders ints digit-only).
+        Returns None when oversized or non-integer — the one eligibility
+        rule shared by fix_sql's master retrieval and column_drift's pair
+        retrieval, so the cap and the int gate cannot drift apart."""
+        ids = [
+            r[0]
+            for r in frame.select(col).limit(self._MAX_INLIST + 1).collect()
+        ]
+        if len(ids) <= self._MAX_INLIST and all(
+            isinstance(i, int) and not isinstance(i, bool) for i in ids
+        ):
+            return ids
+        return None
+
     def diff_rows(self) -> DataFrame:
         """(pk..., diff_type) for every differing row.
 
@@ -419,13 +436,9 @@ class TableCompare:
         # in-regime: 1.45 s vs 1.22 s, PERFORMANCE.md round-8).
         _, bad_ids, _ = self._bad_bucket_state()
         if len(self.pk) == 1 and bad_ids and self._diff_rows is not None:
-            mod = self.diff_rows().filter(
-                F.col("diff_type") == "modified"
-            ).select(self.pk[0])
-            ids = [r[0] for r in mod.limit(self._MAX_INLIST + 1).collect()]
-            if len(ids) <= self._MAX_INLIST and all(
-                isinstance(i, int) and not isinstance(i, bool) for i in ids
-            ):
+            mod = self.diff_rows().filter(F.col("diff_type") == "modified")
+            ids = self._bounded_int_keys(mod, self.pk[0])
+            if ids is not None:
                 pred = in_list(self.pk[0], ids)
                 lsrc, rsrc = self.left.filter(pred), self.right.filter(pred)
         if lsrc is None:

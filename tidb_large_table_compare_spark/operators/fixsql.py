@@ -78,11 +78,8 @@ def fix_sql(cmp) -> DataFrame:
     # diff frame is persisted (drift-sized) and the key collect is a cache
     # read; heavy-drift forms keep the lazy semi-join shape untouched
     if len(pk) == 1 and bad_ids:
-        cap = cmp._MAX_INLIST
-        ids = [r[0] for r in to_replace.limit(cap + 1).collect()]
-        if len(ids) <= cap and all(
-            isinstance(i, int) and not isinstance(i, bool) for i in ids
-        ):
+        ids = cmp._bounded_int_keys(to_replace, pk[0])
+        if ids is not None:
             master_rows = left.filter(in_list(pk[0], ids))
     if master_rows is None:
         master_rows = left.join(to_replace, pk, "left_semi")
