@@ -377,6 +377,27 @@ def test_cli_verify_repaired_requires_reconcile_out(tmp_path):
     assert ei.value.code == 2
 
 
+def test_cli_multiset_refuses_keyed_drilldowns(tmp_path):
+    """--fix-sql-out/--reconcile-out must refuse --multiset up front: the
+    keyless diff is (__row_hash, diff_type, __n) with no PK columns, so
+    both branches would crash selecting keys from it mid-run."""
+    from tidb_large_table_compare_spark.cli import main
+
+    for flag in (["--fix-sql-out"], ["--reconcile-out"]):
+        with pytest.raises(SystemExit) as ei:
+            main(
+                [
+                    "--left-dir", SF_SMALL,
+                    "--right-dir", SF_SMALL,
+                    "--tables", "orders",
+                    "--pk", "orders=o_orderkey",
+                    "--multiset",
+                    *flag, str(tmp_path / "out"),
+                ]
+            )
+        assert ei.value.code == 2
+
+
 def test_cli_verify_repaired_flags_corrupted_write(spark, tmp_path, capsys):
     """If the written repair is tampered with inside a drifted bucket, the
     read-back verify must catch it and fail the run (exit 1 + UNREPAIRED)."""

@@ -117,6 +117,13 @@ def _parse_args(argv: list[str] | None):
         # silently ignored flag here would read as "repairs verified" when
         # no verification ran at all
         p.error("--verify-repaired requires --reconcile-out")
+    if args.multiset and (args.fix_sql_out or args.reconcile_out):
+        # the forced multiset diff is keyed by whole-row hash, not PK —
+        # there are no keys to REPLACE/DELETE by, so fix-SQL export and
+        # repair are undefined (column_drift's skip covers the third
+        # drill-down; these two would crash selecting PKs from the diff)
+        p.error("--fix-sql-out/--reconcile-out cannot combine with "
+                "--multiset: the keyless diff pairs no rows to repair")
     return args
 
 
