@@ -398,6 +398,24 @@ def test_cli_multiset_refuses_keyed_drilldowns(tmp_path):
         assert ei.value.code == 2
 
 
+def test_cli_keyed_drilldowns_require_some_pk(tmp_path):
+    """--fix-sql-out/--reconcile-out with no --pk at all must refuse: both
+    outputs are per-keyed-table, so the run would exit 0 having silently
+    written nothing."""
+    from tidb_large_table_compare_spark.cli import main
+
+    with pytest.raises(SystemExit) as ei:
+        main(
+            [
+                "--left-dir", SF_SMALL,
+                "--right-dir", SF_SMALL,
+                "--tables", "orders",
+                "--fix-sql-out", str(tmp_path / "out"),
+            ]
+        )
+    assert ei.value.code == 2
+
+
 def test_cli_verify_repaired_flags_corrupted_write(spark, tmp_path, capsys):
     """If the written repair is tampered with inside a drifted bucket, the
     read-back verify must catch it and fail the run (exit 1 + UNREPAIRED)."""

@@ -124,6 +124,10 @@ def _parse_args(argv: list[str] | None):
         # drill-down; these two would crash selecting PKs from the diff)
         p.error("--fix-sql-out/--reconcile-out cannot combine with "
                 "--multiset: the keyless diff pairs no rows to repair")
+    if (args.fix_sql_out or args.reconcile_out) and not args.pk:
+        # both outputs are per-KEYED-table (the loops skip unkeyed jobs):
+        # with no --pk at all the run would exit 0 having written nothing
+        p.error("--fix-sql-out/--reconcile-out require at least one --pk")
     return args
 
 
