@@ -1011,10 +1011,9 @@ def test_heal_refuses_orphan_side_dir_with_carried_entries(spark, tmp_path):
     by execute_compaction) are still reclaimed."""
     import os
 
-    from tidb_large_table_compare_spark.operators.compaction import heal_tree
-
     from tidb_large_table_compare_spark.operators.compaction import (
         CompactionError,
+        heal_tree,
     )
 
     lake = str(tmp_path / "lake")
