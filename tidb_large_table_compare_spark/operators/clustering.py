@@ -136,6 +136,18 @@ def connected_components(
         labels = merged.select("node", "label")
         if changed == 0:
             break
+    else:
+        # min-label propagation moves the minimum one hop per round, so a
+        # dup-chain longer than max_iterations (e.g. successive edits of a
+        # template) ends here with intermediate labels — returning that
+        # silently would split one real cluster into several and keep
+        # multiple "canonical" copies downstream. Fail loudly instead.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"rounds ({changed} labels still moving) — the dup graph's "
+            f"diameter exceeds max_iterations; raise it and re-run"
+        )
     result = labels.select(F.col("node"), F.col("label").alias("cluster_id"))
     # the returned frame reads the final checkpoint's stored blocks, so the
     # edge frame can be released before the caller ever runs an action

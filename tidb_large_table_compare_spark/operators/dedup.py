@@ -25,7 +25,26 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_verified_pairs",
     "simhash",
+    "cap_hot_buckets",
 ]
+
+
+def cap_hot_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop every (band, bucket) holding more than ``max_bucket_size`` rows.
+
+    The one cap shared by the inline LSH pair generation, the admission
+    index build, and the index compaction — a single definition so a
+    future change to the cap semantics (e.g. counting distinct ids
+    instead of rows) cannot silently diverge across the three paths. A
+    hot bucket is a degenerate hash collision (boilerplate shingles, near-
+    constant signatures); its members pair quadratically, so at corpus
+    scale one bucket can dominate the whole candidate join.
+    """
+    if max_bucket_size is None:
+        return bands
+    sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__sz"))
+    small = sizes.filter(F.col("__sz") <= max_bucket_size).select("band", "bucket")
+    return bands.join(small, ["band", "bucket"], "left_semi")
 
 
 def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -122,12 +141,21 @@ def minhash_signature_from_sets(
     NB: transform() lambdas here must take exactly one argument — a
     two-argument lambda makes Spark pass the ELEMENT INDEX as the second
     argument, silently replacing a closed-over seed.
+
+    Empty shingle sets are dropped (matching every other signature
+    variant): ``array_min`` over an empty array is NULL, so an empty doc
+    would get an all-NULL signature — and xxhash64 over NULLs is a
+    seed-derived CONSTANT, which would put every sub-n-token doc into one
+    shared bucket in every band and blow the band self-join up
+    quadratically in their count.
     """
     base = F.transform(
         F.col(shingles_col),
         lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MERSENNE_31)),
     )
-    prepped = shingle_sets.select(F.col(id_col), base.alias("__g"))
+    prepped = shingle_sets.filter(
+        F.size(F.col(shingles_col)) > 0
+    ).select(F.col(id_col), base.alias("__g"))
 
     def perm(a: int, b: int):
         # single-parameter lambda via closure: default-arg tricks would raise
@@ -243,12 +271,18 @@ def minhash_signature_oph(
     split into n ranges) and the per-bin minimum forms the sketch — the
     classic n-permutation sketch costs n passes per shingle, OPH costs one
     (Li, Owen & Zhang 2012). Empty bins are densified by borrowing from the
-    next non-empty bin with a distinct offset (rotation densification), via
-    three bounded probes (P(empty) ≈ e^-S/n per bin keeps misses negligible)
-    and a sentinel fallback.
+    circularly-NEXT non-empty bin, offset-encoded by the exact distance
+    (rotation densification, Shrivastava 2014 — see the in-body comment for
+    why bounded probes with a sentinel fallback would be wrong here).
 
     Returns (id, sig array<long>). Values are confined to 31 bits so the
     densification offsets can never overflow ANSI-mode bigint arithmetic.
+
+    Takes RAW shingles (hashes them itself). Value-compatible with
+    :func:`minhash_signature_oph_np` only under the intended pairing:
+    this over raw shingles ≡ oph_np over those shingles pre-hashed with
+    xxhash64. Feeding this function pre-hashed ints double-hashes them —
+    the sketches then share no collisions with an oph_np-built index.
     """
     exploded = shingle_sets.select(F.col(id_col), F.explode(shingles_col).alias("__s"))
     g = F.xxhash64("__s")
@@ -377,12 +411,7 @@ def lsh_candidate_pairs_from_array(
     Default ``None`` preserves exact parity with the all-candidates oracle.
     """
     exploded = signature_band_buckets(signatures, id_col, n_hashes, n_bands)
-    if max_bucket_size is not None:
-        sizes = exploded.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__sz")
-        )
-        small = sizes.filter(F.col("__sz") <= max_bucket_size).select("band", "bucket")
-        exploded = exploded.join(small, ["band", "bucket"], "left_semi")
+    exploded = cap_hot_buckets(exploded, max_bucket_size)
     a = exploded.withColumnRenamed(id_col, "id_a")
     b = exploded.withColumnRenamed(id_col, "id_b")
     return (

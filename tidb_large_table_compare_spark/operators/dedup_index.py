@@ -41,6 +41,7 @@ from tidb_large_table_compare_spark.functions.partitioning import (
     optimized_plan_size_bytes,
 )
 from tidb_large_table_compare_spark.operators.dedup import (
+    cap_hot_buckets,
     hashed_word_ngrams,
     jaccard_verified_pairs,
     minhash_signature_oph_np,
@@ -82,18 +83,20 @@ def build_neardup_index(
     """
     shingles = _shingle_sets(corpus, id_col, text_col, shingle_n)
     # range-cluster by id: every row group covers a narrow id range, so
-    # the probe's verify-scan IN-list pushdown prunes via min/max stats
-    shingles.sortWithinPartitions(id_col).write.mode("overwrite").parquet(
-        f"{path}/docs"
-    )
+    # the probe's verify-scan IN-list pushdown prunes via min/max stats.
+    # repartitionByRange is required, not just sortWithinPartitions: a
+    # corpus whose source splits are hash-distributed would otherwise
+    # write files that each span the WHOLE id range, and the pruning the
+    # comment above promises would never engage (compact_neardup_index
+    # re-clusters the same way). One build-time shuffle buys it.
+    shingles.repartitionByRange(id_col).sortWithinPartitions(
+        id_col
+    ).write.mode("overwrite").parquet(f"{path}/docs")
     spark = corpus.sparkSession
     stored = spark.read.parquet(f"{path}/docs")  # reuse the written shingles
     sigs = minhash_signature_oph_np(stored, id_col, n_hashes=n_hashes)
     bands = signature_band_buckets(sigs, id_col, n_hashes, n_bands)
-    if max_bucket_size is not None:
-        sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__sz"))
-        small = sizes.filter(F.col("__sz") <= max_bucket_size).select("band", "bucket")
-        bands = bands.join(small, ["band", "bucket"], "left_semi")
+    bands = cap_hot_buckets(bands, max_bucket_size)
     bands.write.mode("overwrite").parquet(f"{path}/bands")
 
 
@@ -189,7 +192,17 @@ def query_neardup_index(
     identical pairs; PERFORMANCE.md round-8). Above the id cap (or with
     ``verify_pushdown_max_ids=0``) the probe stays lazy.
     """
-    new_shingles = _shingle_sets(new_docs, id_col, text_col, shingle_n)
+    # checkpointed: the batch's shingles feed BOTH candidate generation
+    # (signatures → bands) and the verify union below — without it the
+    # batch text is re-read and re-shingled per consumer on every probe.
+    # localCheckpoint, not persist: no unpersist hook exists after the
+    # returned frame is consumed, and persist here would accumulate one
+    # cache entry per admission batch for the session's lifetime (the
+    # ContextCleaner frees checkpoint blocks once the frame goes out of
+    # scope; same pattern as `cands` below).
+    new_shingles = _shingle_sets(
+        new_docs, id_col, text_col, shingle_n
+    ).localCheckpoint(eager=True)
     new_sigs = minhash_signature_oph_np(new_shingles, id_col, n_hashes=n_hashes)
     new_bands = signature_band_buckets(new_sigs, id_col, n_hashes, n_bands)
 
@@ -298,14 +311,8 @@ def compact_neardup_index(
         if fs.exists(jside0):
             fs.delete(jside0, True)
         df = spark.read.parquet(src).dropDuplicates()
-        if sub == "bands" and max_bucket_size is not None:
-            sizes = df.groupBy("band", "bucket").agg(
-                F.count(F.lit(1)).alias("__sz")
-            )
-            small = sizes.filter(F.col("__sz") <= max_bucket_size).select(
-                "band", "bucket"
-            )
-            df = df.join(small, ["band", "bucket"], "left_semi")
+        if sub == "bands":
+            df = cap_hot_buckets(df, max_bucket_size)
         _, jsrc = _hadoop_fs(spark, src)
         bytes_before = fs.getContentSummary(jsrc).getLength()
         files_before = sum(

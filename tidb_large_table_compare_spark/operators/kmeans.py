@@ -43,10 +43,20 @@ def _update(assigned: DataFrame) -> DataFrame:
     sums = dims.groupBy("cluster_id", "dim").agg(
         F.sum("val").alias("s"), F.count(F.lit(1)).alias("c")
     )
+    # exact integer round-half-away-from-zero: (2|s|+c) DIV (2c), signed.
+    # The double formulation (round(s::double / c)) loses exactness once a
+    # cluster's per-dimension sum exceeds 2^53 (~8e9 members at the ~1.1e6
+    # quantized component bound — reachable at the 100 TB target), and the
+    # module's contract is exact cross-engine reproducibility. 2*s stays
+    # far inside bigint (overflow needs ~4e12 members per cluster); the
+    # oracle (_KMEANS_UPDATE_SQL) computes the identical integer form.
     comp = sums.select(
         "cluster_id",
         "dim",
-        F.round(F.col("s").cast("double") / F.col("c")).cast("long").alias("m"),
+        F.expr(
+            "CASE WHEN s >= 0 THEN (2*s + c) DIV (2*c) "
+            "ELSE -((-2*s + c) DIV (2*c)) END"
+        ).alias("m"),
     )
     return comp.groupBy("cluster_id").agg(
         F.transform(

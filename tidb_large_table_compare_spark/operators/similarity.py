@@ -167,10 +167,17 @@ def sign_bucket(vec: Column, n_bits: int = 5) -> Column:
     Identical/near-identical vectors land in the same bucket; the candidate
     join is equi-keyed on (bucket, …) so Spark never materializes the full
     pair space.
+
+    F.get (0-based, null-safe), not element_at: under ANSI mode
+    element_at RAISES past the array end, so one sub-``n_bits``-dim vector
+    would crash the whole job. A missing component reads as NULL, whose
+    comparison is NULL, so its bit deterministically lands in the
+    ``otherwise`` 0 branch — short vectors bucket as if their missing
+    components were negative.
     """
     bucket = F.lit(0).cast("long")
     for i in range(1, n_bits + 1):
-        bit = F.when(F.element_at(vec, i) >= 0, F.lit(1).cast("long")).otherwise(
+        bit = F.when(F.get(vec, i - 1) >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket + F.shiftleft(bit, i - 1)
@@ -304,13 +311,22 @@ def build_ivf_index(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
     if centroids is not None:
-        cents = spark.createDataFrame(
-            [(int(i), list(v)) for i, v in centroids], "id long, qv array<long>"
-        )
+        # the caller's list IS the quantizer — write it for probers, use
+        # it directly (no Spark roundtrip just to collect it back)
+        cent_rows = [(int(i), list(v)) for i, v in centroids]
+        spark.createDataFrame(
+            cent_rows, "id long, qv array<long>"
+        ).write.mode("overwrite").parquet(f"{path}/centroids")
     else:
         cents = prepped.filter(F.col("id") % centroid_mod == 0)
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    cent_rows = [(r["id"], r["qv"]) for r in cents.collect()]
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        # read the tiny written parquet back instead of collect()ing the
+        # corpus-scan lineage a second time (same discipline as
+        # build_neardup_index's re-read of its written docs/)
+        cent_rows = [
+            (r["id"], r["qv"])
+            for r in spark.read.parquet(f"{path}/centroids").collect()
+        ]
     assigned = topk_cells(prepped, "id", "qv", cent_rows, k=1, out_col="cell")
     assigned.write.mode("overwrite").parquet(f"{path}/assignments")
 

@@ -3053,7 +3053,12 @@ def _kmeans_assign_sql(vec_src: str, cent_src: str) -> str:
 _KMEANS_UPDATE_SQL = """
   SELECT cluster_id, list(m ORDER BY dim) AS cv FROM (
     SELECT cluster_id, dim,
-           CAST(round(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+           -- exact integer round-half-away-from-zero, mirroring
+           -- kmeans._update: the double form loses exactness past 2^53
+           CASE WHEN SUM(val) >= 0
+                THEN (2*SUM(val) + COUNT(*)) // (2*COUNT(*))
+                ELSE -((-2*SUM(val) + COUNT(*)) // (2*COUNT(*)))
+           END AS m
     FROM (SELECT cluster_id, generate_subscripts(qv, 1) AS dim, unnest(qv) AS val
           FROM {src})
     GROUP BY cluster_id, dim
