@@ -1043,6 +1043,14 @@ def test_profile_table_stats_and_nulls(spark):
     approx = {r.column_name: r for r in profile_table(df, approx=True).collect()}
     assert approx["id"].n_distinct == 4
 
+    # hostile column names: quotes/backticks/backslashes land in the
+    # rendered stack() fragment as a literal AND inside identifiers —
+    # both must be escaped (same bug class as in_list's backtick fix)
+    hostile = df.withColumnsRenamed({"s": "it's", "d": "a`b\\c"})
+    hprof = {r.column_name: r for r in profile_table(hostile).collect()}
+    assert set(hprof) == {"id", "it's", "a`b\\c"}
+    assert (hprof["it's"].n_nulls, hprof["a`b\\c"].n_distinct) == (1, 2)
+
     import pytest as _pytest
     with _pytest.raises(ValueError, match="not in frame"):
         profile_table(df, ["nope"])

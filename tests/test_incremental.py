@@ -299,3 +299,110 @@ def test_streaming_digest_maintenance_tracks_change_feed(spark, tmp_path):
     }
     expect = {tuple(r) for r in spark.read.parquet(fresh).collect()}
     assert maintained == expect
+
+
+def test_digest_artifact_survives_emptying_feed(spark, tmp_path):
+    """A truncate-and-reload feed (every remaining row deleted) drives all
+    bucket counts to 0 — the artifact must keep its n_buckets pin (the
+    sentinel row) so the next fold / changed_buckets still works instead
+    of dying on an empty parquet."""
+    from tidb_large_table_compare_spark.operators.incremental import (
+        apply_changes_to_digests,
+        changed_buckets,
+        read_digests,
+        write_digests,
+    )
+
+    rows = spark.createDataFrame([(i, f"v{i}") for i in range(50)], "pk bigint, s string")
+    opts = CompareOptions(n_buckets=8)
+    base = str(tmp_path / "base")
+    write_digests(spark, rows, ["pk"], base, opts)
+
+    emptied = str(tmp_path / "emptied")
+    apply_changes_to_digests(spark, base, emptied, ["pk"], deletes=rows, options=opts)
+    digests, n_buckets = read_digests(spark, emptied)
+    assert n_buckets == 8 and digests.count() == 0
+
+    # the emptied artifact is still a working snapshot: re-inserting rows
+    # folds cleanly, and changed_buckets flags their buckets vs empty
+    refilled = str(tmp_path / "refilled")
+    apply_changes_to_digests(spark, emptied, refilled, ["pk"], inserts=rows, options=opts)
+    fresh = str(tmp_path / "fresh")
+    write_digests(spark, rows, ["pk"], fresh, opts)
+    a = {tuple(r) for r in spark.read.parquet(refilled).collect()}
+    b = {tuple(r) for r in spark.read.parquet(fresh).collect()}
+    assert a == b
+    assert changed_buckets(spark, emptied, rows, ["pk"], opts).count() > 0
+
+
+def test_digest_maintenance_skips_already_committed_epoch(spark, tmp_path):
+    """A foreachBatch retry AFTER the LATEST pointer was updated (crash
+    between the pointer rename and the checkpoint commit) must skip the
+    fold: re-folding would double-apply the batch and read epoch_N while
+    overwriting epoch_N. Simulated by replaying epoch 0 with a fresh
+    checkpoint against a root whose LATEST already names epoch_0."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from tidb_large_table_compare_spark.operators.incremental import write_digests
+    from tidb_large_table_compare_spark.streaming.digest_maintenance import (
+        OP_COL,
+        latest_digest_path,
+        start_digest_maintenance,
+    )
+
+    rows = spark.createDataFrame([(i, i * 10) for i in range(40)], "pk bigint, v bigint")
+    opts = CompareOptions(n_buckets=8)
+    root = tmp_path / "digests"
+    root.mkdir()
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    batch = rows.filter(F.col("pk") % 5 == 0).withColumn(OP_COL, F.lit("D"))
+    batch.select(OP_COL, "pk", "v").coalesce(1).write.mode("append").parquet(
+        str(feed_dir)
+    )
+    feed_schema = f"{OP_COL} string, pk bigint, v bigint"
+
+    init = str(root / "epoch_init")
+    write_digests(spark, rows, ["pk"], init, opts)
+    (root / "LATEST").write_text(init)
+    q = start_digest_maintenance(
+        spark, spark.readStream.schema(feed_schema).parquet(str(feed_dir)),
+        str(root), ["pk"], checkpoint=str(tmp_path / "ckpt1"), options=opts,
+    )
+    q.awaitTermination(120)
+    once = {
+        tuple(r)
+        for r in spark.read.parquet(latest_digest_path(str(root))).collect()
+    }
+    assert latest_digest_path(str(root)).endswith("epoch_0")
+
+    # fresh checkpoint replays epoch 0; LATEST already names epoch_0, so
+    # the fold must be skipped — folding again would subtract the deletes
+    # a second time
+    q2 = start_digest_maintenance(
+        spark, spark.readStream.schema(feed_schema).parquet(str(feed_dir)),
+        str(root), ["pk"], checkpoint=str(tmp_path / "ckpt2"), options=opts,
+    )
+    q2.awaitTermination(120)
+    twice = {
+        tuple(r)
+        for r in spark.read.parquet(latest_digest_path(str(root))).collect()
+    }
+    assert twice == once
+
+
+def test_digest_maintenance_refuses_remote_root(spark, tmp_path):
+    """URI-schemed roots are refused up front: the LATEST pointer uses
+    driver-local filesystem primitives, and pathlib would silently mangle
+    hdfs:///s3a:// paths."""
+    import pytest
+
+    from tidb_large_table_compare_spark.streaming.digest_maintenance import (
+        start_digest_maintenance,
+    )
+
+    with pytest.raises(NotImplementedError, match="driver-local"):
+        start_digest_maintenance(
+            spark, None, "s3a://bucket/digests", ["pk"],
+            checkpoint=str(tmp_path / "ckpt"),
+        )

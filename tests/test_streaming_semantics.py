@@ -215,3 +215,36 @@ def test_event_stream_reads_spark_dataset_directories(spark, tmp_path):
     got = sorted(map(tuple, from_dir.collect()))
     want = sorted(map(tuple, from_file.collect()))
     assert got == want and len(got) > 0
+
+
+def test_stateful_totals_round_half_away_from_zero(spark, tmp_path):
+    """An exactly-representable half-cent (value = 0.125 → 12.5 cents)
+    must round AWAY FROM ZERO like SQL round() in both engines — pandas
+    .round() is half-to-even and would emit 12, diverging from the oracle
+    by one cent."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tidb_large_table_compare_spark.streaming.events import (
+        streaming_user_totals,
+    )
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    ts = datetime.datetime(2024, 1, 1, 9, 0, 0)
+    spark.createDataFrame(
+        [(1, ts, 7, "purchase", 0.125, None),
+         (2, ts, 7, "purchase", 0.375, None),
+         (3, ts, 8, "purchase", 1.0, None)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(src / "events.parquet"))
+
+    got = {
+        (r.user_id, r.n_events, r.total_cents)
+        for r in streaming_user_totals(spark, str(src)).collect()
+    }
+    # 12.5 → 13 and 37.5 → 38 (half-away); banker's rounding would give
+    # 12 + 38 = 50 for user 7 instead of 51
+    assert got == {(7, 2, 51), (8, 1, 100)}

@@ -38,6 +38,51 @@ __all__ = [
     "apply_changes_to_digests",
 ]
 
+# Every artifact carries a tiny `_n_buckets` sidecar (hidden from Spark's
+# parquet scans by the underscore prefix) so the pinned bucket count
+# survives an EMPTY digest set — a change feed that deletes every remaining
+# row (truncate-and-reload) legitimately drives all bucket counts to 0, and
+# a zero-row parquet loses the in-data pin (read_digests' first() returns
+# None). A union'd sentinel row was measured at ~0.3 s per CDC fold (it
+# reshapes the write job); the sidecar costs one metadata-sized FS write.
+# Written AFTER the parquet (a crash between leaves an artifact whose
+# in-data pin still works unless it is also empty — then read_digests
+# raises a named error); read through the Hadoop FS API so remote
+# filesystems work like the artifacts themselves.
+_PIN_SIDECAR = "_n_buckets"
+
+
+def _pin_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PIN_SIDECAR}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _write_pin(spark: SparkSession, path: str, n_buckets: int) -> None:
+    fs, jpath = _pin_path(spark, path)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(str(int(n_buckets)).encode()))
+    finally:
+        out.close()
+
+
+def _read_pin(spark: SparkSession, path: str) -> int | None:
+    fs, jpath = _pin_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        data = stream.read()
+        buf = []
+        while data != -1:
+            buf.append(data)
+            data = stream.read()
+        return int(bytes(buf).decode())
+    finally:
+        stream.close()
+
 
 def write_digests(
     spark: SparkSession,
@@ -48,7 +93,7 @@ def write_digests(
 ) -> int:
     """Persist the per-bucket digest of ``df`` to ``path``; returns the
     pinned bucket count. Columns: (__bucket, cnt, xor_digest, sum_digest,
-    n_buckets)."""
+    n_buckets), plus the pin-preserving ``_n_buckets`` sidecar."""
     cmp = TableCompare(spark, df, df, pk, options)
     n_buckets = cmp._n_buckets()
     (
@@ -57,13 +102,26 @@ def write_digests(
         .write.mode("overwrite")
         .parquet(path)
     )
+    _write_pin(spark, path, n_buckets)
     return n_buckets
 
 
 def read_digests(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     """Load a digest artifact; returns (digests, pinned n_buckets)."""
     df = spark.read.parquet(path)
-    n_buckets = df.select("n_buckets").first()["n_buckets"]
+    row = df.select("n_buckets").first()
+    if row is not None:
+        n_buckets = row["n_buckets"]
+    else:
+        # empty digest set (a feed deleted every remaining row): the pin
+        # survives in the sidecar
+        n_buckets = _read_pin(spark, path)
+        if n_buckets is None:
+            raise ValueError(
+                f"digest artifact at {path} is empty and has no "
+                f"{_PIN_SIDECAR} sidecar — the n_buckets pin is "
+                f"unrecoverable; re-snapshot with write_digests"
+            )
     return df.drop("n_buckets"), n_buckets
 
 
@@ -128,22 +186,32 @@ def incremental_compare(
     # compact exchange payload, not as a plan-tree literal Catalyst must
     # re-analyze).
     cap = TableCompare._MAX_INLIST
-    ids = [r["__bucket"] for r in changed.limit(cap + 1).collect()]
     skip_above = TableCompare._RESTRICT_SKIP_FRACTION * n_buckets
+    # persist BEFORE the first action: the changed-bucket frame sits above
+    # the full digest aggregation of `right`, and the branches below take
+    # up to two actions over it — unpersisted, each action re-ran that
+    # whole linear scan (the count() in the frame branch literally doubled
+    # the digest pass). count() first materializes every partition, so the
+    # later collect is a pure cache read.
+    changed = changed.persist()
+    n_changed = changed.count()
     # scope cmp.left/right (post-range_sql) rather than the raw inputs so a
     # configured range predicate stays in force
-    if not ids:
+    if n_changed == 0:
         cmp.left = cmp.left.limit(0)
         cmp.right = cmp.right.limit(0)
-    elif len(ids) <= cap and len(ids) > skip_above:
+        changed.unpersist()
+    elif n_changed > skip_above:
         # most buckets drifted since the snapshot: the scope would keep
         # most rows while every job re-pays the predicate — run the plain
         # full compare (same skip rule as TableCompare._bad_bucket_state)
-        pass
-    elif len(ids) <= cap:
+        changed.unpersist()
+    elif n_changed <= cap:
         # in_list, not Column.isin — same per-element py4j cost note as
         # TableCompare._restrict_to_bad_buckets (hashing.in_list); the
         # predicate needs a named column, so stage the bucket id
+        ids = [r["__bucket"] for r in changed.collect()]
+        changed.unpersist()
         bcol = bucket_id(pk, n_buckets)
         cmp.left = (
             cmp.left.withColumn("__bucket", bcol)
@@ -159,22 +227,17 @@ def incremental_compare(
         # deliberate session-lifetime cache, same contract as the compare
         # drill-down's bucket set: embedded in the returned lazy plan and
         # bounded by the bucket cap (one long per changed bucket)
-        changed = changed.persist()
-        if changed.count() > skip_above:
-            # heavy drift in the frame form — same skip rule as above
-            changed.unpersist()
-        else:
-            bcol = bucket_id(pk, n_buckets)
-            cmp.left = (
-                cmp.left.withColumn("__bucket", bcol)
-                .join(F.broadcast(changed), "__bucket", "left_semi")
-                .drop("__bucket")
-            )
-            cmp.right = (
-                cmp.right.withColumn("__bucket", bcol)
-                .join(F.broadcast(changed), "__bucket", "left_semi")
-                .drop("__bucket")
-            )
+        bcol = bucket_id(pk, n_buckets)
+        cmp.left = (
+            cmp.left.withColumn("__bucket", bcol)
+            .join(F.broadcast(changed), "__bucket", "left_semi")
+            .drop("__bucket")
+        )
+        cmp.right = (
+            cmp.right.withColumn("__bucket", bcol)
+            .join(F.broadcast(changed), "__bucket", "left_semi")
+            .drop("__bucket")
+        )
     return cmp
 
 
@@ -225,6 +288,7 @@ def apply_changes_to_digests(
         stored.withColumn("n_buckets", F.lit(n_buckets)).write.mode(
             "overwrite"
         ).parquet(out_path)
+        _write_pin(spark, out_path, n_buckets)
         return n_buckets
     delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
     delta = delta.groupBy("__bucket").agg(
@@ -250,4 +314,5 @@ def apply_changes_to_digests(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+    _write_pin(spark, out_path, n_buckets)
     return n_buckets

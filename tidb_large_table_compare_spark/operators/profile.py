@@ -52,7 +52,10 @@ def profile_table(
     fields = {f.name: f.dataType for f in df.schema.fields}
     aggs = []
     for c in names:
-        col = F.col(c)
+        # explicit backtick quoting: a bare F.col(c)/df[c] PARSES the name
+        # (dots → nesting, a lone backtick → syntax error), so quote the
+        # whole name with inner backticks doubled — resolves verbatim
+        col = F.col(f"`{c.replace('`', '``')}`")
         if isinstance(fields[c], T.MapType):
             # maps are neither groupable nor orderable — profile the same
             # sorted-entry JSON serialization the row digests hash
@@ -65,8 +68,19 @@ def profile_table(
             F.max(col).cast("string").alias(f"__max_{c}"),
         ]
     one = df.agg(*aggs)
+    # user column names land in a rendered SQL fragment twice — as a
+    # string literal and inside backticked identifiers — so escape both
+    # forms (same class of bug as hashing.in_list's backtick escape): a
+    # name containing ' or ` or \ must not break or mis-split the expr
+    def lit(c: str) -> str:
+        return c.replace("\\", "\\\\").replace("'", "\\'")
+
+    def ident(c: str) -> str:
+        return c.replace("`", "``")
+
     stack_args = ", ".join(
-        f"'{c}', `__rows_{c}`, `__nulls_{c}`, `__dist_{c}`, `__min_{c}`, `__max_{c}`"
+        f"'{lit(c)}', `__rows_{ident(c)}`, `__nulls_{ident(c)}`, "
+        f"`__dist_{ident(c)}`, `__min_{ident(c)}`, `__max_{ident(c)}`"
         for c in names
     )
     return one.select(

@@ -115,13 +115,23 @@ def curate_corpus(
     obs_exact = Observation()
     obs_decon = Observation()
 
-    # 1. exact dedup: keep the lowest doc_id per identical text
-    w_exact = Window.partitionBy("text").orderBy("doc_id")
+    # 1. exact dedup: keep the lowest doc_id per identical text.
+    # min(struct(doc_id, ...)) under groupBy(text), NOT a window: the
+    # row_number window shuffled FULL rows keyed by the whole document
+    # text with no partial aggregation, funneling every copy of a
+    # boilerplate text into one sort task — at corpus scale that shuffle
+    # is the dominant stage-1 cost. The struct-min compares by doc_id
+    # first (unique), so it keeps exactly the same row, but map-side
+    # combine collapses duplicates to one survivor per text per task
+    # BEFORE the shuffle. (Requires orderable payload columns — no maps —
+    # which the documents schema satisfies.)
+    other_cols = ["doc_id"] + [c for c in docs.columns if c not in ("doc_id", "text")]
     exact = (
         docs.observe(obs_input, F.count(F.lit(1)).alias("n"))
-        .withColumn("__rn", F.row_number().over(w_exact))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .groupBy("text")
+        .agg(F.min(F.struct(*other_cols)).alias("__r"))
+        .select("text", "__r.*")
+        .select(*docs.columns)
         .observe(obs_exact, F.count(F.lit(1)).alias("n"))
     )
 

@@ -8,8 +8,20 @@ query whose per-batch cost is O(changes), independent of table size.
 
 Epoch handling makes this exactly-once-by-construction: each batch writes a
 NEW artifact directory keyed by epoch (parquet cannot be rewritten while
-readable) and a tiny ``LATEST`` pointer file is updated last. A retried
-epoch rewrites its own directory and re-points — same end state.
+readable) and a tiny ``LATEST`` pointer file is updated last, atomically
+(temp file + rename). A retried epoch whose crash preceded the pointer
+update rewrites its own directory and re-points — same end state; a retry
+AFTER the pointer update (crash between the pointer rename and the stream's
+checkpoint commit) is detected — LATEST already names this epoch's
+directory — and skipped, because re-folding would both double-apply the
+batch and read/overwrite the same parquet path.
+
+``root`` must be a driver-local path: the pointer file is maintained with
+local filesystem primitives (the artifacts themselves go through Spark).
+A URI-schemed root (hdfs://, s3a://) is refused up front rather than
+silently mangled by pathlib — route the pointer through the Hadoop
+FileSystem API (as ``streaming/events.py::_is_directory`` does) if a
+remote root is ever needed.
 
 Feed convention: one column ``__op`` ('I' or 'D') plus the table's columns;
 an upstream update arrives as its delete-old + insert-new pair, which is
@@ -51,12 +63,25 @@ def start_digest_maintenance(
 
     ``root`` must contain an initial artifact at ``root/epoch_init`` with
     ``LATEST`` pointing at it (write one with ``write_digests`` + a pointer
-    file). Returns the StreamingQuery.
+    file), and must be driver-local (see the module docstring). Returns
+    the StreamingQuery.
     """
+    if "://" in root:
+        raise NotImplementedError(
+            f"digest-maintenance root must be driver-local (got {root}): "
+            f"the LATEST pointer uses local filesystem primitives — see "
+            f"the module docstring for the Hadoop-FS seam"
+        )
 
     def fold(batch: DataFrame, epoch_id: int) -> None:
         current = latest_digest_path(root)
         out = str(Path(root) / f"epoch_{epoch_id}")
+        if current == out:
+            # retried epoch that already committed its fold and pointer
+            # (crash landed between the pointer rename and the stream's
+            # checkpoint commit): folding again would double-apply the
+            # batch AND read epoch_N while overwriting epoch_N
+            return
         inserts = batch.filter(F.col(OP_COL) == "I").drop(OP_COL)
         deletes = batch.filter(F.col(OP_COL) == "D").drop(OP_COL)
         apply_changes_to_digests(
@@ -68,7 +93,13 @@ def start_digest_maintenance(
             deletes=deletes,
             options=options,
         )
-        (Path(root) / "LATEST").write_text(out)
+        # atomic re-point: write_text alone truncates then writes, so a
+        # concurrent reader (changed_buckets against the live artifact —
+        # the advertised continuous-verification usage) could observe an
+        # empty pointer, and a mid-write crash would corrupt the chain
+        tmp = Path(root) / "LATEST.tmp"
+        tmp.write_text(out)
+        tmp.replace(Path(root) / "LATEST")
 
     writer = changes.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint

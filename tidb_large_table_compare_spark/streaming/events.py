@@ -79,6 +79,24 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
         return False
 
 
+def _drain_memory_table(spark: SparkSession, name: str, transform=None) -> DataFrame:
+    """Snapshot a finished memory sink and DROP its temp view.
+
+    A memory sink retains its full result set for the session lifetime;
+    without the drop, every entry invocation (driver verification rounds,
+    bench warmup+samples) leaks one complete result copy per call. The
+    rows are snapshotted into lineage-free localCheckpoint blocks first —
+    released by the ContextCleaner when the returned frame goes out of
+    scope — so the returned DataFrame survives the drop.
+    """
+    df = spark.table(name)
+    if transform is not None:
+        df = transform(df)
+    out = df.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def event_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """One parquet-footer schema probe, reusable across stream legs.
 
@@ -88,9 +106,21 @@ def event_stream_schema(spark: SparkSession, sf_dir: str) -> StructType:
     no data scan). Entries that build multiple legs over the same file (the
     doubled dedup stream) probe once and pass the result to each
     :func:`_event_stream` call instead of re-reading footers per leg.
+
+    The nanosAsLong conf is snapshotted and restored: this probe is a
+    BATCH read, which captures the conf eagerly, so leaking the set (as a
+    bare conf.set would) is pure side effect on the caller's session —
+    the streaming legs set it themselves inside _scoped_stream_confs.
     """
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    try:
+        return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def _event_stream(
@@ -163,12 +193,12 @@ def streaming_hourly_counts(
             query.processAllAvailable()
         finally:
             query.stop()
-    return spark.table(name).select(
+    return _drain_memory_table(spark, name, lambda df: df.select(
         F.col("w.start").cast("timestamp_ntz").alias("hour_start"),
         "event_type",
         "n_events",
         F.col("tv").cast("double").alias("total_value"),
-    )
+    ))
 
 
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,10 +215,19 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update_totals(key, pdfs, state: GroupState):
+        import numpy as np
+
         count, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             count += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # round half AWAY FROM ZERO, matching SQL round() in both
+            # engines — pandas .round() is half-to-even, so an exactly
+            # representable half-cent (value = 0.125 → 12.5) would
+            # diverge from the oracle by 1
+            v = pdf["value"].to_numpy(dtype="float64") * 100.0
+            cents += int(
+                (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64").sum()
+            )
         state.update((count, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [count], "total_cents": [cents]}
@@ -221,12 +260,11 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.Window.partitionBy("user_id").orderBy(
         F.desc("n_events"), F.desc("total_cents")
     )
-    return (
-        spark.table(name)
-        .withColumn("__rn", F.row_number().over(w))
+    return _drain_memory_table(spark, name, lambda df: (
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select("user_id", "n_events", "total_cents")
-    )
+    ))
 
 
 def streaming_session_counts(
@@ -257,14 +295,13 @@ def streaming_session_counts(
             query.processAllAvailable()
         finally:
             query.stop()
-    return (
-        spark.table(name)
-        .groupBy("user_id")
+    return _drain_memory_table(spark, name, lambda df: (
+        df.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
             F.sum("n_in_session").cast("bigint").alias("n_events"),
         )
-    )
+    ))
 
 
 def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,11 +345,11 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
             query.processAllAvailable()
         finally:
             query.stop()
-    return spark.table(name).select(
+    return _drain_memory_table(spark, name, lambda df: df.select(
         F.col("p_user").alias("user_id"),
         F.col("p_id").alias("purchase_id"),
         F.col("s_id").alias("signup_id"),
-    )
+    ))
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,4 +394,4 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-    return spark.table(name)
+    return _drain_memory_table(spark, name)
