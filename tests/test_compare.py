@@ -476,3 +476,25 @@ def test_column_drift_refuses_multiset_mode(spark, master, slave):
     )
     with pytest.raises(ValueError, match="unique primary key"):
         cmp.column_drift()
+
+
+def test_compare_tolerates_int_vs_bigint_pk(spark):
+    """The benign integral widening row_hash canonicalizes must hold for
+    BUCKETING too: an INT pk on one side and BIGINT on the other hashed
+    raw put identical rows in different buckets (xxhash64 hashes the
+    binary width), flagging every bucket bad and degenerating the
+    drill-down to a full scan."""
+    rows = [(i, f"v{i}") for i in range(200)]
+    left = spark.createDataFrame(rows, "pk int, s string")
+    right = spark.createDataFrame(rows, "pk bigint, s string")
+    cmp = compare_tables(
+        spark, left, right, pk=["pk"],
+        options=CompareOptions(n_buckets=64), table_name="t",
+    )
+    assert cmp.mismatched_buckets().count() == 0
+    assert cmp.diff_rows().count() == 0
+    row = cmp.summary().collect()[0]
+    # structure diff still REPORTS the type change (B1) — only the data
+    # verdict tolerates the widening
+    assert row.upcount == 0 and row.downcount == 0
+    assert not row.structure_ok

@@ -1133,3 +1133,60 @@ def test_neardup_index_compaction_heals_interrupted_swap(spark, tmp_path):
         [(101, base + "tail")], "doc_id bigint, text string"
     )
     assert query_neardup_index(spark, path, arrivals, threshold=0.5).count() == 1
+
+
+def test_multimodal_stages_tolerate_null_payload(spark):
+    """A NULL binary cell is in-contract for a parquet binary column: the
+    metadata stage maps it to NULL fields (SQL semantics), the decode /
+    frame / feature stages skip it — none of the four may die with a
+    mid-stage Python TypeError."""
+    from tidb_large_table_compare_spark.operators.multimodal import (
+        binary_metadata,
+        decode_media,
+        extract_features,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, bytearray(b"hello world payload")), (2, None), (3, bytearray(b""))],
+        "doc_id bigint, payload binary",
+    )
+    meta = {r.doc_id: r for r in binary_metadata(docs).collect()}
+    assert meta[1].n_bytes == 19 and meta[1].media_format == "raw"
+    assert meta[2].n_bytes is None and meta[2].head_byte is None
+    assert meta[2].media_format is None
+    assert meta[3].n_bytes == 0 and meta[3].head_byte == -1
+
+    frames = sample_frames(docs).collect()
+    assert {r.doc_id for r in frames} == {1}  # null and empty yield no frames
+
+    feats = {r.doc_id for r in extract_features(docs).collect()}
+    assert feats == {1, 3}  # null skipped; empty encodes to the zero vector
+
+    # decode over a null-only frame: skips, returns empty, never raises
+    ppm = spark.createDataFrame([(9, None)], "doc_id bigint, payload binary")
+    assert decode_media(ppm, "ppm").count() == 0
+
+
+def test_parse_summaries_malformed_and_flag_only_reports(spark, tmp_path):
+    """One backticked prose line with no '|' fields must degrade to NULL
+    counts (not an ANSI element_at crash), and a report with a verdict
+    but no parsable data row must still appear with NULL fields (not be
+    dropped by the join)."""
+    from tidb_large_table_compare_spark.sources.reports import parse_summaries
+
+    d1 = tmp_path / "main_users_20240101_090000"
+    d1.mkdir()
+    (d1 / "summary.txt").write_text("comparing `users` failed\n")
+    d2 = tmp_path / "main_orders_20240102_090000"
+    d2.mkdir()
+    (d2 / "summary.txt").write_text("+----+\n| TABLE |\n+----+\ncheck pass!!!\n")
+
+    rows = {r.run_ts: r for r in parse_summaries(
+        spark, str(tmp_path / "*" / "summary.txt")
+    ).collect()}
+    assert set(rows) == {"20240101_090000", "20240102_090000"}
+    r1 = rows["20240101_090000"]  # malformed data row -> NULL fields
+    assert r1.table is None and r1.upcount is None and r1.downcount is None
+    r2 = rows["20240102_090000"]  # no data row at all -> flag-only row kept
+    assert r2.table is None and r2.upcount is None

@@ -161,14 +161,35 @@ def row_hash(
     return F.xxhash64(*canonical_columns(df, cols, float_round))
 
 
-def bucket_id(pk_cols: list[str], n_buckets: int) -> Column:
+def bucket_id(
+    pk_cols: list[str], n_buckets: int, df: DataFrame | None = None
+) -> Column:
     """Hash-bucket id from the PK — the engine's 'chunk' (SURVEY.md §1.1).
 
     Physical PK-range chunks (reference ``chunk-size = 5000``) become hash
     buckets: Spark partitioning already gives locality, and hash bucketing is
     skew-resistant without needing PK statistics.
+
+    Pass ``df`` so integral PK columns are widened to bigint BEFORE
+    hashing — the same canonicalization ``row_hash`` applies. Without it,
+    an INT pk on one side and a BIGINT pk on the other (the benign type
+    widening the digests deliberately tolerate) put identical rows in
+    DIFFERENT buckets (xxhash64 hashes the raw bytes: int 5 → bucket 952,
+    bigint 5 → bucket 581 at 1024 buckets), flagging every bucket bad.
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(n_buckets)).alias("bucket")
+    cols = []
+    fields = (
+        {f.name: f.dataType for f in df.schema.fields} if df is not None else {}
+    )
+    for c in pk_cols:
+        col = F.col(c)
+        if isinstance(
+            fields.get(c),
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            col = col.cast("long")
+        cols.append(col)
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).alias("bucket")
 
 
 def with_hash_columns(
@@ -179,6 +200,6 @@ def with_hash_columns(
     float_round: int | None = None,
 ) -> DataFrame:
     """Attach ``__bucket`` and ``__row_hash`` columns used by the compare plan."""
-    return df.withColumn("__bucket", bucket_id(pk_cols, n_buckets)).withColumn(
+    return df.withColumn("__bucket", bucket_id(pk_cols, n_buckets, df)).withColumn(
         "__row_hash", row_hash(df, compare_cols, float_round)
     )

@@ -57,12 +57,22 @@ def ensure_min_partitions(
 
     When the size probe is unavailable (Spark Connect), the cap is skipped
     and the full spread applies — the pre-cap behavior, never an error.
+    The same degradation covers ``sparkContext``/``df.rdd`` themselves
+    (also absent under Connect): with no way to read the current partition
+    count the frame is returned untouched — Connect's server-side AQE
+    already handles small-partition coalescing, and a raise here would
+    defeat the module's whole degrade-don't-crash purpose.
     """
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        default_par = df.sparkSession.sparkContext.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    target = min_partitions or default_par
     if bytes_per_partition:
         size = optimized_plan_size_bytes(df)
         if size is not None:
             target = max(1, min(target, -(-size // bytes_per_partition)))
-    if df.rdd.getNumPartitions() < target:
+    if current < target:
         return df.repartition(target)
     return df

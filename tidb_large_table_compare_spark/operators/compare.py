@@ -74,7 +74,7 @@ def _narrow(df: DataFrame, pk: list[str], compare_cols: list[str], n_buckets: in
     plan ever shuffles. Catalyst prunes the parquet scan to pk+compare cols."""
     return df.select(
         *[F.col(c) for c in pk],
-        bucket_id(pk, n_buckets).alias("__bucket"),
+        bucket_id(pk, n_buckets, df).alias("__bucket"),
         row_hash(df, compare_cols, float_round).alias("__row_hash"),
     )
 
@@ -257,7 +257,7 @@ class TableCompare:
         n_buckets, bad_ids, bad = self._bad_bucket_state()
         if bad_ids is None and bad is None:
             return df
-        withb = df.withColumn("__bucket", bucket_id(self.pk, n_buckets))
+        withb = df.withColumn("__bucket", bucket_id(self.pk, n_buckets, df))
         if bad_ids is not None:
             # in_list, not Column.isin: the py4j per-element literal cost of
             # isin is ~30 s of driver time at the 50k cap (hashing.in_list)

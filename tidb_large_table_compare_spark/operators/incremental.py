@@ -212,14 +212,15 @@ def incremental_compare(
         # predicate needs a named column, so stage the bucket id
         ids = [r["__bucket"] for r in changed.collect()]
         changed.unpersist()
-        bcol = bucket_id(pk, n_buckets)
+        # per-side bucket columns: the sides may carry different integral
+        # widths and bucket_id widens by the given frame's schema
         cmp.left = (
-            cmp.left.withColumn("__bucket", bcol)
+            cmp.left.withColumn("__bucket", bucket_id(pk, n_buckets, cmp.left))
             .filter(in_list("__bucket", ids))
             .drop("__bucket")
         )
         cmp.right = (
-            cmp.right.withColumn("__bucket", bcol)
+            cmp.right.withColumn("__bucket", bucket_id(pk, n_buckets, cmp.right))
             .filter(in_list("__bucket", ids))
             .drop("__bucket")
         )
@@ -227,14 +228,13 @@ def incremental_compare(
         # deliberate session-lifetime cache, same contract as the compare
         # drill-down's bucket set: embedded in the returned lazy plan and
         # bounded by the bucket cap (one long per changed bucket)
-        bcol = bucket_id(pk, n_buckets)
         cmp.left = (
-            cmp.left.withColumn("__bucket", bcol)
+            cmp.left.withColumn("__bucket", bucket_id(pk, n_buckets, cmp.left))
             .join(F.broadcast(changed), "__bucket", "left_semi")
             .drop("__bucket")
         )
         cmp.right = (
-            cmp.right.withColumn("__bucket", bcol)
+            cmp.right.withColumn("__bucket", bucket_id(pk, n_buckets, cmp.right))
             .join(F.broadcast(changed), "__bucket", "left_semi")
             .drop("__bucket")
         )

@@ -51,16 +51,24 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payloads are in-contract for a parquet binary column: map
+        # them to NULL metadata (SQL semantics — octet_length(NULL) IS
+        # NULL), not a mid-stage TypeError. Nullable Int64, not int64:
+        # plain astype would reject pd.NA.
         for pdf in batches:
             payload = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": payload.map(len).astype("int64"),
+                    "n_bytes": payload.map(
+                        lambda b: len(b) if b is not None else None
+                    ).astype("Int64"),
                     "head_byte": payload.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int64"),
-                    "media_format": "raw",
+                        lambda b: None if b is None else (b[0] if len(b) else -1)
+                    ).astype("Int64"),
+                    "media_format": payload.map(
+                        lambda b: "raw" if b is not None else None
+                    ),
                 }
             )
 
@@ -362,6 +370,8 @@ def decode_media(
                 "mean_r": [], "mean_g": [], "mean_b": [], "thumb": [],
             }
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # nothing to decode; skip, don't crash
+                    continue
                 arr = decoder(bytes(payload))
                 gray = arr.mean(axis=2)
                 thumb = _resize_nearest(gray, thumb_size, thumb_size)
@@ -402,6 +412,8 @@ def sample_frames(
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "head_byte": []}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # a NULL payload has no frames
+                    continue
                 n_frames = (len(payload) + frame_size - 1) // frame_size
                 for idx in range(0, n_frames, every_k):
                     frame = payload[idx * frame_size : (idx + 1) * frame_size]
@@ -456,8 +468,11 @@ def extract_features(
         for pdf in batches:
             ids, vecs = [], []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                if payload is None:  # no bytes to encode; skip, don't crash
+                    continue
                 ids.append(doc_id)
                 vecs.append([float(x) for x in enc(bytes(payload))])
-            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+            if ids:  # an empty frame's list column can't cast to array<float>
+                yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
 
     return df.select(id_col, "payload").mapInPandas(featurize, FEATURE_SCHEMA)

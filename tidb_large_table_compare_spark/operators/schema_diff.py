@@ -9,6 +9,15 @@ Here both schemas become DataFrames of ``(column_name, data_type, nullable,
 position)`` and a full outer join on column name classifies every column:
 ``ok`` / ``type_mismatch`` / ``missing_in_right`` / ``extra_in_right`` /
 ``reordered``. ``structure_ok`` is True iff every column is ``ok``.
+
+Nullability is REIFIED for display (``schema_as_df``) but deliberately
+EXCLUDED from the verdict: Spark's inferred ``nullable`` flag is not a
+reliable structure signal — parquet scans mark every column nullable
+regardless of the writer's constraints, and expression-derived columns
+flip the flag by construction (``F.when`` vs ``F.lit``), so comparing it
+would report structure drift between a table and its own projection.
+A real NULL/NOT NULL DDL check belongs at the catalog layer
+(information_schema), where the declared constraint actually lives.
 """
 
 from __future__ import annotations

@@ -104,8 +104,12 @@ def read_avro(spark: SparkSession, path: str, schema: str | None = None) -> Data
         reader = reader.schema(schema)
     try:
         return reader.format("avro").load(path)
-    except Exception as exc:  # AnalysisException: failed to find data source
-        if "avro" in str(exc).lower():
+    except Exception as exc:
+        # match the SPECIFIC missing-data-source failure, not any message
+        # containing 'avro' — a path error under /data/avro/... would
+        # otherwise be misdiagnosed as the missing module
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
             raise RuntimeError(
                 "Avro support needs the spark-avro module on the classpath "
                 "(e.g. --packages org.apache.spark:spark-avro_2.13:<version>); "

@@ -65,15 +65,23 @@ def parse_summaries(spark: SparkSession, glob: str) -> DataFrame:
         .agg(F.min_by("line", F.col("__line_no")).alias("line"))
     )
     # A19/A20: fields 2/3/4 of the '|'-delimited row, trimmed, guarded casts.
+    # try_element_at, not element_at: under ANSI mode (the Spark 4 default)
+    # element_at RAISES past the array end, so one backticked prose line
+    # with no '|' delimiters would kill the whole aggregation instead of
+    # degrading to the NULL counts the try_cast contract promises.
     split = F.split(F.col("line"), r"\|")
     parsed = data_rows.select(
         "path",
-        F.trim(F.element_at(split, 2)).alias("table"),
-        F.trim(F.element_at(split, 3)).try_cast("long").alias("upcount"),
-        F.trim(F.element_at(split, 4)).try_cast("long").alias("downcount"),
+        F.trim(F.try_element_at(split, F.lit(2))).alias("table"),
+        F.trim(F.try_element_at(split, F.lit(3))).try_cast("long").alias("upcount"),
+        F.trim(F.try_element_at(split, F.lit(4))).try_cast("long").alias("downcount"),
     )
 
-    return flags.join(parsed, "path", "inner").select(
+    # LEFT join from the per-file flags: a report whose run died before
+    # printing any backticked data row still has a verdict worth reporting —
+    # an inner join would silently drop the file, the opposite of the A20
+    # "unparseable fields become NULL" degradation.
+    return flags.join(parsed, "path", "left").select(
         "run_ts",
         "table",
         F.col("equivalent_marker").alias("structure_ok"),

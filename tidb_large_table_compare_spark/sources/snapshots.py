@@ -25,7 +25,27 @@ from pyspark.sql import DataFrame, SparkSession
 _V_RE = re.compile(r"^v=(\d{8})$")
 
 
-def snapshot_versions(base: str) -> list[int]:
+def snapshot_versions(base: str, spark: SparkSession | None = None) -> list[int]:
+    """Existing version numbers under ``base``, ascending.
+
+    With ``spark`` the listing goes through the Hadoop FileSystem API, so
+    remote bases (hdfs://, s3a://) that Spark itself reads and writes work
+    too — driver-local pathlib sees such a base as empty, which made every
+    write_snapshot recompute version 1 and die on errorifexists. Without a
+    session the local-path fallback remains.
+    """
+    if spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(base)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for status in fs.listStatus(jpath):
+            m = _V_RE.match(status.getPath().getName())
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
     p = Path(base)
     if not p.exists():
         return []
@@ -39,7 +59,7 @@ def snapshot_versions(base: str) -> list[int]:
 
 def write_snapshot(df: DataFrame, base: str) -> int:
     """Write the next snapshot version (write-once; never overwrites)."""
-    version = (snapshot_versions(base) or [0])[-1] + 1
+    version = (snapshot_versions(base, df.sparkSession) or [0])[-1] + 1
     df.write.mode("errorifexists").parquet(f"{base}/v={version:08d}")
     return version
 
@@ -52,7 +72,7 @@ def read_snapshot(
     The version resolves eagerly so later writes cannot change what this
     DataFrame reads — the B2 guarantee.
     """
-    versions = snapshot_versions(base)
+    versions = snapshot_versions(base, spark)
     if not versions:
         raise FileNotFoundError(f"no snapshots under {base}")
     if version is None:
