@@ -148,8 +148,9 @@ def test_cli_discovery_threshold_filters_tables(spark, tmp_path, capsys):
         [
             "--left-dir", SF_SMALL,
             "--right-dir", SF_SMALL,
-            # orders (1500 rows) passes a 1000-row threshold; nation (25) and
-            # region (CLUSTERED pk type) do not
+            # orders (1500 rows) passes a 1000-row threshold; nation (25)
+            # and region (5) do not — the CLI's discovery filters on rows
+            # only (pk_type is a TiDB-shaped stand-in; see _run)
             "--tables", "orders,nation,region",
             "--pk", "orders=o_orderkey",
             "--row-threshold", "1000",
@@ -634,3 +635,90 @@ def test_cli_profile_both_flags_print_both_reports(spark, tmp_path, capsys):
     n_cols = len(orders.columns)
     assert len([l for l in out if l.startswith("profile ")]) == 2 * n_cols
     assert len([l for l in out if l.startswith("profile~ ")]) == 2 * n_cols
+
+
+def test_runlock_never_observable_without_pid(tmp_path):
+    """The lock publishes via write-temp-then-link, so a reader can never
+    see an empty lock file (the O_EXCL-create-then-write window let a
+    racer read pid 0, conclude 'stale', and delete a LIVE holder's lock);
+    and concurrent stale-steals leave exactly one winner."""
+    import os
+    import subprocess
+    import sys as _sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
+
+    path = tmp_path / "run.lock"
+    with RunLock(path):
+        assert path.read_text() == str(os.getpid())  # pid present atomically
+        assert not list(tmp_path.glob("*.tmp"))  # temp cleaned after publish
+
+    # many threads race to steal the same stale lock: exactly one must
+    # acquire; the rest get LockHeld naming the new live holder
+    proc = subprocess.Popen([_sys.executable, "-c", "pass"])
+    proc.wait()
+    path.write_text(str(proc.pid))
+
+    locks = [RunLock(path) for _ in range(8)]
+
+    def try_acquire(lk):
+        try:
+            lk.acquire()
+            return "won"
+        except LockHeld:
+            return "held"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        outcomes = list(pool.map(try_acquire, locks))
+    assert outcomes.count("won") == 1, outcomes
+    assert path.read_text() == str(os.getpid())
+    for lk in locks:
+        lk.release()
+    assert not path.exists()
+
+
+def test_cli_rejects_malformed_pk_spec(tmp_path):
+    """A --pk spec without '=' (or with empty columns) must refuse at parse
+    time: it silently produced pk=[], degrading the table to a keyless
+    multiset compare and making every keyed drill-down skip it."""
+    from tidb_large_table_compare_spark.cli import main
+
+    for spec in ("orders", "orders=", "=o_orderkey", "orders=,"):
+        with pytest.raises(SystemExit) as ei:
+            main(
+                [
+                    "--left-dir", SF_SMALL,
+                    "--right-dir", SF_SMALL,
+                    "--tables", "orders",
+                    "--pk", spec,
+                ]
+            )
+        assert ei.value.code == 2, spec
+
+
+def test_cli_isolates_unreadable_table(spark, tmp_path, capsys):
+    """One missing parquet on the right side fails THAT table and the run's
+    exit code — the other tables still compare and report."""
+    import shutil
+
+    from tidb_large_table_compare_spark.cli import main
+
+    right = tmp_path / "right"
+    right.mkdir()
+    shutil.copy(f"{SF_SMALL}/orders.parquet", right / "orders.parquet")
+    # nation.parquet deliberately absent on the right
+
+    code = main(
+        [
+            "--left-dir", SF_SMALL,
+            "--right-dir", str(right),
+            "--tables", "orders,nation",
+            "--pk", "orders=o_orderkey",
+        ]
+    )
+    cap = capsys.readouterr()
+    assert code == 1
+    assert "read failed for main.nation" in cap.err
+    assert "FAILED tables: main.nation" in cap.err
+    assert "main.orders" in cap.out  # the healthy table still reported

@@ -112,6 +112,15 @@ def _parse_args(argv: list[str] | None):
     p.add_argument("--log-dir", default="logs",
                    help="directory for detached-run logs and PID file")
     args = p.parse_args(argv)
+    for spec in args.pk:
+        table, sep, cols = spec.partition("=")
+        if not sep or not table.strip() or not [
+            c for c in cols.split(",") if c.strip()
+        ]:
+            # a malformed spec silently produced pk=[], degrading the
+            # table to a keyless multiset compare and making the keyed
+            # drill-down loops skip it — refuse up front instead
+            p.error(f"--pk expects TABLE=COL[,COL...], got {spec!r}")
     if args.verify_repaired and not args.reconcile_out:
         # mirror maintenance_cli's --swap-without---execute-out refusal: a
         # silently ignored flag here would read as "repairs verified" when
@@ -252,9 +261,17 @@ def _run(args) -> int:
     # discover: catalog from the master side, reference predicate shape (A1-A6)
     catalog = parquet_catalog(spark, args.left_dir, tables, schema_name=args.schema)
     if args.row_threshold > 0:
+        # pk_type=None: the parquet catalog's pk_type is a TiDB-shaped
+        # STAND-IN (a fixed test-schema name set, catalog.py) — gating the
+        # CLI's threshold discovery on it silently dropped any table
+        # outside that set; real PK-type discovery belongs to a real
+        # information_schema catalog (the registry's catalog_discovery
+        # entry keeps the full reference predicate)
         worklist = [
             r.table_name
-            for r in discover(catalog, row_threshold=args.row_threshold).collect()
+            for r in discover(
+                catalog, row_threshold=args.row_threshold, pk_type=None
+            ).collect()
         ]
     else:
         worklist = tables
@@ -273,16 +290,29 @@ def _run(args) -> int:
     # information_schema read, step1_query_tables.sh:115-117) sizes each
     # job's digest buckets with zero extra Spark jobs (row_count_hint)
     catalog_rows = {r.table_name: r.table_rows for r in catalog.collect()}
-    jobs = [
-        CompareJob(
-            table=f"{args.schema}.{t}",
-            left=spark.read.parquet(f"{args.left_dir}/{t}.parquet"),
-            right=spark.read.parquet(f"{args.right_dir}/{t}.parquet"),
-            pk=pk_map.get(t),
-            options=CompareOptions(**opts, row_count_hint=catalog_rows.get(t)),
+    # per-table read isolation, mirroring run_jobs: one missing/corrupt
+    # parquet must fail THAT table, not abort the whole run before any
+    # comparison happens
+    jobs: list[CompareJob] = []
+    read_failures: list[str] = []
+    for t in worklist:
+        name = f"{args.schema}.{t}"
+        try:
+            left = spark.read.parquet(f"{args.left_dir}/{t}.parquet")
+            right = spark.read.parquet(f"{args.right_dir}/{t}.parquet")
+        except Exception as exc:  # noqa: BLE001 — reported, run continues
+            print(f"read failed for {name}: {exc}", file=sys.stderr)
+            read_failures.append(name)
+            continue
+        jobs.append(
+            CompareJob(
+                table=name,
+                left=left,
+                right=right,
+                pk=pk_map.get(t),
+                options=CompareOptions(**opts, row_count_hint=catalog_rows.get(t)),
+            )
         )
-        for t in worklist
-    ]
     run = run_jobs(
         spark,
         jobs,
@@ -337,6 +367,12 @@ def _run(args) -> int:
                             f"min={r.min_value} max={r.max_value}"
                         )
 
+    # Tables whose compare already failed in run_jobs must not re-enter
+    # the drill-down loops: _drill_cmp would re-run the same compare and
+    # re-raise the exception run_jobs isolated, crashing the CLI past the
+    # report it just printed.
+    failed = set(run.failed_tables)
+
     # One TableCompare per keyed table, shared by every drill-down flag
     # below — its caches (_bad_state, _diff_rows) amortize the digest pass
     # across --column-drift / --fix-sql-out / --reconcile-out instead of
@@ -356,7 +392,7 @@ def _run(args) -> int:
     # pair rows (column_drift would refuse).
     if args.column_drift and not args.multiset:
         for job in jobs:
-            if not job.pk:
+            if not job.pk or job.table in failed:
                 continue
             cmp = _drill_cmp(job)
             if args.fix_sql_out or args.reconcile_out:
@@ -418,7 +454,7 @@ def _run(args) -> int:
     # fix-SQL export (B10) for tables with diffs and a PK
     if args.fix_sql_out:
         for job in jobs:
-            if not job.pk:
+            if not job.pk or job.table in failed:
                 continue
             out = f"{args.fix_sql_out}/{job.table.replace('.', '_')}_fix"
             fix_sql(_drill_cmp(job)).coalesce(1).write.mode("overwrite").text(out)
@@ -433,7 +469,7 @@ def _run(args) -> int:
         )
 
         for job in jobs:
-            if not job.pk:
+            if not job.pk or job.table in failed:
                 continue
             repaired = apply_fixes(
                 job.left, job.right, job.pk, _drill_cmp(job).diff_rows()
@@ -454,12 +490,13 @@ def _run(args) -> int:
                 if not verdict.equivalent:
                     unrepaired.append(job.table)
 
-    if run.fail_count:
-        print(f"FAILED tables: {', '.join(run.failed_tables)}", file=sys.stderr)
+    all_failed = sorted(failed | set(read_failures))
+    if all_failed:
+        print(f"FAILED tables: {', '.join(all_failed)}", file=sys.stderr)
     if unrepaired:
         print(f"UNREPAIRED tables: {', '.join(unrepaired)}", file=sys.stderr)
         return 1
-    return run.exit_code
+    return 1 if all_failed else run.exit_code
 
 
 if __name__ == "__main__":

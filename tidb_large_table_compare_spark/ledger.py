@@ -75,7 +75,9 @@ def render(rounds: dict[int, dict[str, dict]]) -> str:
     lines = ["| entry | last checked | last green |", "|---|---|---|"]
     for name in rotation_candidates(rounds):
         row = led[name]
-        green = row["last_green"] if row["last_green"] is not None else "never"
+        green = (
+            f"r{row['last_green']}" if row["last_green"] is not None else "never"
+        )
         lines.append(f"| {name} | r{row['last_checked']} | {green} |")
     return "\n".join(lines)
 

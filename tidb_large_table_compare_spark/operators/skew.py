@@ -29,6 +29,14 @@ def with_salt(df: DataFrame, n_salts: int = 16, col_name: str = "__salt") -> Dat
     ``monotonically_increasing_id``, which is stable under task retry for a
     deterministic source (a re-run task re-reads the same split in the same
     order), so recomputed shuffle map outputs stay consistent.
+
+    PRECONDITION (API contract, not just an aside): ``df`` must be a
+    deterministic scan — a file source, not the output of a shuffle. On a
+    post-shuffle frame a task retry can observe rows in a different order,
+    the ids (and therefore salts) change, and partial aggregates from the
+    two attempts mix — salted counts come out wrong exactly when a cluster
+    is under enough pressure to retry. Salt AT THE SOURCE (before joins or
+    aggregations); there is no Spark-side way to enforce this here.
     """
     return df.withColumn(
         col_name,

@@ -118,12 +118,9 @@ def perturbed_lineitem(lineitem: DataFrame) -> DataFrame:
     return modified.unionByName(extra.select(modified.columns))
 
 
-_LINEITEM_COLS = (
-    "l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
-    "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate"
-)
-
 # DuckDB/ANSI CTE body equivalent to perturbed_lineitem() — keep in lockstep.
+# The column list appears literally in BOTH branches below — there is no
+# shared constant feeding it, so edit both.
 PERTURBED_LINEITEM_SQL = f"""
     SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
            CASE WHEN (l_orderkey * 7 + l_linenumber) % 97 = 11

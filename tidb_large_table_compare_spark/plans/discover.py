@@ -20,12 +20,18 @@ PK_TYPE = "NONCLUSTERED"
 def discover(
     catalog: DataFrame,
     row_threshold: int = ROW_THRESHOLD,
-    pk_type: str = PK_TYPE,
+    pk_type: str | None = PK_TYPE,
 ) -> DataFrame:
-    """A2 conjunctive filter + A3 projection over the catalog."""
-    return catalog.filter(
-        (F.col("table_rows") > row_threshold) & (F.col("pk_type") == pk_type)
-    ).select("table_schema", "table_name")
+    """A2 conjunctive filter + A3 projection over the catalog.
+
+    ``pk_type=None`` drops that conjunct — for catalogs with no real PK
+    metadata (parquet), where gating on the TiDB-shaped stand-in would
+    silently exclude tables the user explicitly listed.
+    """
+    pred = F.col("table_rows") > row_threshold
+    if pk_type is not None:
+        pred = pred & (F.col("pk_type") == pk_type)
+    return catalog.filter(pred).select("table_schema", "table_name")
 
 
 def stale_entries(previous: DataFrame, current: DataFrame) -> DataFrame:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import signal
+import threading
 
 __all__ = ["LockHeld", "RunLock"]
 
@@ -50,21 +51,41 @@ class RunLock:
     def acquire(self) -> "RunLock":
         # Two attempts: the second runs only after a stale lock was removed.
         for _ in range(2):
+            # Write the pid to a private temp file FIRST, then publish it
+            # atomically via link(2): with O_EXCL-create-then-write, a
+            # reader could hit the empty-file window between creation and
+            # the pid write, read pid 0, conclude "stale", and delete a
+            # LIVE holder's lock. The linked file is never observable
+            # without its pid.
+            # unique per ATTEMPT, not just per process: two threads of one
+            # process sharing a pid-named temp would link/unlink each
+            # other's file mid-acquire
+            tmp = f"{self.path}.{os.getpid()}.{threading.get_ident()}.tmp"
+            with open(tmp, "w") as fh:
+                fh.write(str(os.getpid()))
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+                os.link(tmp, self.path)
             except FileExistsError:
+                os.unlink(tmp)
                 pid = self._read_holder()
                 if pid and _pid_alive(pid):
                     raise LockHeld(self.path, pid)
-                # holder died without cleanup: remove and retry (reference
-                # "stale PID file detected, cleaning up and continuing")
+                # Holder died without cleanup (reference "stale PID file
+                # detected, cleaning up and continuing"). Steal via
+                # RENAME, not unlink: two racers that both read the dead
+                # pid would otherwise both unlink-and-create — the second
+                # unlink removes the FIRST racer's brand-new lock and both
+                # proceed. rename is atomic, exactly one racer wins it;
+                # the loser just retries the (exclusive) link above.
+                stale = f"{self.path}.stale.{os.getpid()}.{threading.get_ident()}"
                 try:
-                    os.unlink(self.path)
+                    os.rename(self.path, stale)
                 except FileNotFoundError:
-                    pass
+                    pass  # another racer already stole it
+                else:
+                    os.unlink(stale)
                 continue
-            with os.fdopen(fd, "w") as fh:
-                fh.write(str(os.getpid()))
+            os.unlink(tmp)
             self._acquired = True
             return self
         raise LockHeld(self.path, self._read_holder() or -1)

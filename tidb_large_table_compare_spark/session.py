@@ -38,7 +38,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
         # runtime bloom-filter join pruning: build a bloom filter on the
         # small join side and push it into the big side's scan — at 100 TB
         # this skips row groups for selective joins with zero code changes
