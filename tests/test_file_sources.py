@@ -481,6 +481,26 @@ def test_maintenance_cli_rejects_bad_target(capsys):
     assert "--target-bytes" in capsys.readouterr().err
 
 
+def test_maintenance_cli_rejects_out_inside_dir(tmp_path, capsys):
+    """--plan-out/--execute-out under --dir must refuse: mirror files
+    written into the maintained tree would be inventoried as independent
+    source data on the next run and re-binned."""
+    from tidb_large_table_compare_spark.maintenance_cli import main
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for flag in ("--plan-out", "--execute-out"):
+        assert main(
+            ["--dir", str(lake), flag, str(lake / "compacted")]
+        ) == 2
+        assert "must not be inside --dir" in capsys.readouterr().err
+    # sibling output is fine to validate (the run itself proceeds past
+    # the guard; empty tree exits 0)
+    assert main(
+        ["--dir", str(lake), "--plan-out", str(tmp_path / "plan")]
+    ) == 0
+
+
 def test_maintenance_cli_empty_inventory_still_writes_plan(spark, tmp_path, capsys):
     """A requested --plan-out must exist (zero rows) even when the tree
     holds no parquet — a scheduler reading it back should see an empty

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import sys
 import tempfile
 from pathlib import Path
@@ -75,13 +76,21 @@ def _parse_args(argv: list[str] | None):
     if args.mode != "compact-index":
         if not args.input:
             p.error(f"--mode {args.mode} requires --input")
-        if not args.out:
-            p.error(f"--mode {args.mode} requires --out")
+    # --out is consumed only by the modes that WRITE a result dataset
+    # (curate's corpus, admit's pair table) — build-index/append-index
+    # write solely to --index, and requiring a meaningless directory
+    # taught users it mattered
+    if args.mode in ("curate", "admit") and not args.out:
+        p.error(f"--mode {args.mode} requires --out")
     return args
 
 
 def _default_lock_path(out_dir: str) -> str:
-    digest = hashlib.sha256(out_dir.encode()).hexdigest()[:16]
+    # normalize like maintenance_cli: different spellings of the same
+    # index path (trailing slash, relative form) must map to ONE lock, or
+    # a probe and a compaction of the same index run concurrently
+    key = os.path.abspath(out_dir).rstrip("/") or "/"
+    digest = hashlib.sha256(key.encode()).hexdigest()[:16]
     return str(Path(tempfile.gettempdir()) / f"curate_{digest}.lock")
 
 

@@ -99,6 +99,18 @@ def main(argv: list[str] | None = None) -> int:
     # normalize before keying the lock: /data/lake, /data/lake/ and a
     # relative spelling of the same tree must contend on ONE lock
     lock_key = os.path.abspath(args.dir).rstrip("/") or "/"
+    # refuse output dirs INSIDE the maintained tree: merged mirror files
+    # written under --dir would be inventoried as independent source data
+    # on the next run and re-binned, compounding the duplication
+    root = lock_key
+    for flag, val in (("--plan-out", args.plan_out),
+                      ("--execute-out", args.execute_out)):
+        if val:
+            target = os.path.abspath(val).rstrip("/")
+            if target == root or target.startswith(root + "/"):
+                print(f"error: {flag} must not be inside --dir "
+                      f"({val} is under {args.dir})", file=sys.stderr)
+                return 2
     lock_path = args.lock_file or (
         tempfile.gettempdir()
         + "/spark_maintenance_"

@@ -11,7 +11,14 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["token_count", "quality_features", "lang_guess", "doc_fingerprint"]
+__all__ = [
+    "token_count",
+    "quality_features",
+    "lang_guess",
+    "doc_fingerprint",
+    "bpe_ish_tokens",
+    "BPE_ISH_PATTERN",
+]
 
 # tiny per-language stopword markers for the heuristic language guesser
 _LANG_MARKERS = [
@@ -85,11 +92,14 @@ def doc_fingerprint(text: Column) -> Column:
     )
 
 
-BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
 """GPT-2-style pretokenization, ASCII-safe: letter runs, digit runs, and
-punctuation/symbol clusters become separate tokens (whitespace delimits).
-Kept free of backslash classes so the same pattern string is parsed
-identically by Spark SQL literals and DuckDB regexes."""
+punctuation/symbol clusters become separate tokens (ALL whitespace
+delimits — \\s, not just the ASCII space: a bare space class glued tabs
+and newlines into the symbol clusters, inflating symbol-token counts on
+tab-separated text). The single string literal feeds both engines
+verbatim (F.lit on the Spark side, f-string interpolation into the
+DuckDB oracle) — verified to parse identically in both."""
 
 
 def bpe_ish_tokens(text: Column) -> Column:

@@ -3463,11 +3463,7 @@ def _train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc id — the md5-prefix trick (see simhash_docs) computed identically
     in both engines, so the assignment is reproducible anywhere."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"),
-        F.lit(100),
-    )
+    bucket = _md5_bucket(100)
     tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     return (
         docs.select(
@@ -3479,6 +3475,20 @@ def _train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("toks").cast("long").alias("total_tokens"),
         )
+    )
+
+
+def _md5_bucket(mod: int):
+    """The engine-side twin of ``(_MD5_60_DOCID_SQL) %% mod``: the
+    deterministic md5-prefix bucket every sampling/split/mix/shard entry
+    keys membership on. ONE definition — the expression was previously
+    inlined at four sites, where a future prefix-width change could
+    silently diverge them (the oracle side already shares
+    _MD5_60_DOCID_SQL)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(mod),
     )
 
 
@@ -3545,11 +3555,7 @@ def _source_mix_agg(docs: DataFrame) -> DataFrame:
     keep_permille = F.greatest(
         F.lit(100).cast("bigint"), F.lit(1000) - F.lit(45) * src_num
     )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"),
-        F.lit(1000),
-    )
+    bucket = _md5_bucket(1000)
     tokens = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     return (
         docs.filter(bucket < keep_permille)
@@ -3931,11 +3937,7 @@ def _pack_training_chunks_sharded(spark: SparkSession, sf_dir: str) -> DataFrame
     cap = 2048
     n_shards = 8
     docs = load_table(spark, sf_dir, "documents")
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"),
-        F.lit(n_shards),
-    )
+    shard = _md5_bucket(n_shards)
     toks = F.size(F.filter(F.split("text", " "), lambda t: t != ""))
     from pyspark.sql import Window
 
@@ -4000,12 +4002,17 @@ def _stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle beyond the per-source rollup. The id-sum column pins exact
     membership, not just cardinality."""
     docs = load_table(spark, sf_dir, "documents")
-    rate = 100 * (1 + F.substring("source", 4, 10).cast("int") % 10)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"),
-        F.lit(1000),
+    # try_cast + COALESCE, pinned identically in the oracle SQL: a
+    # digitless tag makes a plain cast return NULL here but CRASH DuckDB
+    # (the same crash-vs-drop divergence _source_mix_agg was hardened
+    # against); defaulting the suffix to 0 gives rate 100‰ uniformly on
+    # both engines
+    rate = 100 * (
+        1 + F.coalesce(
+            F.substring("source", 4, 10).try_cast("int"), F.lit(0)
+        ) % 10
     )
+    bucket = _md5_bucket(1000)
     return (
         docs.select(
             "source",
@@ -4030,7 +4037,7 @@ _register(
     f"""
 WITH b AS (
   SELECT source,
-         100 * (1 + CAST(substring(source, 4, 10) AS INTEGER) % 10)
+         100 * (1 + COALESCE(TRY_CAST(substring(source, 4, 10) AS INTEGER), 0) % 10)
            AS rate_permille,
          ({_MD5_60_DOCID_SQL}) % 1000 AS bucket,
          doc_id

@@ -117,5 +117,13 @@ def replicate(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) != 4:
+        print(f"usage: {sys.argv[0]} SRC_DIR DST_DIR FACTOR", file=sys.stderr)
+        sys.exit(2)
     src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    if factor < 1:
+        # factor 0 would silently write dims-only output: the fact tables
+        # cross-join range(0) and come out EMPTY — a corrupt "scaled" set
+        print(f"error: FACTOR must be >= 1, got {factor}", file=sys.stderr)
+        sys.exit(2)
     replicate(src, dst, factor)
