@@ -655,9 +655,11 @@ def test_admission_probe_scans_bands_not_corpus_text(spark, tmp_path):
     assert 1 <= len(docs) <= 2
     for l in docs:
         assert "In(doc_id" in l, l
-    # corpus text is never read: the only text scans are the batch itself
-    # (signature leg + verify-union leg), never per-band
-    assert 1 <= len([l for l in pushed if "text#" in l]) <= 2
+    # corpus text is never read — and since the probe checkpoints the
+    # batch's shingles eagerly (one text read at checkpoint time, shared
+    # by the signature leg and the verify union), the returned plan
+    # carries ZERO text scans at all
+    assert len([l for l in pushed if "text#" in l]) == 0
 
     # lazy path (the default at this store size): candidate generation
     # stays in-plan — the band table scans exactly once and corpus text
@@ -666,5 +668,5 @@ def test_admission_probe_scans_bands_not_corpus_text(spark, tmp_path):
         _plan(query_neardup_index(spark, path, batch, threshold=0.5))
     )
     assert len([l for l in lazy if "band#" in l and "bucket#" in l]) == 1
-    # batch text: signature leg + the verify-union on each pair side
-    assert 1 <= len([l for l in lazy if "text#" in l]) <= 3
+    # batch text reads live in the shingle checkpoint, not this plan
+    assert len([l for l in lazy if "text#" in l]) == 0
