@@ -53,22 +53,26 @@ def binary_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # NULL payloads are in-contract for a parquet binary column: map
         # them to NULL metadata (SQL semantics — octet_length(NULL) IS
-        # NULL), not a mid-stage TypeError. Nullable Int64, not int64:
-        # plain astype would reject pd.NA.
+        # NULL), not a mid-stage TypeError. Vectorized (.str accessor,
+        # boolean masks), not per-row Python lambdas: this stage runs
+        # over every row of the corpus. Nullable Int64 so pd.NA survives
+        # the Arrow conversion.
         for pdf in batches:
             payload = pdf["payload"]
+            n_bytes = payload.str.len().astype("Int64")
+            # .str[0] is NA for BOTH a NULL payload and an empty one —
+            # the empty case must read -1 (a byte value that cannot
+            # occur), the NULL case must stay NA
+            head = payload.str[0].astype("Int64")
+            head = head.mask(payload.notna() & (n_bytes == 0), -1)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": payload.map(
-                        lambda b: len(b) if b is not None else None
-                    ).astype("Int64"),
-                    "head_byte": payload.map(
-                        lambda b: None if b is None else (b[0] if len(b) else -1)
-                    ).astype("Int64"),
-                    "media_format": payload.map(
-                        lambda b: "raw" if b is not None else None
-                    ),
+                    "n_bytes": n_bytes,
+                    "head_byte": head,
+                    "media_format": pd.Series(
+                        "raw", index=payload.index
+                    ).mask(payload.isna(), None),
                 }
             )
 
