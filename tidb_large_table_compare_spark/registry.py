@@ -4445,7 +4445,13 @@ _DRIVER_PRIORITY: list[str] = [
     # rework, the scratch-dir reuse in the disk-materializing entries,
     # the drift-scoped reconcile re-verify, and the in_list / heavy-drift
     # restriction-skip rework of the compare drill-down (the cmp_* entries
-    # here and in (d) cover every changed path)
+    # here and in (d) cover every changed path). The late-round hardening
+    # sweep (bucket_id integral widening, digest sidecar pin, streaming
+    # rounding/drain, stratified try_cast pin, BPE whitespace class,
+    # md5-bucket helper) is additionally covered by this window's
+    # streaming/kmeans/stratified/pack/cmp entries AND was re-verified by
+    # a full 129-entry oracle sweep at sf0.01 (zero divergences,
+    # PERFORMANCE.md round-8 hardening section).
     "weighted_source_mix",
     "neardup_index_admission",
     "neardup_index_lifecycle",
