@@ -118,10 +118,15 @@ def append_to_neardup_index(
     periodically to re-apply it and merge the accumulated append files.
     """
     shingles = _shingle_sets(corpus_batch, id_col, text_col, shingle_n)
-    # appended files keep the same id clustering the build wrote
-    shingles.sortWithinPartitions(id_col).write.mode("append").parquet(
-        f"{path}/docs"
-    )
+    # appended files keep the same id clustering the build wrote — the
+    # range repartition matters for the same reason as the build's: a
+    # hash-distributed multi-split batch would otherwise append files
+    # that each span the whole batch id range, eroding the verify-scan
+    # pushdown's min/max pruning until the next compaction (for the
+    # typical small admission batch this shuffle is batch-sized)
+    shingles.repartitionByRange(id_col).sortWithinPartitions(
+        id_col
+    ).write.mode("append").parquet(f"{path}/docs")
     sigs = minhash_signature_oph_np(shingles, id_col, n_hashes=n_hashes)
     bands = signature_band_buckets(sigs, id_col, n_hashes, n_bands)
     bands.write.mode("append").parquet(f"{path}/bands")
