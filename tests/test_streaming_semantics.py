@@ -248,3 +248,24 @@ def test_stateful_totals_round_half_away_from_zero(spark, tmp_path):
     # 12.5 → 13 and 37.5 → 38 (half-away); banker's rounding would give
     # 12 + 38 = 50 for user 7 instead of 51
     assert got == {(7, 2, 51), (8, 1, 100)}
+
+
+def test_streaming_entries_drop_their_memory_tables(spark):
+    """Each entry's memory-sink temp view must be dropped after its rows
+    are snapshotted: the sink retains the full result set for the session
+    lifetime, so repeated invocations (driver rounds, bench samples)
+    would otherwise leak one result copy per call."""
+    from tidb_large_table_compare_spark.streaming.events import (
+        streaming_hourly_counts,
+    )
+
+    def stream_views():
+        return [
+            t.name for t in spark.catalog.listTables()
+            if t.isTemporary and t.name.startswith("stream_")
+        ]
+
+    before = stream_views()
+    result = streaming_hourly_counts(spark, "/root/testdata/sf0.001")
+    assert stream_views() == before  # view gone before the caller acts
+    assert result.count() > 0  # rows survive the drop (checkpointed)
