@@ -130,3 +130,23 @@ def test_in_list_matches_isin_semantics(spark):
 
     got = sorted(r.k for r in df.filter(in_list("k", [Evil(5), 7])).collect())
     assert got == [5, 7]
+
+
+def test_bucket_id_widens_all_integral_pk_widths(spark):
+    """bucket_id must assign the same bucket for the same VALUE at every
+    integral width (tinyint/smallint/int/bigint) — xxhash64 hashes the
+    binary width, so unwidened buckets diverge across benign widenings."""
+    from tidb_large_table_compare_spark.functions.hashing import bucket_id
+
+    rows = [(i,) for i in range(-20, 108)]
+    frames = {
+        t: spark.createDataFrame(rows, f"pk {t}")
+        for t in ("tinyint", "smallint", "int", "bigint")
+    }
+    buckets = {
+        t: {r.pk: r.b for r in
+            df.select("pk", bucket_id(["pk"], 64, df).alias("b")).collect()}
+        for t, df in frames.items()
+    }
+    for t in ("tinyint", "smallint", "int"):
+        assert buckets[t] == buckets["bigint"], t
