@@ -205,6 +205,66 @@ def test_runlock_garbage_pidfile_recovered(tmp_path):
         assert lock._acquired
 
 
+def _dead_pid() -> int:
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.Popen([_sys.executable, "-c", "pass"])
+    proc.wait()
+    return proc.pid
+
+
+def test_runlock_steal_rereads_holder_under_guard(tmp_path):
+    """The double-acquire race (ADVICE r8): racer B reads a dead holder,
+    racer A completes the full steal and acquires a LIVE lock, then B's
+    rename displaces A's fresh lock and both hold. The steal now re-reads
+    the holder pid under the flock guard, so a B that reaches the steal
+    after A acquired gets LockHeld and A's lock is untouched."""
+    import os
+
+    from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
+
+    path = tmp_path / "run.lock"
+    path.write_text(str(_dead_pid()))
+
+    a = RunLock(path)
+    a.acquire()  # steals the stale lock, publishes a live one
+    assert path.read_text() == str(os.getpid())
+
+    b = RunLock(path)
+    with pytest.raises(LockHeld):
+        b._steal()  # B believed the holder dead; the guarded re-read wins
+    assert path.read_text() == str(os.getpid())  # A's lock intact
+    a.release()
+    assert not path.exists()
+
+
+def test_runlock_steal_restores_displaced_live_lock(tmp_path):
+    """Defense-in-depth for guard-less participants: if the under-guard
+    re-read is fooled (simulating a legacy stealer's TOCTOU), the
+    post-rename pid verify detects that the renamed file belongs to a
+    LIVE holder, restores it, and raises instead of displacing it."""
+    import os
+
+    from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
+
+    path = tmp_path / "run.lock"
+    dead = _dead_pid()
+    path.write_text(str(dead))
+
+    a = RunLock(path)
+    a.acquire()
+
+    b = RunLock(path)
+    b._read_holder = lambda: dead  # the stale-era read, frozen (TOCTOU)
+    with pytest.raises(LockHeld) as ei:
+        b._steal()
+    assert ei.value.pid == os.getpid()
+    assert path.read_text() == str(os.getpid())  # restored, not displaced
+    assert not list(tmp_path.glob("*.stale.*"))  # no debris
+    a.release()
+
+
 def test_cli_refuses_concurrent_invocation(spark, tmp_path, capsys):
     """Second invocation against the same comparison exits 1 while the lock
     is held (reference: '程序已在运行中' refusal)."""

@@ -11,6 +11,7 @@ window), liveness comes from ``kill -0``, and release happens in ``__exit__``
 
 from __future__ import annotations
 
+import fcntl
 import os
 import signal
 import threading
@@ -71,28 +72,88 @@ class RunLock:
                 if pid and _pid_alive(pid):
                     raise LockHeld(self.path, pid)
                 # Holder died without cleanup (reference "stale PID file
-                # detected, cleaning up and continuing"). Steal via
-                # RENAME, not unlink: two racers that both read the dead
-                # pid would otherwise both unlink-and-create — the second
-                # unlink removes the FIRST racer's brand-new lock and both
-                # proceed. rename is atomic, exactly one racer wins it;
-                # the loser just retries the (exclusive) link above.
-                stale = f"{self.path}.stale.{os.getpid()}.{threading.get_ident()}"
-                try:
-                    os.rename(self.path, stale)
-                except FileNotFoundError:
-                    pass  # another racer already stole it
-                else:
-                    os.unlink(stale)
+                # detected, cleaning up and continuing") — remove the
+                # stale lock and retry the (exclusive) link above.
+                self._steal()
                 continue
             os.unlink(tmp)
             self._acquired = True
             return self
         raise LockHeld(self.path, self._read_holder() or -1)
 
-    def _read_holder(self) -> int:
+    def _steal(self) -> None:
+        """Remove a stale lock — serialized, verified, atomic.
+
+        Steal via RENAME, not unlink: two racers that both read the dead
+        pid would otherwise both unlink-and-create — the second unlink
+        removes the FIRST racer's brand-new lock and both proceed. rename
+        is atomic, exactly one racer wins it; the loser just retries the
+        exclusive link in :meth:`acquire`.
+
+        Rename alone still leaves a window: racer B reads a dead holder,
+        racer A completes the whole steal AND acquires a live lock, and
+        B's later rename then moves A's fresh LIVE lock aside — two
+        holders. Two defenses close it:
+
+        1. the steal runs under an ``flock`` on a ``.steal`` sidecar
+           (never unlinked — removing a file other processes may hold an
+           flock on would hand out a fresh inode and void the exclusion)
+           and RE-READS the holder pid inside the guard, via ``open``:
+           an ABSENT lock means a guarded racer already stole it, and
+           renaming anyway would race the unguarded fast-path ``link`` —
+           re-read-0/absent → racer links a live lock → our rename
+           displaces it, and the best-effort restore leaves a window a
+           second ``link`` lands in (observed: two winners in ~4% of
+           8-thread trials). Once ``open`` SUCCEEDS the rename is exact:
+           no guarded steal can remove the file (we hold the guard) and
+           no ``link`` can replace it (the target exists), so the file
+           moved is byte-identical to the one read;
+        2. after the rename, the stolen file's pid is verified against
+           the re-read (lock contents are immutable once published via
+           link). A mismatching LIVE pid means a guard-less participant
+           (an older build, a hand-rolled script) won an unguarded steal
+           and published in between: best-effort restore the displaced
+           lock via ``link`` (tolerating a racer having re-created the
+           path) and report the live holder instead of displacing it.
+        """
+        guard = open(f"{self.path}.steal", "a")
         try:
-            with open(self.path) as fh:
+            fcntl.flock(guard, fcntl.LOCK_EX)
+            try:
+                with open(self.path) as fh:  # authoritative, under guard
+                    content = fh.read()
+            except FileNotFoundError:
+                return  # another racer already stole it — nothing to do
+            try:
+                pid = int(content.strip() or "0")
+            except ValueError:
+                pid = 0  # garbage pid file: steal it
+            if pid and _pid_alive(pid):
+                raise LockHeld(self.path, pid)
+            stale = f"{self.path}.stale.{os.getpid()}.{threading.get_ident()}"
+            try:
+                os.rename(self.path, stale)
+            except FileNotFoundError:
+                return  # guard-less participant stole it underneath us
+            stolen = self._read_pid(stale)
+            if stolen and stolen != pid and _pid_alive(stolen):
+                try:
+                    os.link(stale, self.path)
+                except FileExistsError:
+                    pass
+                os.unlink(stale)
+                raise LockHeld(self.path, stolen)
+            os.unlink(stale)
+        finally:
+            guard.close()  # releases the flock
+
+    def _read_holder(self) -> int:
+        return self._read_pid(self.path)
+
+    @staticmethod
+    def _read_pid(path: str) -> int:
+        try:
+            with open(path) as fh:
                 return int(fh.read().strip() or "0")
         except (OSError, ValueError):
             return 0
