@@ -1,0 +1,139 @@
+"""The classic-session seam (functions/fsutil).
+
+Every ``spark._jvm``-backed path must either DEGRADE to a documented
+driver-local fallback (read-side conveniences) or REFUSE with the named
+:class:`ClassicSessionRequired` error (destructive maintenance) when the
+py4j gateway is absent — never leak a raw ``AttributeError`` from inside
+an operator. A Connect-like session is faked with a stub whose ``_jvm``
+raises, mirroring ``PySparkAttributeError``'s behavior; none of these
+tests need a real SparkSession.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from tidb_large_table_compare_spark.functions.fsutil import (
+    ClassicSessionRequired,
+    classic_jvm,
+    hadoop_fs,
+    local_path,
+)
+
+
+class _ConnectLike:
+    """Mimics a Spark Connect session: `_jvm` access raises (PySpark's
+    Connect session raises PySparkAttributeError, an AttributeError)."""
+
+    @property
+    def _jvm(self):
+        raise AttributeError(
+            "[JVM_ATTRIBUTE_NOT_SUPPORTED] Attribute `_jvm` is not "
+            "supported in Spark Connect."
+        )
+
+
+CONNECT = _ConnectLike()
+
+
+def test_classic_jvm_probe_degrades_to_none():
+    assert classic_jvm(CONNECT) is None
+
+
+def test_hadoop_fs_raises_named_seam_error():
+    with pytest.raises(ClassicSessionRequired, match="swap_compacted"):
+        hadoop_fs(CONNECT, "/tmp/x", "compaction maintenance (swap_compacted)")
+
+
+def test_local_path_classifies_schemes():
+    assert local_path("/a/b") == Path("/a/b")
+    assert local_path("file:///a/b") == Path("/a/b")
+    assert local_path("s3a://bucket/key") is None
+    assert local_path("hdfs://nn/a") is None
+
+
+# --- maintenance entry points REFUSE (destructive protocols) ---------------
+
+
+def test_file_inventory_refuses_under_connect(tmp_path):
+    from tidb_large_table_compare_spark.operators.compaction import file_inventory
+
+    with pytest.raises(ClassicSessionRequired, match="file inventory"):
+        file_inventory(CONNECT, str(tmp_path))
+    with pytest.raises(ClassicSessionRequired, match="file inventory"):
+        file_inventory(CONNECT, str(tmp_path), distributed=True)
+
+
+def test_heal_tree_refuses_under_connect(tmp_path):
+    from tidb_large_table_compare_spark.operators.compaction import heal_tree
+
+    with pytest.raises(ClassicSessionRequired, match="heal_tree"):
+        heal_tree(CONNECT, str(tmp_path))
+
+
+def test_swap_compacted_refuses_before_any_work(tmp_path):
+    """The gate fires BEFORE plan.collect() — a Connect caller must not
+    even start materializing the plan of a destructive protocol."""
+    from tidb_large_table_compare_spark.operators.compaction import swap_compacted
+
+    class _PoisonPlan:
+        def collect(self):
+            raise AssertionError("plan.collect() ran before the seam gate")
+
+    with pytest.raises(ClassicSessionRequired, match="swap_compacted"):
+        swap_compacted(CONNECT, _PoisonPlan(), str(tmp_path))
+
+
+def test_dedup_index_maintenance_refuses_under_connect():
+    from tidb_large_table_compare_spark.operators.dedup_index import _hadoop_fs
+
+    with pytest.raises(ClassicSessionRequired, match="near-dup index"):
+        _hadoop_fs(CONNECT, "/tmp/index")
+
+
+# --- read-side paths DEGRADE (driver-local fallbacks) -----------------------
+
+
+def test_snapshot_versions_degrades_to_local_listing(tmp_path):
+    from tidb_large_table_compare_spark.sources.snapshots import snapshot_versions
+
+    (tmp_path / "v=00000001").mkdir()
+    (tmp_path / "v=00000003").mkdir()
+    (tmp_path / "not-a-version").mkdir()
+    assert snapshot_versions(str(tmp_path), CONNECT) == [1, 3]
+
+
+def test_snapshot_versions_refuses_remote_base_under_connect():
+    from tidb_large_table_compare_spark.sources.snapshots import snapshot_versions
+
+    # [] for a remote base would resurrect the recompute-version-1 bug
+    with pytest.raises(ClassicSessionRequired, match="snapshot"):
+        snapshot_versions("s3a://lake/snaps", CONNECT)
+
+
+def test_digest_pin_degrades_to_local_file(tmp_path):
+    from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
+    from tidb_large_table_compare_spark.operators.incremental import (
+        _read_pin,
+        _write_pin,
+    )
+
+    _write_pin(CONNECT, str(tmp_path), 128)
+    assert (tmp_path / "_n_buckets").exists()
+    assert _read_pin(CONNECT, str(tmp_path)) == (128, BUCKETING_VERSION)
+
+    # remote path under Connect: documented skip, never a crash
+    _write_pin(CONNECT, "s3a://lake/digests", 128)
+    assert _read_pin(CONNECT, "s3a://lake/digests") == (None, None)
+
+
+def test_streaming_layout_probe_degrades(tmp_path):
+    from tidb_large_table_compare_spark.streaming.events import _is_directory
+
+    f = tmp_path / "one.json"
+    f.write_text("{}")
+    assert _is_directory(CONNECT, str(tmp_path)) is True
+    assert _is_directory(CONNECT, str(f)) is False
+    assert _is_directory(CONNECT, str(tmp_path / "missing")) is False

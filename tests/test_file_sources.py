@@ -839,6 +839,44 @@ def test_file_inventory_distributed_matches_driver_walk(spark, tmp_path):
         file_inventory(spark, lake, recursive=False, distributed=True)
 
 
+def test_distributed_inventory_fails_loudly_on_prefix_mismatch(
+    spark, tmp_path, monkeypatch
+):
+    """The relative-path slice that hides protocol/_-dirs assumes the
+    binaryFile `path` column shares the FS-qualified root's rendering
+    (ADVICE r8): a divergence (URL-encoding, scheme normalization drift)
+    must raise per-row instead of silently mis-slicing — the filter feeds
+    the DESTRUCTIVE swap step."""
+    from tidb_large_table_compare_spark.operators import compaction as C
+
+    real = C.hadoop_fs
+
+    class _Diverged:
+        """FS whose makeQualified renders a prefix binaryFile won't use."""
+
+        def __init__(self, fs):
+            self._fs = fs
+
+        def makeQualified(self, p):
+            class _Q:
+                def toString(self):
+                    return "file:/definitely/elsewhere"
+
+            return _Q()
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    def diverged(spark_, path, op):
+        fs, jp = real(spark_, path, op)
+        return _Diverged(fs), jp
+
+    monkeypatch.setattr(C, "hadoop_fs", diverged)
+    spark.range(3).coalesce(1).write.parquet(str(tmp_path / "t"))
+    with pytest.raises(Exception, match="prefix mismatch"):
+        C._file_inventory_distributed(spark, str(tmp_path)).collect()
+
+
 def test_file_inventory_deep_narrow_chain_no_level_barrier(spark, tmp_path):
     """A y=/m=/d= chain (one subdir per level) lists correctly through the
     shared work queue — the shape that degraded to a serial walk under the

@@ -21,6 +21,7 @@ from tidb_large_table_compare_spark.operators.incremental import (
     write_digests,
 )
 from tidb_large_table_compare_spark.perturb import perturbed_orders
+from tidb_large_table_compare_spark.sources.tables import load_table
 from tests.conftest import SF_SMALL
 
 OPTS = CompareOptions(n_buckets=64)
@@ -228,6 +229,66 @@ def test_digest_maintenance_noop_batch(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(base).collect()}
     b = {tuple(r) for r in spark.read.parquet(out).collect()}
     assert a == b
+
+
+def test_digest_artifact_stamps_bucketing_version(spark, tmp_path):
+    """Every artifact write pins the bucket-ASSIGNMENT version alongside
+    n_buckets (ADVICE r8: the integral-widening change re-assigned buckets
+    for int/short/byte PKs, and unstamped artifacts silently degrade or
+    corrupt)."""
+    from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
+    from tidb_large_table_compare_spark.operators.incremental import _read_pin
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "digests")
+    write_digests(spark, orders, ["o_orderkey"], path, OPTS)
+    assert _read_pin(spark, path) == (64, BUCKETING_VERSION)
+
+
+def test_read_digests_refuses_mismatched_bucketing_version(spark, tmp_path):
+    """An artifact stamped with a DIFFERENT bucketing version must refuse
+    loudly — its bucket ids were assigned by an incompatible hash."""
+    import pytest
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "digests")
+    write_digests(spark, orders, ["o_orderkey"], path, OPTS)
+    (tmp_path / "digests" / "_n_buckets").write_text("64\n1\n")  # v1 stamp
+    # Hadoop's LocalFileSystem checksums reads: drop the stale CRC the
+    # out-of-band rewrite invalidated
+    (tmp_path / "digests" / "._n_buckets.crc").unlink(missing_ok=True)
+    with pytest.raises(ValueError, match="bucketing"):
+        read_digests(spark, path)
+
+
+def test_fold_refuses_version_unknown_artifact(spark, tmp_path):
+    """A legacy one-line sidecar (no version stamp) stays READABLE —
+    a mismatch there only degrades to a fuller compare, which is sound —
+    but the CDC fold refuses it: folding deltas bucketed under the current
+    assignment into unknown-provenance buckets corrupts the artifact
+    permanently while every verdict stays plausible."""
+    import pytest
+
+    from tidb_large_table_compare_spark.operators.incremental import (
+        apply_changes_to_digests,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "digests")
+    write_digests(spark, orders, ["o_orderkey"], path, OPTS)
+    (tmp_path / "digests" / "_n_buckets").write_text("64")  # legacy sidecar
+    (tmp_path / "digests" / "._n_buckets.crc").unlink(missing_ok=True)
+
+    stored, pinned = read_digests(spark, path)  # read path tolerates
+    assert pinned == 64
+    assert changed_buckets(spark, path, orders, ["o_orderkey"], OPTS).count() == 0
+
+    ins = orders.limit(1)
+    with pytest.raises(ValueError, match="bucketing-version"):
+        apply_changes_to_digests(
+            spark, path, str(tmp_path / "out"), ["o_orderkey"],
+            inserts=ins, options=OPTS,
+        )
 
 
 def test_streaming_digest_maintenance_tracks_change_feed(spark, tmp_path):

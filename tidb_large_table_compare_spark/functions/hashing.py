@@ -161,6 +161,21 @@ def row_hash(
     return F.xxhash64(*canonical_columns(df, cols, float_round))
 
 
+# Version of the bucket-ASSIGNMENT function below. Persisted digest
+# artifacts (operators/incremental.py) stamp this into their sidecar:
+# bucket ids are only comparable when both sides assigned them with the
+# same function, and the assignment has changed once already —
+#   v1: xxhash64 over the raw PK columns (pre-widening),
+#   v2: integral PK columns widened to bigint before hashing (an INT pk
+#       on one side vs BIGINT on the other previously landed identical
+#       rows in different buckets, flagging every bucket bad).
+# Bump this on ANY change to bucket_id's assignment (hash function,
+# canonicalization, pmod strategy) so stale artifacts refuse loudly
+# instead of silently degrading incremental compares or corrupting
+# CDC-folded digests.
+BUCKETING_VERSION = 2
+
+
 def bucket_id(
     pk_cols: list[str], n_buckets: int, df: DataFrame | None = None
 ) -> Column:

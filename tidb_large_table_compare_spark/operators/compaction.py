@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from tidb_large_table_compare_spark.functions.fsutil import hadoop_fs
+
 __all__ = [
     "compaction_plan",
     "file_inventory",
@@ -162,18 +164,39 @@ def _file_inventory_distributed(spark: SparkSession, dir_path: str) -> DataFrame
     filter below closes that gap; the root is FS-qualified so the filter
     never inspects segments of ``dir_path`` itself.
     """
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = hadoop_fs(
+        spark, dir_path, "compaction maintenance (file inventory)"
+    )
     # both Spark's FileIndex and this qualification funnel through Hadoop
-    # Path.toString, so the returned `path` column is prefix-stable
+    # Path.toString, so the returned `path` column is prefix-stable — an
+    # assumption VALIDATED per row below (raise_error inside the filter:
+    # zero extra jobs), because the substr slice feeds the hidden-segment
+    # filter that guards the DESTRUCTIVE swap step: a renderer divergence
+    # (URL-encoded path columns, scheme normalization drift across Spark
+    # versions) would silently mis-slice and un-hide protocol dirs.
     root = fs.makeQualified(jpath).toString()
-    rel = F.col("path").substr(F.lit(len(root) + 2), F.lit(1 << 30))
+    prefix = root.rstrip("/") + "/"
+    prefix_ok = F.col("path").startswith(F.lit(prefix))
+    rel = F.col("path").substr(F.lit(len(prefix) + 1), F.lit(1 << 30))
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .option("recursiveFileLookup", "true")
         .load(dir_path)
+        .filter(
+            F.when(prefix_ok, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "distributed inventory prefix mismatch: "
+                            "binaryFile path column does not start with "
+                            f"the FS-qualified root '{prefix}' — got "
+                        ),
+                        F.col("path"),
+                    )
+                )
+            )
+        )
         # same protocol-dir exclusion as the driver walk: files under an
         # interrupted swap's X.old / X.compacting are in-flight state, not
         # inventory (pattern derived from _PROTOCOL_SUFFIXES so the two
@@ -227,9 +250,9 @@ def file_inventory(
 
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(dir_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = hadoop_fs(
+        spark, dir_path, "compaction maintenance (file inventory)"
+    )
 
     def _list_one(cur) -> tuple[list, list[tuple[str, int]]]:
         subdirs, files = [], []
@@ -449,8 +472,9 @@ def heal_tree(
     """
     from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
-    jroot = _jpath(spark, dir_path)
-    fs = jroot.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jroot = hadoop_fs(
+        spark, dir_path, "compaction maintenance (heal_tree)"
+    )
     if not fs.exists(jroot):
         return []
 
@@ -558,6 +582,9 @@ def swap_compacted(
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    fs, _ = hadoop_fs(
+        spark, out_dir, "compaction maintenance (swap_compacted)"
+    )  # named Connect seam BEFORE any work — the protocol is destructive
     rows = plan.collect()  # metadata-sized: one row per file
     by_dir: dict[str, set[int]] = {}
     planned: dict[str, set[str]] = {}
@@ -566,7 +593,6 @@ def swap_compacted(
             by_dir.setdefault(r.dir, set()).add(int(r.bin))
             planned.setdefault(r.dir, set()).add(r.path)
     suffixes = _dest_suffixes(sorted(by_dir))  # same derivation as execute
-    fs = _jpath(spark, out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
     manifest: dict = {
         "dirs_swapped": 0, "files_swapped_in": 0, "files_retired": 0,
         "carried": 0, "healed": [],

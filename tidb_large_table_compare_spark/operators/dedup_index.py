@@ -263,10 +263,12 @@ def query_neardup_index(
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path) through the JVM — works on any supported
     filesystem, unlike os.path (see streaming/events.py for the same
-    pattern)."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+    pattern). Refuses with the engine's named classic-session seam under
+    Spark Connect: the callers are the index's destructive swap/heal
+    protocol, which must not degrade."""
+    from tidb_large_table_compare_spark.functions.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path, "near-dup index maintenance")
 
 
 def compact_neardup_index(

@@ -48,30 +48,79 @@ __all__ = [
 # Written AFTER the parquet (a crash between leaves an artifact whose
 # in-data pin still works unless it is also empty — then read_digests
 # raises a named error); read through the Hadoop FS API so remote
-# filesystems work like the artifacts themselves.
+# filesystems work like the artifacts themselves, falling back to a
+# driver-local file when the JVM gateway is absent (Spark Connect) and
+# the path is local — and skipping the sidecar entirely for a remote
+# path under Connect (the in-data pin still covers every non-empty
+# artifact; only the truncate-to-empty edge then needs a re-snapshot).
+#
+# Line 2 of the sidecar stamps `hashing.BUCKETING_VERSION`: bucket ids
+# are only comparable under the SAME bucket-assignment function, and the
+# r8 integral-PK widening changed assignments for int/short/byte PKs —
+# an unstamped pre-widening artifact read by current code would flag
+# essentially every bucket changed (incremental compare silently degrades
+# to a full compare), and apply_changes_to_digests would fold new-bucket
+# deltas into old-bucket digests, permanently corrupting the artifact.
+# read_digests refuses an EXPLICIT version mismatch; the corrupting fold
+# additionally refuses version-UNKNOWN (legacy/one-line) sidecars, whose
+# provenance cannot be verified.
 _PIN_SIDECAR = "_n_buckets"
 
 
-def _pin_path(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PIN_SIDECAR}")
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
+def _pin_payload(n_buckets: int) -> str:
+    from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
+
+    return f"{int(n_buckets)}\n{BUCKETING_VERSION}\n"
+
+
+def _parse_pin(text: str) -> tuple[int, int | None]:
+    lines = [ln for ln in text.strip().splitlines() if ln.strip()]
+    n_buckets = int(lines[0])
+    version = int(lines[1]) if len(lines) > 1 else None
+    return n_buckets, version
 
 
 def _write_pin(spark: SparkSession, path: str, n_buckets: int) -> None:
-    fs, jpath = _pin_path(spark, path)
+    from tidb_large_table_compare_spark.functions.fsutil import (
+        classic_jvm,
+        local_path,
+    )
+
+    payload = _pin_payload(n_buckets)
+    jvm = classic_jvm(spark)
+    if jvm is None:
+        lp = local_path(path)
+        if lp is None:
+            return  # remote path under Connect: documented sidecar skip
+        (lp / _PIN_SIDECAR).write_text(payload)
+        return
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PIN_SIDECAR}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     out = fs.create(jpath, True)
     try:
-        out.write(bytearray(str(int(n_buckets)).encode()))
+        out.write(bytearray(payload.encode()))
     finally:
         out.close()
 
 
-def _read_pin(spark: SparkSession, path: str) -> int | None:
-    fs, jpath = _pin_path(spark, path)
+def _read_pin(spark: SparkSession, path: str) -> tuple[int | None, int | None]:
+    """(pinned n_buckets, stamped bucketing version) — (None, None) when the
+    sidecar is absent, (n, None) for a legacy one-line sidecar."""
+    from tidb_large_table_compare_spark.functions.fsutil import (
+        classic_jvm,
+        local_path,
+    )
+
+    jvm = classic_jvm(spark)
+    if jvm is None:
+        lp = local_path(path)
+        if lp is None or not (lp / _PIN_SIDECAR).exists():
+            return None, None
+        return _parse_pin((lp / _PIN_SIDECAR).read_text())
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PIN_SIDECAR}")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
-        return None
+        return None, None
     stream = fs.open(jpath)
     try:
         data = stream.read()
@@ -79,7 +128,7 @@ def _read_pin(spark: SparkSession, path: str) -> int | None:
         while data != -1:
             buf.append(data)
             data = stream.read()
-        return int(bytes(buf).decode())
+        return _parse_pin(bytes(buf).decode())
     finally:
         stream.close()
 
@@ -107,7 +156,28 @@ def write_digests(
 
 
 def read_digests(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
-    """Load a digest artifact; returns (digests, pinned n_buckets)."""
+    """Load a digest artifact; returns (digests, pinned n_buckets).
+
+    Refuses an artifact whose sidecar stamps a DIFFERENT bucketing
+    version than the running code (``hashing.BUCKETING_VERSION``): its
+    bucket ids were assigned by an incompatible hash, so every digest
+    comparison against freshly computed buckets is meaningless — the
+    failure mode is not wrong verdicts but a silent degrade-to-full-scan
+    (and artifact corruption if folded into; see
+    :func:`apply_changes_to_digests`). Version-UNKNOWN artifacts (legacy
+    sidecars predating the stamp) pass here — a mismatched one merely
+    flags every bucket changed, which is slow but sound.
+    """
+    from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
+
+    pin_n, pin_version = _read_pin(spark, path)
+    if pin_version is not None and pin_version != BUCKETING_VERSION:
+        raise ValueError(
+            f"digest artifact at {path} was written under bucketing "
+            f"version {pin_version}, but this build assigns buckets "
+            f"under version {BUCKETING_VERSION} — its bucket ids are "
+            f"not comparable; re-snapshot with write_digests"
+        )
     df = spark.read.parquet(path)
     row = df.select("n_buckets").first()
     if row is not None:
@@ -115,7 +185,7 @@ def read_digests(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     else:
         # empty digest set (a feed deleted every remaining row): the pin
         # survives in the sidecar
-        n_buckets = _read_pin(spark, path)
+        n_buckets = pin_n
         if n_buckets is None:
             raise ValueError(
                 f"digest artifact at {path} is empty and has no "
@@ -266,7 +336,26 @@ def apply_changes_to_digests(
     cannot be overwritten while being read) and returns the pinned bucket
     count. Buckets whose count reaches zero are dropped, matching what a
     fresh :func:`write_digests` of the changed table would produce.
+
+    Beyond :func:`read_digests`'s explicit-mismatch refusal, the fold also
+    refuses a version-UNKNOWN artifact (no bucketing stamp in its
+    sidecar): deltas computed under the current bucket assignment folded
+    into buckets assigned by a possibly different hash don't just degrade
+    a read — they permanently corrupt the artifact's per-bucket stats
+    while every verdict stays plausible. Read paths tolerate unknown
+    (slow-but-sound); the one permanently destructive consumer does not.
     """
+    from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
+
+    _, pin_version = _read_pin(spark, digests_path)
+    if pin_version is None:
+        raise ValueError(
+            f"digest artifact at {digests_path} carries no bucketing-"
+            f"version stamp (legacy or sidecar-less artifact): folding "
+            f"changes computed under bucketing version "
+            f"{BUCKETING_VERSION} into it could permanently corrupt its "
+            f"per-bucket digests — re-snapshot with write_digests first"
+        )
     stored, n_buckets = read_digests(spark, digests_path)
     opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
 

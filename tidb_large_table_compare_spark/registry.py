@@ -4175,8 +4175,16 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"count_min_sketch(token, {eps}d, 0.99d, 42)").alias("s")
         ).collect()[0]["s"]
     )
-    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        spark._jvm.java.io.ByteArrayInputStream(raw)
+    from tidb_large_table_compare_spark.functions.fsutil import (
+        ClassicSessionRequired,
+        classic_jvm,
+    )
+
+    jvm = classic_jvm(spark)
+    if jvm is None:  # named seam: the sketch decode is a JVM class
+        raise ClassicSessionRequired("count-min sketch decode (cms_heavy_hitters)")
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
     )
     total = cms.totalCount()
     top = (

@@ -33,19 +33,38 @@ def snapshot_versions(base: str, spark: SparkSession | None = None) -> list[int]
     too — driver-local pathlib sees such a base as empty, which made every
     write_snapshot recompute version 1 and die on errorifexists. Without a
     session the local-path fallback remains.
+
+    Under Spark Connect (no py4j gateway) the listing degrades to the
+    driver-local fallback for a local base — the pre-Hadoop-FS behavior,
+    which is exactly correct there — and REFUSES a remote base with the
+    engine's named seam error: returning [] for a remote base is the
+    recompute-version-1 bug this function's Hadoop path exists to fix.
     """
     if spark is not None:
-        jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(base)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return []
-        out = []
-        for status in fs.listStatus(jpath):
-            m = _V_RE.match(status.getPath().getName())
-            if m:
-                out.append(int(m.group(1)))
-        return sorted(out)
+        from tidb_large_table_compare_spark.functions.fsutil import (
+            ClassicSessionRequired,
+            classic_jvm,
+            local_path,
+        )
+
+        jvm = classic_jvm(spark)
+        if jvm is not None:
+            jpath = jvm.org.apache.hadoop.fs.Path(base)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                return []
+            out = []
+            for status in fs.listStatus(jpath):
+                m = _V_RE.match(status.getPath().getName())
+                if m:
+                    out.append(int(m.group(1)))
+            return sorted(out)
+        lp = local_path(base)
+        if lp is None:
+            raise ClassicSessionRequired(
+                f"snapshot version listing on a remote base ({base})"
+            )
+        base = str(lp)  # strips a file:// scheme pathlib can't walk
     p = Path(base)
     if not p.exists():
         return []

@@ -69,8 +69,19 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
     JVM's FileSystem keeps the layout detection correct on any filesystem
     Spark itself can read. A path that does not exist (yet) reports False
     and falls through to the reader, whose error names the path.
+
+    Under Spark Connect (no py4j gateway) the probe degrades to
+    ``os.path.isdir`` — exactly right for local paths, and False for
+    remote URIs, where the single-file branch's reader error still names
+    the path (degrade-don't-crash, read-only probe).
     """
-    jvm = spark._jvm
+    from tidb_large_table_compare_spark.functions.fsutil import classic_jvm
+
+    jvm = classic_jvm(spark)
+    if jvm is None:
+        import os.path
+
+        return os.path.isdir(path)
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     try:
