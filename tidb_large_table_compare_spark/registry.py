@@ -4405,80 +4405,75 @@ FROM w GROUP BY window_start
 # oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) the full round-5 cohort (ledger-derived: 34 entries whose latest
-    # green signal is r5) — at 129 entries the cadence bound is
+    # (a) the full round-6 cohort (ledger-derived: 38 entries whose latest
+    # green signal is r6) — at 129 entries the cadence bound is
     # ⌈129/50⌉−1 = 2 rounds, so every one of these MUST re-verify this
     # round; the phase-aware test_registry_order.py rotation test enforces
     # the bound
-    "approx_distinct_parts",
-    "bpe_ish_token_counts",
-    "cmp_struct_only_drift",
-    "cmp_summary_composite_pk",
-    "cmp_summary_orders_multiset",
-    "cmp_summary_orders_ranged",
-    "kmeans_cluster_assignments",
-    "knn_label_classify",
-    "pack_training_chunks",
-    "pivot_docs_by_source",
-    "q10_top_return_customers",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q1_pricing_summary",
-    "q2_cheapest_part_per_brand",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q7_nation_pair_volume",
-    "q8_brand_share_by_year",
-    "q9_profit_by_nation_year",
-    "quality_filter_verdicts",
-    "render_report_lines",
-    "render_summary_lines",
-    "repetition_filter_docs",
-    "report_latest_totals",
-    "sliding_event_counts",
-    "stratified_sample_docs",
-    "streaming_dedup_events",
-    "streaming_purchase_signup_join",
-    "streaming_session_counts",
-    "streaming_user_totals_stateful",
-    "top3_customers_per_nation",
-    "top_tokens_documents",
-    "train_val_split",
-    # (b) never-checked: registered this round — the hostile-tag canary
-    # feeding the digitless/overflow tag guard the shapes it exists for
-    "weighted_source_mix_hostile_tags",
-    # (c) regression canaries for round-8 changes: the shared mix body
-    # refactor, the guarded Catalyst size probes (admission index +
-    # partitioning spread cap), the compaction swap-in step and inventory
-    # rework, the scratch-dir reuse in the disk-materializing entries,
-    # the drift-scoped reconcile re-verify, and the in_list / heavy-drift
-    # restriction-skip rework of the compare drill-down (the cmp_* entries
-    # here and in (d) cover every changed path). The late-round hardening
-    # sweep (bucket_id integral widening, digest sidecar pin, streaming
-    # rounding/drain, stratified try_cast pin, BPE whitespace class,
-    # md5-bucket helper) is additionally covered by this window's
-    # streaming/kmeans/stratified/pack/cmp entries AND was re-verified by
-    # a full 129-entry oracle sweep at sf0.01 (zero divergences,
-    # PERFORMANCE.md round-8 hardening section).
-    "weighted_source_mix",
-    "neardup_index_admission",
-    "neardup_index_lifecycle",
+    "approx_price_quantiles",
+    "asof_purchase_last_signup",
+    "cms_heavy_hitters",
+    "dedup_cluster_assignments",
+    "dedup_final_corpus_stats",
+    "dup_span_docs",
+    "embedding_dedup_clusters",
+    "extract_table_from_sql",
+    "fk_orphan_audit",
+    "json_props_by_type",
+    "lateral_top2_orders_per_customer",
+    "multimodal_binary_meta",
+    "multimodal_decode_stats",
+    "neardup_minhash_lsh",
+    "neardup_ngram_jaccard",
+    "order_priority_counts",
+    "price_quantiles_by_status",
+    "q11_important_part_stock",
+    "q12_priority_line_counts",
+    "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q20_suppliers_of_heavy_parts",
+    "q21_suppliers_with_problem_orders",
+    "q22_idle_rich_customers",
+    "rag_chunk_docs",
+    "range_join_errors_busy_hours",
+    "redact_pii_documents",
+    "repeat_purchase_custkeys",
+    "seeded_shuffle_sample",
+    "sketch_daily_users_merged",
+    "stable_sequential_ids",
+    "streaming_hourly_counts",
+    "string_ops_documents",
+    "yearly_volume_by_nation",
+    "zorder_lineitem_extents",
+    # (b) regression canaries for round-9 changes: the digest bucketing-
+    # version stamp + Connect-degradable pin sidecar (incremental.py),
+    # the compaction inventory prefix validation + classic-session gates
+    # (compaction.py), and the near-dup index maintenance seam
+    # (dedup_index.py). cms_heavy_hitters (the CMS decode seam) is already
+    # carried by cohort (a); the runlock steal fix has no dataflow to
+    # oracle-check (pytest-pinned, test_config_cli.py).
+    "cmp_summary_incremental",
     "compaction_plan_bins",
     "compaction_replan_converges",
-    "cmp_summary_incremental",
-    "parsed_report_roundtrip",
-    "kmeans_cluster_sizes",
+    "neardup_index_admission",
+    "neardup_index_lifecycle",
+    # (c) ann_ivf_topk re-verifies alongside this round's in-session bench
+    # adjudication of its r8 uptick (PERFORMANCE.md round-9)
     "ann_ivf_topk",
-    # (d) early rotation of round-6 signals adjacent to this round's
-    # touched code (the compare drill-down family shares the digest state
-    # the incremental/scratch changes exercise) — shrinks the 44-entry r6
-    # cohort round 9 must otherwise carry whole
-    "catalog_discovery",
-    "cmp_column_drift_orders",
-    "cmp_diff_rows_orders",
-    "cmp_fix_sql_orders",
-    "cmp_reconcile_orders",
-    "cmp_schema_diff_drift",
+    # (d) early rotation of round-7 signals adjacent to this round's
+    # touched code (the compare family shares bucket_id / digest state
+    # with the version stamp; ann_cosine/hourly sit next to the two
+    # bench-adjudicated entries) — shrinks the 41-entry r7 cohort
+    # round 10 must otherwise carry whole
+    "cmp_summary_orders",
+    "cmp_diff_rows_composite_pk",
+    "cmp_float_tolerance",
+    "cmp_summary_self",
+    "ann_cosine_topk",
+    "hourly_event_counts",
 ]
 
 
