@@ -877,6 +877,30 @@ def test_distributed_inventory_fails_loudly_on_prefix_mismatch(
         C._file_inventory_distributed(spark, str(tmp_path)).collect()
 
 
+def test_distributed_inventory_hostile_path_chars(spark, tmp_path):
+    """Spaces and literal percent signs — the URL-encoding shapes the
+    prefix validation exists for — must list identically through the
+    driver walk and the binaryFile index (on Spark 4 both render
+    unencoded; if a future version starts URL-encoding the path column,
+    the per-row prefix check fails loudly instead of mis-slicing)."""
+    from tidb_large_table_compare_spark.operators.compaction import (
+        file_inventory,
+    )
+
+    lake = str(tmp_path / "la ke")  # space in the ROOT itself
+    spark.range(3).coalesce(1).write.parquet(f"{lake}/a b")
+    spark.range(3).coalesce(1).write.parquet(f"{lake}/p%20q")
+    driver = sorted(
+        map(tuple, file_inventory(spark, lake, distributed=False).collect())
+    )
+    dist = sorted(
+        map(tuple, file_inventory(spark, lake, distributed=True).collect())
+    )
+    assert driver == dist and len(driver) == 2
+    assert any("a b" in p for p, _ in dist)
+    assert any("p%20q" in p for p, _ in dist)  # literal %, never decoded
+
+
 def test_file_inventory_deep_narrow_chain_no_level_barrier(spark, tmp_path):
     """A y=/m=/d= chain (one subdir per level) lists correctly through the
     shared work queue — the shape that degraded to a serial walk under the
