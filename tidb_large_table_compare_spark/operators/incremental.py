@@ -123,12 +123,19 @@ def _read_pin(spark: SparkSession, path: str) -> tuple[int | None, int | None]:
         return None, None
     stream = fs.open(jpath)
     try:
-        data = stream.read()
-        buf = []
-        while data != -1:
-            buf.append(data)
+        try:
+            # one py4j round trip (commons-io ships with Hadoop) — the
+            # per-byte read() loop was ~15 round trips per pin read,
+            # measurable on the CDC fold path (bench r9)
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+        except Exception:
+            buf = []
             data = stream.read()
-        return _parse_pin(bytes(buf).decode())
+            while data != -1:
+                buf.append(data)
+                data = stream.read()
+            raw = bytes(buf)
+        return _parse_pin(raw.decode())
     finally:
         stream.close()
 
@@ -168,6 +175,15 @@ def read_digests(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
     sidecars predating the stamp) pass here — a mismatched one merely
     flags every bucket changed, which is slow but sound.
     """
+    df, n_buckets, _ = _read_digests_versioned(spark, path)
+    return df, n_buckets
+
+
+def _read_digests_versioned(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int, int | None]:
+    """(digests, n_buckets, stamped bucketing version) — one pin read,
+    shared by :func:`read_digests` and the fold's unknown-version gate."""
     from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
 
     pin_n, pin_version = _read_pin(spark, path)
@@ -192,7 +208,7 @@ def read_digests(spark: SparkSession, path: str) -> tuple[DataFrame, int]:
                 f"{_PIN_SIDECAR} sidecar — the n_buckets pin is "
                 f"unrecoverable; re-snapshot with write_digests"
             )
-    return df.drop("n_buckets"), n_buckets
+    return df.drop("n_buckets"), n_buckets, pin_version
 
 
 def changed_buckets(
@@ -347,7 +363,7 @@ def apply_changes_to_digests(
     """
     from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
 
-    _, pin_version = _read_pin(spark, digests_path)
+    stored, n_buckets, pin_version = _read_digests_versioned(spark, digests_path)
     if pin_version is None:
         raise ValueError(
             f"digest artifact at {digests_path} carries no bucketing-"
@@ -356,7 +372,6 @@ def apply_changes_to_digests(
             f"{BUCKETING_VERSION} into it could permanently corrupt its "
             f"per-bucket digests — re-snapshot with write_digests first"
         )
-    stored, n_buckets = read_digests(spark, digests_path)
     opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
 
     def _delta(df: DataFrame, sign: int) -> DataFrame:
