@@ -135,16 +135,33 @@ def main() -> None:
 
     # JVM/codegen first touch
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # parquet reader warmup: file listing + footer reads for every table at
-    # the measured SF (count() reads no data pages thanks to parquet stats)
-    for t in TABLES:
+    # Two independent warmups, overlapped (profiled serially at 2.9 s +
+    # 2.2 s; concurrent they cost ~max of the two):
+    # - parquet reader: file listing + footer reads for every table at the
+    #   measured SF (count() reads no data pages thanks to parquet stats),
+    #   the per-table counts themselves threaded (independent jobs);
+    # - Python-worker pool (workers are reused session-wide): the first
+    #   Arrow-batched stage otherwise pays ~2 s of interpreter spin-up.
+    # nanosAsLong is pinned around the phase for the same reason as the
+    # headline warmup below: load_table's scoped set/restore is not
+    # thread-safe on its own.
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    def _touch_table(t: str) -> None:
         load_table(spark, sf_dir, t).count()
-    # Python-worker pool warmup (workers are reused session-wide): the first
-    # Arrow-batched stage otherwise pays ~2 s of interpreter spin-up
-    try:
-        spark.range(32).mapInPandas(lambda it: it, "id long").count()
-    except Exception:
-        pass
+
+    def _touch_python_pool() -> None:
+        try:
+            spark.range(32).mapInPandas(lambda it: it, "id long").count()
+        except Exception:
+            pass
+
+    with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
+        with _TPE(max_workers=6) as _pool:
+            _futs = [_pool.submit(_touch_table, t) for t in TABLES]
+            _futs.append(_pool.submit(_touch_python_pool))
+            for _f in _futs:
+                _f.result()
 
     # Full codegen warmup: run every headline query and one pass of each
     # composite bench AT THE MEASURED SF, so whole-stage-codegen compilation
