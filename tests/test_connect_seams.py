@@ -50,8 +50,22 @@ def test_hadoop_fs_raises_named_seam_error():
 def test_local_path_classifies_schemes():
     assert local_path("/a/b") == Path("/a/b")
     assert local_path("file:///a/b") == Path("/a/b")
+    assert local_path("file:/a/b") == Path("/a/b")  # Hadoop's rendering
     assert local_path("s3a://bucket/key") is None
     assert local_path("hdfs://nn/a") is None
+
+
+def test_corrupt_pin_sidecar_degrades_not_crashes(tmp_path):
+    """A crash between fs.create and the payload write leaves an EMPTY
+    sidecar; since the version stamp made the pin read unconditional,
+    that must degrade (version unknown: reads tolerate, the fold
+    refuses) instead of breaking reads of a healthy artifact."""
+    from tidb_large_table_compare_spark.operators.incremental import _read_pin
+
+    (tmp_path / "_n_buckets").write_text("")
+    assert _read_pin(CONNECT, str(tmp_path)) == (None, None)
+    (tmp_path / "_n_buckets").write_text("not-a-number\n")
+    assert _read_pin(CONNECT, str(tmp_path)) == (None, None)
 
 
 # --- maintenance entry points REFUSE (destructive protocols) ---------------

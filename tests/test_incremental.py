@@ -291,6 +291,32 @@ def test_fold_refuses_version_unknown_artifact(spark, tmp_path):
         )
 
 
+def test_read_digests_survives_empty_sidecar(spark, tmp_path):
+    """Crash window: fs.create succeeded, payload write didn't — the
+    sidecar exists but is EMPTY. The unconditional pin read must not
+    break a healthy artifact (in-data pin covers it); the fold refuses
+    (version unknown)."""
+    import pytest
+
+    from tidb_large_table_compare_spark.operators.incremental import (
+        apply_changes_to_digests,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "digests")
+    write_digests(spark, orders, ["o_orderkey"], path, OPTS)
+    (tmp_path / "digests" / "_n_buckets").write_text("")
+    (tmp_path / "digests" / "._n_buckets.crc").unlink(missing_ok=True)
+
+    _, pinned = read_digests(spark, path)
+    assert pinned == 64
+    with pytest.raises(ValueError, match="bucketing-version"):
+        apply_changes_to_digests(
+            spark, path, str(tmp_path / "out"), ["o_orderkey"],
+            inserts=orders.limit(1), options=OPTS,
+        )
+
+
 def test_streaming_digest_maintenance_tracks_change_feed(spark, tmp_path):
     """Two streamed CDC batches folded via foreachBatch: the LATEST artifact
     must equal a fresh rescan of the final table state, and the per-epoch

@@ -80,9 +80,15 @@ def hadoop_fs(spark: SparkSession, path: str, op: str):
 
 def local_path(path: str) -> Path | None:
     """Driver-local ``Path`` form of ``path``, or ``None`` if it names a
-    remote filesystem (hdfs://, s3a://, ...) that only the JVM can reach."""
+    remote filesystem (hdfs://, s3a://, ...) that only the JVM can reach.
+
+    Handles both slash forms of the local scheme: ``file:///x`` (URI) and
+    ``file:/x`` (how Hadoop's ``Path.toString`` renders qualified local
+    paths)."""
     if path.startswith("file://"):
         return Path(path[len("file://"):] or "/")
+    if path.startswith("file:"):
+        return Path(path[len("file:"):])
     if "://" in path:
         return None
     return Path(path)

@@ -73,10 +73,19 @@ def _pin_payload(n_buckets: int) -> str:
     return f"{int(n_buckets)}\n{BUCKETING_VERSION}\n"
 
 
-def _parse_pin(text: str) -> tuple[int, int | None]:
-    lines = [ln for ln in text.strip().splitlines() if ln.strip()]
-    n_buckets = int(lines[0])
-    version = int(lines[1]) if len(lines) > 1 else None
+def _parse_pin(text: str) -> tuple[int | None, int | None]:
+    """Parse a sidecar payload; an empty/garbled sidecar (crash between
+    fs.create and the write) degrades to (None, None) — the artifact's
+    in-data pin still covers every non-empty artifact, version becomes
+    UNKNOWN (read paths tolerate, the fold refuses: exactly the right
+    crash-recovery posture), and the empty-artifact path raises its named
+    re-snapshot error."""
+    try:
+        lines = [ln for ln in text.strip().splitlines() if ln.strip()]
+        n_buckets = int(lines[0])
+        version = int(lines[1]) if len(lines) > 1 else None
+    except (IndexError, ValueError):
+        return None, None
     return n_buckets, version
 
 
