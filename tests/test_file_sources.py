@@ -569,6 +569,53 @@ def test_swap_compacted_replaces_small_files_losslessly(spark, tmp_path):
     assert file_inventory(spark, str(tmp_path / "lake")).count() == len(merged)
 
 
+def test_swap_refuses_cross_filesystem_plan_before_any_mutation(
+    spark, tmp_path, monkeypatch
+):
+    """swap_compacted is rename-based; renames cannot cross filesystems.
+    A plan whose tree lives on a different FS than out_dir must refuse
+    with a named error BEFORE any mutation (previously Hadoop's bare
+    rename-false fired mid-protocol, after the side dir existed)."""
+    from tidb_large_table_compare_spark.operators import compaction as C
+
+    src = str(tmp_path / "lake" / "t1.parquet")
+    spark.range(0, 400).repartition(4).write.parquet(src)
+    inv = C.file_inventory(spark, str(tmp_path / "lake"))
+    plan = C.compaction_plan(inv, 1 << 30).localCheckpoint()
+    out = str(tmp_path / "compacted")
+    C.execute_compaction(spark, plan, out)
+
+    real_jpath = C._jpath
+
+    class _RemoteUri:
+        def toString(self):
+            return "s3a://bucket"
+
+    class _RemoteFS:
+        def getUri(self):
+            return _RemoteUri()
+
+    class _RemotePath:
+        def getFileSystem(self, conf):
+            return _RemoteFS()
+
+    def fake_jpath(spark_, path):
+        # the plan's dir column carries the FS-qualified (file:/...) form
+        if path.rstrip("/").endswith("/t1.parquet"):  # tree "lives on s3a"
+            return _RemotePath()
+        return real_jpath(spark_, path)
+
+    monkeypatch.setattr(C, "_jpath", fake_jpath)
+    with pytest.raises(ValueError, match="cannot cross filesystems"):
+        C.swap_compacted(spark, plan, out)
+    monkeypatch.undo()
+    # nothing was mutated: no protocol debris anywhere, originals intact
+    names = {p.name for p in (tmp_path / "lake").iterdir()}
+    assert names == {"t1.parquet"}
+    assert not list((tmp_path / "lake").glob("**/*.compacting"))
+    assert spark.read.parquet(src).count() == 400
+
+
 def test_swap_compacted_skips_keep_only_dirs_and_verifies_mirror(spark, tmp_path):
     """A directory whose files all planned 'keep' is untouched by the swap,
     and a missing merged output fails BEFORE any source mutation."""

@@ -593,6 +593,22 @@ def swap_compacted(
             by_dir.setdefault(r.dir, set()).add(int(r.bin))
             planned.setdefault(r.dir, set()).add(r.path)
     suffixes = _dest_suffixes(sorted(by_dir))  # same derivation as execute
+    # The protocol is pure renames, which cannot cross filesystems: a
+    # mismatched out_dir (merged files on local disk, tree on s3a://)
+    # would otherwise fail mid-protocol with Hadoop's bare rename-false
+    # AFTER the side dir exists. Refuse up front, before any mutation.
+    conf = spark._jsc.hadoopConfiguration()
+    out_fs_uri = fs.getUri().toString()
+    for d in sorted(by_dir):
+        d_uri = _jpath(spark, d).getFileSystem(conf).getUri().toString()
+        if d_uri != out_fs_uri:
+            raise ValueError(
+                f"swap_compacted is rename-based and cannot cross "
+                f"filesystems: out_dir is on {out_fs_uri} but planned "
+                f"directory {d} is on {d_uri} — write the merged files "
+                f"(execute_compaction out_dir) to the same filesystem "
+                f"as the tree"
+            )
     manifest: dict = {
         "dirs_swapped": 0, "files_swapped_in": 0, "files_retired": 0,
         "carried": 0, "healed": [],
