@@ -498,3 +498,25 @@ def test_compare_tolerates_int_vs_bigint_pk(spark):
     # verdict tolerates the widening
     assert row.upcount == 0 and row.downcount == 0
     assert not row.structure_ok
+
+
+def test_compare_tolerates_decimal_precision_widening(spark):
+    """Decimal twin of the int/bigint tolerance: equal values must digest
+    (and bucket) equally across benign PRECISION widening — including
+    across the long/bytes physical boundary at precision 19, which is
+    exactly how TiDB's unsigned BIGINT arrives over JDBC
+    (DECIMAL(20,0)). A SCALE mismatch stays a reported type change."""
+    from decimal import Decimal
+
+    rows = [(Decimal(i), Decimal(i) / 4) for i in range(200)]
+    left = spark.createDataFrame(rows, "pk decimal(18,0), v decimal(10,2)")
+    right = spark.createDataFrame(rows, "pk decimal(20,0), v decimal(24,2)")
+    cmp = compare_tables(
+        spark, left, right, pk=["pk"],
+        options=CompareOptions(n_buckets=64), table_name="t",
+    )
+    assert cmp.mismatched_buckets().count() == 0
+    assert cmp.diff_rows().count() == 0
+    row = cmp.summary().collect()[0]
+    assert row.upcount == 0 and row.downcount == 0
+    assert not row.structure_ok  # the widening is still reported (B1)

@@ -73,6 +73,18 @@ def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Colum
         # across benign type widening (int vs bigint hash different bytes);
         # the structure diff reports the type change separately (B1).
         return col.cast("long")
+    if isinstance(dtype, T.DecimalType):
+        # Same principle for decimals: xxhash64 hashes the PHYSICAL form,
+        # which flips from unscaled-long to unscaled-bytes at precision 19
+        # — so DECIMAL(18,0) 5 and DECIMAL(20,0) 5 hashed differently
+        # (measured), and DECIMAL(20,0) is exactly how TiDB's unsigned
+        # BIGINT arrives over JDBC. Widening to the max precision at the
+        # DECLARED scale makes equal values digest equally across benign
+        # precision widening; a SCALE mismatch stays a structure-diff-
+        # reported type change (5 vs 5.00 is a declared-semantics change,
+        # not a widening). Hash cost of the byte-backed form measured at
+        # noise level (~0.01 s per 20M rows, PERFORMANCE.md round-9).
+        return col.cast(T.DecimalType(38, dtype.scale))
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         c = col.cast("double")
         if float_round is not None:
@@ -164,16 +176,20 @@ def row_hash(
 # Version of the bucket-ASSIGNMENT function below. Persisted digest
 # artifacts (operators/incremental.py) stamp this into their sidecar:
 # bucket ids are only comparable when both sides assigned them with the
-# same function, and the assignment has changed once already —
+# same function, and the assignment has changed —
 #   v1: xxhash64 over the raw PK columns (pre-widening),
 #   v2: integral PK columns widened to bigint before hashing (an INT pk
 #       on one side vs BIGINT on the other previously landed identical
-#       rows in different buckets, flagging every bucket bad).
+#       rows in different buckets, flagging every bucket bad),
+#   v3: decimal PK columns widened to DECIMAL(38, declared scale) — the
+#       physical form flips long→bytes at precision 19, so equal values
+#       bucketed differently across that boundary (the TiDB
+#       unsigned-BIGINT-as-DECIMAL(20,0) case).
 # Bump this on ANY change to bucket_id's assignment (hash function,
 # canonicalization, pmod strategy) so stale artifacts refuse loudly
 # instead of silently degrading incremental compares or corrupting
 # CDC-folded digests.
-BUCKETING_VERSION = 2
+BUCKETING_VERSION = 3
 
 
 def bucket_id(
@@ -185,12 +201,15 @@ def bucket_id(
     buckets: Spark partitioning already gives locality, and hash bucketing is
     skew-resistant without needing PK statistics.
 
-    Pass ``df`` so integral PK columns are widened to bigint BEFORE
-    hashing — the same canonicalization ``row_hash`` applies. Without it,
-    an INT pk on one side and a BIGINT pk on the other (the benign type
-    widening the digests deliberately tolerate) put identical rows in
-    DIFFERENT buckets (xxhash64 hashes the raw bytes: int 5 → bucket 952,
-    bigint 5 → bucket 581 at 1024 buckets), flagging every bucket bad.
+    Pass ``df`` so integral PK columns are widened to bigint (and decimal
+    PKs to DECIMAL(38, declared scale)) BEFORE hashing — the same
+    canonicalization ``row_hash`` applies. Without it, an INT pk on one
+    side and a BIGINT pk on the other (the benign type widening the
+    digests deliberately tolerate) put identical rows in DIFFERENT
+    buckets (xxhash64 hashes the raw bytes: int 5 → bucket 952, bigint 5
+    → bucket 581 at 1024 buckets), flagging every bucket bad; likewise a
+    DECIMAL(18,0)/DECIMAL(20,0) pair across the long/bytes physical
+    boundary.
     """
     cols = []
     fields = (
@@ -198,11 +217,13 @@ def bucket_id(
     )
     for c in pk_cols:
         col = F.col(c)
+        dtype = fields.get(c)
         if isinstance(
-            fields.get(c),
-            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+            dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         ):
             col = col.cast("long")
+        elif isinstance(dtype, T.DecimalType):
+            col = col.cast(T.DecimalType(38, dtype.scale))
         cols.append(col)
     return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).alias("bucket")
 
