@@ -520,3 +520,25 @@ def test_compare_tolerates_decimal_precision_widening(spark):
     row = cmp.summary().collect()[0]
     assert row.upcount == 0 and row.downcount == 0
     assert not row.structure_ok  # the widening is still reported (B1)
+
+
+def test_compare_tolerates_bigint_vs_decimal20_pk(spark):
+    """The cross-FAMILY end of the widening chain: TiDB's unsigned
+    BIGINT arrives over JDBC as DECIMAL(20,0) while the native side
+    stores bigint — equal values must digest and bucket equally, or the
+    reference's primary comparison scenario reports 100% false drift."""
+    rows = [(i, f"v{i}") for i in range(200)]
+    left = spark.createDataFrame(rows, "pk bigint, s string")
+    right = spark.createDataFrame(
+        [(__import__("decimal").Decimal(i), s) for i, s in rows],
+        "pk decimal(20,0), s string",
+    )
+    cmp = compare_tables(
+        spark, left, right, pk=["pk"],
+        options=CompareOptions(n_buckets=64), table_name="t",
+    )
+    assert cmp.mismatched_buckets().count() == 0
+    assert cmp.diff_rows().count() == 0
+    row = cmp.summary().collect()[0]
+    assert row.upcount == 0 and row.downcount == 0
+    assert not row.structure_ok

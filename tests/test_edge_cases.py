@@ -153,23 +153,28 @@ def test_bucket_id_widens_all_integral_pk_widths(spark):
 
 
 def test_bucket_id_widens_decimal_pk_precisions(spark):
-    """Decimal twin of the integral pin: xxhash64's physical form flips
-    from unscaled-long to unscaled-bytes at precision 19, so an
-    unwidened DECIMAL(18,0)/DECIMAL(20,0) pair (the TiDB unsigned-BIGINT
-    mapping) bucketed equal values differently."""
+    """Decimal twin of the integral pin, plus the CROSS-FAMILY chain:
+    xxhash64's physical form flips from unscaled-long to unscaled-bytes
+    at precision 19, so an unwidened DECIMAL(18,0)/DECIMAL(20,0) pair
+    (the TiDB unsigned-BIGINT mapping) bucketed equal values
+    differently — and bigint vs DECIMAL(p,0) likewise. Every scale-0
+    numeric must land in the same bucket for the same value."""
     from decimal import Decimal
 
     from tidb_large_table_compare_spark.functions.hashing import bucket_id
 
-    rows = [(Decimal(i),) for i in range(0, 128)]
+    dec_rows = [(Decimal(i),) for i in range(0, 128)]
     frames = {
-        p: spark.createDataFrame(rows, f"pk decimal({p},0)")
+        p: spark.createDataFrame(dec_rows, f"pk decimal({p},0)")
         for p in (10, 18, 20, 38)
     }
+    frames["bigint"] = spark.createDataFrame(
+        [(i,) for i in range(0, 128)], "pk bigint"
+    )
     buckets = {
         p: {int(r.pk): r.b for r in
             df.select("pk", bucket_id(["pk"], 64, df).alias("b")).collect()}
         for p, df in frames.items()
     }
-    for p in (10, 18, 20):
+    for p in (10, 18, 20, "bigint"):
         assert buckets[p] == buckets[38], p

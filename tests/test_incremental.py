@@ -59,7 +59,7 @@ def test_changed_buckets_detects_all_perturbation_classes(spark, tmp_path):
     diff_buckets = {
         r["__b"]
         for r in full_diff.select(
-            bucket_id(["o_orderkey"], 64).alias("__b")
+            bucket_id(["o_orderkey"], 64, full_diff).alias("__b")
         ).collect()
     }
     assert diff_buckets <= ids

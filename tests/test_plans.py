@@ -241,7 +241,7 @@ def test_compare_drilldown_shuffle_bounded_under_hot_bucket(spark):
     orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
     total = orders.count()
     n_buckets = 10
-    tagged = orders.withColumn("__b", bucket_id(["o_orderkey"], n_buckets))
+    tagged = orders.withColumn("__b", bucket_id(["o_orderkey"], n_buckets, orders))
     right = tagged.withColumn(
         "o_totalprice",
         F.when(F.col("__b") == 3, F.col("o_totalprice") + 1).otherwise(

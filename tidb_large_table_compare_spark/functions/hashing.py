@@ -69,21 +69,26 @@ def in_list(col_name: str, ids: list) -> Column:
 def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Column:
     """Normalize one column to a hash-stable canonical form."""
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        # Widen all integral types to bigint: equal values must digest equally
-        # across benign type widening (int vs bigint hash different bytes);
-        # the structure diff reports the type change separately (B1).
-        return col.cast("long")
+        # Widen ALL scale-0 numerics — integrals and DECIMAL(p,0) alike —
+        # to one canonical form, DECIMAL(38,0): equal values must digest
+        # equally across the whole benign-widening chain
+        # tinyint→…→bigint→DECIMAL(20,0)→DECIMAL(38,0). The chain's tail
+        # is real: TiDB's unsigned BIGINT arrives over JDBC as
+        # DECIMAL(20,0), so a TiDB-vs-parquet compare pairs it against a
+        # native bigint. xxhash64 hashes the PHYSICAL form (long vs
+        # unscaled-bytes, flipping at precision 19), so no narrower form
+        # covers the chain. The structure diff still reports the type
+        # change (B1); cost vs hashing raw longs measured in-session at
+        # noise level (cmp_summary_orders 1.05 vs 1.06 s medians,
+        # PERFORMANCE.md round-9).
+        return col.cast(T.DecimalType(38, 0))
     if isinstance(dtype, T.DecimalType):
-        # Same principle for decimals: xxhash64 hashes the PHYSICAL form,
-        # which flips from unscaled-long to unscaled-bytes at precision 19
-        # — so DECIMAL(18,0) 5 and DECIMAL(20,0) 5 hashed differently
-        # (measured), and DECIMAL(20,0) is exactly how TiDB's unsigned
-        # BIGINT arrives over JDBC. Widening to the max precision at the
-        # DECLARED scale makes equal values digest equally across benign
+        # Decimals with a nonzero scale widen to the max precision at the
+        # DECLARED scale — equal values digest equally across benign
         # precision widening; a SCALE mismatch stays a structure-diff-
         # reported type change (5 vs 5.00 is a declared-semantics change,
-        # not a widening). Hash cost of the byte-backed form measured at
-        # noise level (~0.01 s per 20M rows, PERFORMANCE.md round-9).
+        # not a widening). Scale-0 decimals land on the integral chain's
+        # canonical form above, closing the bigint↔DECIMAL(20,0) pair.
         return col.cast(T.DecimalType(38, dtype.scale))
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         c = col.cast("double")
@@ -181,10 +186,12 @@ def row_hash(
 #   v2: integral PK columns widened to bigint before hashing (an INT pk
 #       on one side vs BIGINT on the other previously landed identical
 #       rows in different buckets, flagging every bucket bad),
-#   v3: decimal PK columns widened to DECIMAL(38, declared scale) — the
-#       physical form flips long→bytes at precision 19, so equal values
-#       bucketed differently across that boundary (the TiDB
-#       unsigned-BIGINT-as-DECIMAL(20,0) case).
+#   v3: every scale-0 numeric PK (integral AND DECIMAL(p,0)) widened to
+#       DECIMAL(38,0), nonzero-scale decimals to DECIMAL(38, scale) —
+#       xxhash64's physical form flips long→bytes at precision 19, so
+#       equal values bucketed differently across that boundary AND
+#       across the bigint↔DECIMAL(20,0) family line (the TiDB
+#       unsigned-BIGINT-over-JDBC case).
 # Bump this on ANY change to bucket_id's assignment (hash function,
 # canonicalization, pmod strategy) so stale artifacts refuse loudly
 # instead of silently degrading incremental compares or corrupting
@@ -201,15 +208,21 @@ def bucket_id(
     buckets: Spark partitioning already gives locality, and hash bucketing is
     skew-resistant without needing PK statistics.
 
-    Pass ``df`` so integral PK columns are widened to bigint (and decimal
-    PKs to DECIMAL(38, declared scale)) BEFORE hashing — the same
-    canonicalization ``row_hash`` applies. Without it, an INT pk on one
-    side and a BIGINT pk on the other (the benign type widening the
-    digests deliberately tolerate) put identical rows in DIFFERENT
-    buckets (xxhash64 hashes the raw bytes: int 5 → bucket 952, bigint 5
-    → bucket 581 at 1024 buckets), flagging every bucket bad; likewise a
-    DECIMAL(18,0)/DECIMAL(20,0) pair across the long/bytes physical
-    boundary.
+    Pass ``df`` so numeric PK columns are widened to their canonical
+    chain form BEFORE hashing — DECIMAL(38,0) for every scale-0 numeric
+    (integrals and DECIMAL(p,0) alike), DECIMAL(38, scale) otherwise —
+    the same canonicalization ``row_hash`` applies. Without it, an INT
+    pk on one side and a BIGINT (or DECIMAL(20,0), the TiDB
+    unsigned-BIGINT JDBC mapping) on the other put identical rows in
+    DIFFERENT buckets (xxhash64 hashes the raw physical bytes),
+    flagging every bucket bad.
+
+    Omitting ``df`` hashes the columns RAW (the schema is unknown, and a
+    string pk must not be cast to decimal) — such buckets are NOT
+    comparable with any df-supplied assignment, including every digest
+    artifact the compare family writes. Every production call site
+    passes ``df``; the df-less form is expression-building convenience
+    only.
     """
     cols = []
     fields = (
@@ -221,7 +234,7 @@ def bucket_id(
         if isinstance(
             dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         ):
-            col = col.cast("long")
+            col = col.cast(T.DecimalType(38, 0))  # the scale-0 chain form
         elif isinstance(dtype, T.DecimalType):
             col = col.cast(T.DecimalType(38, dtype.scale))
         cols.append(col)
