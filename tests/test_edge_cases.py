@@ -131,6 +131,42 @@ def test_in_list_matches_isin_semantics(spark):
     got = sorted(r.k for r in df.filter(in_list("k", [Evil(5), 7])).collect())
     assert got == [5, 7]
 
+    # Decimal ids take the fast path too (decimal PKs are the TiDB
+    # unsigned-BIGINT JDBC mapping): fixed-point rendering, charset-
+    # checked; scaled values match; NaN/Inf (non-numeric rendering) and
+    # hostile __format__ output fall back / fail loud, never inject
+    from decimal import Decimal
+
+    ddf = df.select(F.col("k").cast("decimal(20,0)").alias("k"))
+    got = sorted(
+        int(r.k) for r in ddf.filter(
+            in_list("k", [Decimal(3), Decimal("17")])
+        ).collect()
+    )
+    assert got == [3, 17]
+    sdf2 = df.select((F.col("k").cast("decimal(10,2)") / 4).alias("k"))
+    got = sorted(
+        str(r.k) for r in sdf2.filter(
+            in_list("k", [Decimal("0.75"), Decimal("2.50")])
+        ).collect()
+    )
+    assert got == ["0.750000", "2.500000"] or got == ["0.75", "2.50"], got
+    # huge exponent renders fixed-point (plain str gives 1E+21)
+    big = Decimal("1E+21")
+    assert ddf.filter(in_list("k", [big])).count() == 0  # no match, no error
+    # a hostile Decimal subclass overriding __format__ cannot inject: the
+    # charset gate rejects its rendering and the whole list falls back
+    class EvilDec(Decimal):
+        def __format__(self, spec):
+            return "1) OR (1=1"
+
+    got = sorted(
+        int(r.k) for r in ddf.filter(
+            in_list("k", [EvilDec(5), Decimal(7)])
+        ).collect()
+    )
+    assert got == [5, 7]
+
 
 def test_bucket_id_widens_all_integral_pk_widths(spark):
     """bucket_id must assign the same bucket for the same VALUE at every

@@ -47,22 +47,43 @@ def in_list(col_name: str, ids: list) -> Column:
     ``Column.isin`` converts every element to a literal through its own
     py4j round trip — ~30 s of DRIVER time at the 50k bad-bucket cap,
     ~7 s at 10k (measured, PERFORMANCE.md round-8), superlinear enough to
-    dwarf the jobs it guards. For integer ids the same predicate rendered
-    as one ``IN (...)`` SQL string crosses py4j once and parses JVM-side
-    (~1.5 s at 50k); Catalyst folds the literal list to the identical
-    INSET hash set, so the executed plan is unchanged. Elements are
-    ``int()``-rendered, so the SQL fragment cannot contain anything but
-    digits; non-integer ids fall back to ``isin`` unchanged.
+    dwarf the jobs it guards. For integer and Decimal ids the same
+    predicate rendered as one ``IN (...)`` SQL string crosses py4j once
+    and parses JVM-side (~1.5 s at 50k); Catalyst folds the literal list
+    to the identical INSET hash set, so the executed plan is unchanged.
+    Renderings are pinned (``int()`` for ints, ``:f`` fixed-point for
+    Decimals) and charset-checked to digits/./-, so the SQL fragment can
+    never carry anything else; other id types fall back to ``isin``
+    unchanged.
     """
+    from decimal import Decimal
+
     ids = list(ids)
     if not ids:
         return F.lit(False)
-    if all(isinstance(i, int) and not isinstance(i, bool) for i in ids):
+
+    def _render(i) -> str | None:
+        if isinstance(i, bool):
+            return None
+        if isinstance(i, int):
+            # int(i), not i: an int SUBCLASS passes the isinstance gate but
+            # may override __str__ (IntEnum renders 'E.A'; a hostile one
+            # renders an arbitrary predicate) — int() pins the rendering.
+            return str(int(i))
+        if isinstance(i, Decimal):
+            # DECIMAL pks are the TiDB unsigned-BIGINT mapping — without a
+            # fast path they fell back to isin's per-element py4j cost.
+            # :f pins fixed-point rendering (plain str uses scientific
+            # notation for some exponents); NaN/Inf render non-numeric and
+            # are rejected by the charset check below.
+            s = f"{i:f}"
+            return s if set(s) <= set("0123456789.-") else None
+        return None
+
+    rendered = [_render(i) for i in ids]
+    if all(r is not None for r in rendered):
         quoted = col_name.replace("`", "``")  # user PK names may need quoting
-        # int(i), not i: an int SUBCLASS passes the isinstance gate but may
-        # override __str__ (IntEnum renders 'E.A'; a hostile one renders an
-        # arbitrary predicate) — int() pins the rendering to digits.
-        return F.expr(f"`{quoted}` IN ({','.join(str(int(i)) for i in ids)})")
+        return F.expr(f"`{quoted}` IN ({','.join(rendered)})")
     return F.col(col_name).isin(ids)
 
 
