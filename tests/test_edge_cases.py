@@ -116,10 +116,32 @@ def test_in_list_matches_isin_semantics(spark):
     got = sorted(r.k for r in df.filter(in_list("k", [np.int64(5), 7])).collect())
     assert got == [5, 7]
 
-    # non-integer ids take the isin fallback verbatim
+    # identifier-charset strings (uuid-style keys) take the one-string
+    # fast path; anything that could interact with quoting falls back
     sdf = df.select(F.concat(F.lit("v"), F.col("k")).alias("s"))
     got = sorted(r.s for r in sdf.filter(in_list("s", ["v1", "v2"])).collect())
     assert got == ["v1", "v2"]
+    qdf = spark.createDataFrame(
+        [("a'b",), ("plain-key",), ("x\\y",), ("",)], "s string"
+    )
+    got = sorted(
+        r.s for r in qdf.filter(
+            in_list("s", ["a'b", "plain-key", "x\\y", ""])
+        ).collect()
+    )
+    assert got == ["", "a'b", "plain-key", "x\\y"]  # isin fallback, exact
+
+    class EvilStr(str):
+        def __str__(self):
+            return "') OR ('1'='1"
+
+        def __format__(self, spec):
+            return "') OR ('1'='1"
+
+    got = sorted(
+        r.s for r in qdf.filter(in_list("s", [EvilStr("plain-key")])).collect()
+    )
+    assert got == ["plain-key"]  # str.__str__ pins the real data
 
     # an int SUBCLASS passes the isinstance gate but may override __str__
     # (IntEnum on old Pythons renders 'E.A'; a hostile one renders an

@@ -41,6 +41,11 @@ __all__ = [
 ]
 
 
+_SAFE_STR_ID_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_.:/@"
+)
+
+
 def in_list(col_name: str, ids: list) -> Column:
     """Membership predicate for a possibly-huge id list.
 
@@ -51,10 +56,14 @@ def in_list(col_name: str, ids: list) -> Column:
     predicate rendered as one ``IN (...)`` SQL string crosses py4j once
     and parses JVM-side (~1.5 s at 50k); Catalyst folds the literal list
     to the identical INSET hash set, so the executed plan is unchanged.
-    Renderings are pinned (``int()`` for ints, ``:f`` fixed-point for
-    Decimals) and charset-checked to digits/./-, so the SQL fragment can
-    never carry anything else; other id types fall back to ``isin``
-    unchanged.
+    Renderings are pinned and charset-checked so the SQL fragment can
+    never carry anything unexpected: ``int()`` for ints and ``:f``
+    fixed-point for Decimals (digits/./- only), and strings restricted
+    to a conservative identifier charset (letters, digits, ``-_.:/@``)
+    quoted verbatim — UUID/ULID-style keys, the common big-table string
+    pk, all qualify, and anything that could interact with SQL quoting
+    (quotes, backslashes, whitespace, control chars) falls back to
+    ``isin`` unchanged, as do other id types.
     """
     from decimal import Decimal
 
@@ -78,6 +87,13 @@ def in_list(col_name: str, ids: list) -> Column:
             # are rejected by the charset check below.
             s = f"{i:f}"
             return s if set(s) <= set("0123456789.-") else None
+        if isinstance(i, str):
+            # str.__str__ bypasses a hostile subclass's __str__/__format__
+            # and yields the exact underlying data, which is then charset-
+            # gated — no quote, backslash, or control char can reach the
+            # rendered literal, so the quoting below cannot be escaped.
+            s = str.__str__(i)
+            return f"'{s}'" if s and set(s) <= _SAFE_STR_ID_CHARS else None
         return None
 
     rendered = [_render(i) for i in ids]
