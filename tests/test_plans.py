@@ -231,6 +231,36 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.set(k, v)
 
 
+def test_in_list_pushdown_for_decimal_and_string_pks(spark, tmp_path):
+    """The pk-IN scan pushdown's domain now includes Decimal (the TiDB
+    unsigned-BIGINT mapping) and identifier-charset string pks — the
+    rendered IN must reach the parquet scan's PushedFilters for both, or
+    the retrieval degrades to an unpruned full scan."""
+    from decimal import Decimal
+
+    from tidb_large_table_compare_spark.functions.hashing import in_list
+
+    p = str(tmp_path / "dec")
+    spark.range(1000).selectExpr(
+        "cast(id as decimal(20,0)) pk", "id v"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        df.filter(in_list("pk", [Decimal(5), Decimal(7)]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(pk, [5,7" in plan.split("PushedFilters")[1][:80], plan
+
+    p2 = str(tmp_path / "str")
+    spark.range(1000).selectExpr("concat('k-', id) pk", "id v").write.parquet(p2)
+    df2 = spark.read.parquet(p2)
+    plan2 = (
+        df2.filter(in_list("pk", ["k-5", "k-7"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(pk, [k-5,k-7" in plan2.split("PushedFilters")[1][:80], plan2
+
+
 def test_compare_drilldown_shuffle_bounded_under_hot_bucket(spark):
     """Inject a hot bucket at sf0.1: every row of ONE of 10 buckets differs
     (~10% of the table). The drill-down must shuffle only that bucket's rows

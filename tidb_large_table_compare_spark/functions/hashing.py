@@ -65,42 +65,47 @@ def in_list(col_name: str, ids: list) -> Column:
     (quotes, backslashes, whitespace, control chars) falls back to
     ``isin`` unchanged, as do other id types.
     """
-    from decimal import Decimal
-
     ids = list(ids)
     if not ids:
         return F.lit(False)
-
-    def _render(i) -> str | None:
-        if isinstance(i, bool):
-            return None
-        if isinstance(i, int):
-            # int(i), not i: an int SUBCLASS passes the isinstance gate but
-            # may override __str__ (IntEnum renders 'E.A'; a hostile one
-            # renders an arbitrary predicate) — int() pins the rendering.
-            return str(int(i))
-        if isinstance(i, Decimal):
-            # DECIMAL pks are the TiDB unsigned-BIGINT mapping — without a
-            # fast path they fell back to isin's per-element py4j cost.
-            # :f pins fixed-point rendering (plain str uses scientific
-            # notation for some exponents); NaN/Inf render non-numeric and
-            # are rejected by the charset check below.
-            s = f"{i:f}"
-            return s if set(s) <= set("0123456789.-") else None
-        if isinstance(i, str):
-            # str.__str__ bypasses a hostile subclass's __str__/__format__
-            # and yields the exact underlying data, which is then charset-
-            # gated — no quote, backslash, or control char can reach the
-            # rendered literal, so the quoting below cannot be escaped.
-            s = str.__str__(i)
-            return f"'{s}'" if s and set(s) <= _SAFE_STR_ID_CHARS else None
-        return None
-
-    rendered = [_render(i) for i in ids]
+    rendered = [render_sql_id(i) for i in ids]
     if all(r is not None for r in rendered):
         quoted = col_name.replace("`", "``")  # user PK names may need quoting
         return F.expr(f"`{quoted}` IN ({','.join(rendered)})")
     return F.col(col_name).isin(ids)
+
+
+def render_sql_id(i) -> str | None:
+    """Pinned, charset-gated SQL-literal rendering of one id — or ``None``
+    if the value cannot be rendered safely. This single predicate defines
+    the domain of BOTH :func:`in_list`'s one-string fast path and the
+    compare family's pk-IN scan pushdown (``_bounded_pushdown_keys``), so
+    the two gates cannot drift apart."""
+    from decimal import Decimal
+
+    if isinstance(i, bool):
+        return None
+    if isinstance(i, int):
+        # int(i), not i: an int SUBCLASS passes the isinstance gate but
+        # may override __str__ (IntEnum renders 'E.A'; a hostile one
+        # renders an arbitrary predicate) — int() pins the rendering.
+        return str(int(i))
+    if isinstance(i, Decimal):
+        # DECIMAL pks are the TiDB unsigned-BIGINT mapping — without a
+        # fast path they fell back to isin's per-element py4j cost.
+        # :f pins fixed-point rendering (plain str uses scientific
+        # notation for some exponents); NaN/Inf render non-numeric and
+        # are rejected by the charset check below.
+        s = f"{i:f}"
+        return s if set(s) <= set("0123456789.-") else None
+    if isinstance(i, str):
+        # str.__str__ bypasses a hostile subclass's __str__/__format__
+        # and yields the exact underlying data, which is then charset-
+        # gated — no quote, backslash, or control char can reach the
+        # rendered literal, so the quoting cannot be escaped.
+        s = str.__str__(i)
+        return f"'{s}'" if s and set(s) <= _SAFE_STR_ID_CHARS else None
+    return None
 
 
 def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Column:

@@ -266,19 +266,26 @@ class TableCompare:
             restricted = withb.join(F.broadcast(bad), "__bucket", "left_semi")
         return restricted.drop("__bucket")
 
-    def _bounded_int_keys(self, frame: DataFrame, col: str) -> list | None:
+    def _bounded_pushdown_keys(self, frame: DataFrame, col: str) -> list | None:
         """``col``'s values from ``frame`` when they qualify for the pk-IN
-        scan pushdown: at most ``_MAX_INLIST`` of them and every one a
-        plain int (bool excluded; in_list renders ints digit-only).
-        Returns None when oversized or non-integer — the one eligibility
-        rule shared by fix_sql's master retrieval and column_drift's pair
-        retrieval, so the cap and the int gate cannot drift apart."""
+        scan pushdown: at most ``_MAX_INLIST`` of them and every one in
+        ``hashing.render_sql_id``'s safe-rendering domain (ints, Decimals
+        — the TiDB unsigned-BIGINT mapping — and identifier-charset
+        strings like UUID keys). Returns None when oversized or
+        unrenderable — the one eligibility rule shared by fix_sql's
+        master retrieval and column_drift's pair retrieval, defined by
+        the same predicate as in_list's fast path, so the cap and the
+        type gate cannot drift apart."""
+        from tidb_large_table_compare_spark.functions.hashing import (
+            render_sql_id,
+        )
+
         ids = [
             r[0]
             for r in frame.select(col).limit(self._MAX_INLIST + 1).collect()
         ]
         if len(ids) <= self._MAX_INLIST and all(
-            isinstance(i, int) and not isinstance(i, bool) for i in ids
+            render_sql_id(i) is not None for i in ids
         ):
             return ids
         return None
@@ -437,7 +444,7 @@ class TableCompare:
         _, bad_ids, _ = self._bad_bucket_state()
         if len(self.pk) == 1 and bad_ids and self._diff_rows is not None:
             mod = self.diff_rows().filter(F.col("diff_type") == "modified")
-            ids = self._bounded_int_keys(mod, self.pk[0])
+            ids = self._bounded_pushdown_keys(mod, self.pk[0])
             if ids is not None:
                 pred = in_list(self.pk[0], ids)
                 lsrc, rsrc = self.left.filter(pred), self.right.filter(pred)

@@ -63,22 +63,23 @@ def fix_sql(cmp) -> DataFrame:
     cols = list(left.columns)
 
     to_replace = diff.filter(F.col("diff_type") != "extra_in_right").select(pk)
-    # Retrieval of the master's repair rows, cheapest applicable form:
-    # a single integer PK with a bounded diff collects the keys and pushes
-    # ``pk IN (...)`` into the parquet scan (row-group pruning on
-    # pk-clustered files — the same adaptive trick as the admission
-    # index's verify-scan pushdown, dedup_index.py; the key set is the
-    # drill-down's own bounded output and in_list renders it in one py4j
-    # call). Composite/non-integer PKs or an oversized diff keep the
-    # semi-join — AQE broadcasts the small diff side, so the master scan
-    # still never shuffles (it just cannot prune).
+    # Retrieval of the master's repair rows, cheapest applicable form: a
+    # single renderable PK (int, Decimal, identifier-charset string —
+    # hashing.render_sql_id's domain) with a bounded diff collects the
+    # keys and pushes ``pk IN (...)`` into the parquet scan (row-group
+    # pruning on pk-clustered files — the same adaptive trick as the
+    # admission index's verify-scan pushdown, dedup_index.py; the key set
+    # is the drill-down's own bounded output and in_list renders it in
+    # one py4j call). Composite/unrenderable PKs or an oversized diff
+    # keep the semi-join — AQE broadcasts the small diff side, so the
+    # master scan still never shuffles (it just cannot prune).
     master_rows = None
     _, bad_ids, _ = cmp._bad_bucket_state()
     # the pushdown engages only in the bounded IN-list form, where the
     # diff frame is persisted (drift-sized) and the key collect is a cache
     # read; heavy-drift forms keep the lazy semi-join shape untouched
     if len(pk) == 1 and bad_ids:
-        ids = cmp._bounded_int_keys(to_replace, pk[0])
+        ids = cmp._bounded_pushdown_keys(to_replace, pk[0])
         if ids is not None:
             master_rows = left.filter(in_list(pk[0], ids))
     if master_rows is None:
