@@ -189,6 +189,30 @@ def test_in_list_matches_isin_semantics(spark):
     )
     assert got == [5, 7]
 
+    # temporal ids render as TIMESTAMP/DATE literals (session tz is
+    # pinned UTC, so collect() round-trips exactly); tz-AWARE datetimes
+    # carry offset semantics the literal can't pin → isin fallback
+    import datetime
+
+    tdf = df.select(
+        F.expr("timestamp'2024-01-02 03:04:05.123456' + make_interval(0,0,0,0,0,0,k)").alias("t"),
+        F.col("k"),
+    )
+    want = [
+        datetime.datetime(2024, 1, 2, 3, 4, 10, 123456),
+        datetime.datetime(2024, 1, 2, 3, 4, 12, 123456),
+    ]
+    got = sorted(r.k for r in tdf.filter(in_list("t", want)).collect())
+    assert got == [5, 7]
+    aware = [datetime.datetime(2024, 1, 2, tzinfo=datetime.timezone.utc)]
+    from tidb_large_table_compare_spark.functions.hashing import render_sql_id
+
+    assert render_sql_id(aware[0]) is None
+    dadf = df.select(F.expr("date_add(date'2024-01-01', cast(k as int))").alias("d"), F.col("k"))
+    dwant = [datetime.date(2024, 1, 6), datetime.date(2024, 1, 8)]
+    got = sorted(r.k for r in dadf.filter(in_list("d", dwant)).collect())
+    assert got == [5, 7]
+
 
 def test_bucket_id_widens_all_integral_pk_widths(spark):
     """bucket_id must assign the same bucket for the same VALUE at every

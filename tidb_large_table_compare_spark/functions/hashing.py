@@ -27,6 +27,8 @@ Hard parts handled here (SURVEY.md §7):
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,6 +43,7 @@ __all__ = [
 ]
 
 
+_SAFE_DT_CHARS = frozenset("0123456789-:. ")
 _SAFE_STR_ID_CHARS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_.:/@"
 )
@@ -57,13 +60,15 @@ def in_list(col_name: str, ids: list) -> Column:
     and parses JVM-side (~1.5 s at 50k); Catalyst folds the literal list
     to the identical INSET hash set, so the executed plan is unchanged.
     Renderings are pinned and charset-checked so the SQL fragment can
-    never carry anything unexpected: ``int()`` for ints and ``:f``
-    fixed-point for Decimals (digits/./- only), and strings restricted
-    to a conservative identifier charset (letters, digits, ``-_.:/@``)
-    quoted verbatim — UUID/ULID-style keys, the common big-table string
-    pk, all qualify, and anything that could interact with SQL quoting
-    (quotes, backslashes, whitespace, control chars) falls back to
-    ``isin`` unchanged, as do other id types.
+    never carry anything unexpected: ``int()`` for ints, ``:f``
+    fixed-point for Decimals (digits/./- only), strings restricted to a
+    conservative identifier charset (letters, digits, ``-_.:/@``) quoted
+    verbatim — UUID/ULID-style keys, the common big-table string pk, all
+    qualify — and naive datetimes/dates as ``TIMESTAMP ''``/``DATE ''``
+    literals via the unbound isoformat. Anything that could interact
+    with SQL quoting (quotes, backslashes, control chars, hostile
+    subclass renderings) falls back to ``isin`` unchanged, as do other
+    id types and tz-aware datetimes.
     """
     ids = list(ids)
     if not ids:
@@ -105,6 +110,20 @@ def render_sql_id(i) -> str | None:
         # rendered literal, so the quoting cannot be escaped.
         s = str.__str__(i)
         return f"'{s}'" if s and set(s) <= _SAFE_STR_ID_CHARS else None
+    if isinstance(i, datetime.datetime):
+        # collect() yields session-tz-naive datetimes; a tz-AWARE value
+        # would need offset semantics the literal can't pin — fall back.
+        # The unbound isoformat bypasses subclass overrides; charset-
+        # gated like everything else.
+        if i.tzinfo is not None:
+            return None
+        s = datetime.datetime.isoformat(i, sep=" ")
+        return (
+            f"TIMESTAMP '{s}'" if set(s) <= _SAFE_DT_CHARS else None
+        )
+    if isinstance(i, datetime.date):
+        s = datetime.date.isoformat(i)
+        return f"DATE '{s}'" if set(s) <= _SAFE_DT_CHARS else None
     return None
 
 
