@@ -34,6 +34,52 @@ def _master_rows(n):
     ]
 
 
+# The benign-widening chain the digests tolerate (functions/hashing.py
+# round-9): any two types here must digest AND bucket equal values
+# equally — this property pins the WHOLE contract, not just the pairs
+# the unit tests enumerate, so a future canonical-form change cannot
+# silently break one rung of the chain.
+_WIDENING_CHAIN = [
+    "tinyint", "smallint", "int", "bigint",
+    "decimal(10,0)", "decimal(18,0)", "decimal(20,0)", "decimal(38,0)",
+]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lt=st.sampled_from(_WIDENING_CHAIN),
+    rt=st.sampled_from(_WIDENING_CHAIN),
+    vals=st.lists(
+        st.integers(min_value=-63, max_value=63),  # v*2 stays in tinyint
+        min_size=1, max_size=40, unique=True,
+    ),
+    nb=st.sampled_from([4, 64]),
+)
+def test_equal_values_equivalent_across_any_widening_pair(spark, lt, rt, vals, nb):
+    """For EVERY pair of types on the benign-widening chain and arbitrary
+    (tinyint-range, so every type holds them) key/value data: the compare
+    verdict must be fully equivalent — zero bad buckets, zero diff rows —
+    regardless of which rung each side declares."""
+    from decimal import Decimal
+
+    def rows(t):
+        conv = Decimal if t.startswith("decimal") else int
+        return [(conv(v), conv(v * 2)) for v in sorted(vals)]
+
+    left = spark.createDataFrame(rows(lt), f"pk {lt}, v {lt}")
+    right = spark.createDataFrame(rows(rt), f"pk {rt}, v {rt}")
+    cmp = compare_tables(
+        spark, left, right, ["pk"], CompareOptions(n_buckets=nb), "widen"
+    )
+    assert cmp.mismatched_buckets().count() == 0
+    row = cmp.summary().collect()[0]
+    assert row.upcount == 0 and row.downcount == 0
+
+
 @settings(
     max_examples=12,
     deadline=None,
