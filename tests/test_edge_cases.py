@@ -213,6 +213,14 @@ def test_in_list_matches_isin_semantics(spark):
     got = sorted(r.k for r in dadf.filter(in_list("d", dwant)).collect())
     assert got == [5, 7]
 
+    # binary ids render as X'..' hex literals; collect() yields bytearray,
+    # which must round-trip through the same path
+    bdf = df.select(F.expr("cast(concat('k', k) as binary)").alias("b"), F.col("k"))
+    bwant = [r.b for r in bdf.filter("k in (5, 7)").select("b").collect()]
+    assert all(isinstance(b, (bytes, bytearray)) for b in bwant)
+    got = sorted(r.k for r in bdf.filter(in_list("b", bwant)).collect())
+    assert got == [5, 7]
+
 
 def test_bucket_id_widens_all_integral_pk_widths(spark):
     """bucket_id must assign the same bucket for the same VALUE at every

@@ -124,6 +124,13 @@ def render_sql_id(i) -> str | None:
     if isinstance(i, datetime.date):
         s = datetime.date.isoformat(i)
         return f"DATE '{s}'" if set(s) <= _SAFE_DT_CHARS else None
+    if isinstance(i, (bytes, bytearray)):
+        # bytes(i) copies the underlying data (pinning subclass
+        # overrides), .hex() on a real bytes object is hex-only by
+        # construction; the charset gate is belt-and-braces. X'..' is
+        # Spark's binary literal, and binary In pushes to the scan.
+        s = bytes(i).hex()
+        return f"X'{s}'" if set(s) <= set("0123456789abcdef") else None
     return None
 
 
