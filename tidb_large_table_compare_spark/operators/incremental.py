@@ -234,6 +234,20 @@ def changed_buckets(
     both count as changed (full-outer semantics).
     """
     stored, n_buckets = read_digests(spark, digests_path)
+    return _changed_buckets_from(spark, stored, n_buckets, current, pk, options)
+
+
+def _changed_buckets_from(
+    spark: SparkSession,
+    stored: DataFrame,
+    n_buckets: int,
+    current: DataFrame,
+    pk: list[str],
+    options: CompareOptions,
+) -> DataFrame:
+    """:func:`changed_buckets` body over an already-loaded artifact —
+    shared with :func:`incremental_compare`, which otherwise re-read the
+    artifact (and its pin sidecar) a second time per call."""
     opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
     cur = TableCompare(spark, current, current, pk, opts).bucket_digests("left")
     l = stored.withColumnsRenamed(
@@ -267,8 +281,8 @@ def incremental_compare(
     every differing row lives in a drifted bucket. The returned compare
     pins the snapshot's bucket count so bucket ids line up.
     """
-    _, n_buckets = read_digests(spark, digests_path)
-    changed = changed_buckets(spark, digests_path, right, pk, options)
+    stored, n_buckets = read_digests(spark, digests_path)
+    changed = _changed_buckets_from(spark, stored, n_buckets, right, pk, options)
     opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
     cmp = compare_tables(spark, left, right, pk, opts, table_name)
     from tidb_large_table_compare_spark.functions.hashing import bucket_id, in_list
