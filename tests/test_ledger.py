@@ -44,3 +44,42 @@ def test_repo_ledger_covers_every_recorded_entry():
     # the render is parseable markdown with one row per entry
     table = L.render(rounds)
     assert table.count("\n") == len(led) + 1
+
+
+def test_suggest_window_lists_mandatory_cohort():
+    """--suggest derives the next round's MANDATORY window mechanically:
+    never-green entries plus everything whose last green is at or past
+    the cadence bound behind the newest recorded round."""
+    rounds = {
+        6: {"old": {"hash_match": True, "err": None},
+            "never": {"err": "x"}},
+        7: {"mid": {"hash_match": True, "err": None},
+            "never": {"err": "x"}},
+        8: {"fresh": {"hash_match": True, "err": None}},
+    }
+    s = L.suggest_window(rounds, window=50)
+    # 4 entries → bound max(1, ceil(4/50)-1) = 1: everything green ≤ r7
+    # is mandatory, plus the never-green entry
+    assert s["newest_round"] == 8 and s["bound"] == 1
+    assert s["mandatory"] == ["mid", "never", "old"]
+    assert s["free_slots"] == 47
+
+
+def test_suggest_window_matches_committed_rotation():
+    """Against the real repo history, PHASE-AWARE (same two states as
+    test_registry_order.test_window_rotates_stalest_entries): only in
+    the ROTATED state (committed window ≠ the newest artifact's entry
+    set, i.e. the window targets the next round) must every suggested
+    mandatory entry hold a slot. In the POST-RECORD state the driver
+    just verified this very window and the next rotation hasn't been
+    chosen yet — asserting there would be red-at-round-start by
+    construction (the round-5 mistake)."""
+    from tidb_large_table_compare_spark.registry import _DRIVER_PRIORITY
+
+    rounds = L.load_rounds(REPO)
+    window = set(_DRIVER_PRIORITY)
+    if set(rounds[max(rounds)]) == window:
+        return  # POST-RECORD: nothing to assert yet
+    s = L.suggest_window(rounds)
+    missing = [n for n in s["mandatory"] if n not in window]
+    assert missing == [], missing

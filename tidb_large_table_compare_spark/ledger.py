@@ -70,6 +70,36 @@ def rotation_candidates(rounds: dict[int, dict[str, dict]]) -> list[str]:
     )
 
 
+def suggest_window(
+    rounds: dict[int, dict[str, dict]], window: int = 50
+) -> dict:
+    """The NEXT round's mandatory window, mechanically.
+
+    At N registry-checked entries the cadence bound is ⌈N/window⌉−1
+    rounds of allowed signal age, so after the newest recorded round R
+    every entry whose last green is ≤ R − bound MUST re-verify next
+    round (plus never-green entries, unconditionally). Returns
+    ``{"mandatory": [names...], "free_slots": int, "bound": int,
+    "newest_round": int}`` — the free slots are for change canaries,
+    chosen by the builder, not by history.
+    """
+    led = ledger(rounds)
+    newest = max(rounds, default=0)
+    n = len(led)
+    bound = max(1, -(-n // window) - 1)
+    mandatory = sorted(
+        name
+        for name, row in led.items()
+        if row["last_green"] is None or row["last_green"] <= newest - bound
+    )
+    return {
+        "mandatory": mandatory,
+        "free_slots": window - len(mandatory),
+        "bound": bound,
+        "newest_round": newest,
+    }
+
+
 def render(rounds: dict[int, dict[str, dict]]) -> str:
     led = ledger(rounds)
     lines = ["| entry | last checked | last green |", "|---|---|---|"]
@@ -83,7 +113,20 @@ def render(rounds: dict[int, dict[str, dict]]) -> str:
 
 
 if __name__ == "__main__":
+    import sys
+
     rounds = load_rounds(Path(__file__).resolve().parent.parent)
+    if "--suggest" in sys.argv:
+        s = suggest_window(rounds)
+        print(
+            f"next window after r{s['newest_round']} "
+            f"(signal-age bound {s['bound']}): "
+            f"{len(s['mandatory'])} mandatory, {s['free_slots']} free "
+            f"canary slots"
+        )
+        for name in s["mandatory"]:
+            print(f"  {name}")
+        raise SystemExit(0)
     led = ledger(rounds)
     stale = [n for n, r in led.items() if r["last_green"] == min(rounds, default=0)]
     print(render(rounds))
