@@ -522,6 +522,39 @@ def test_compare_tolerates_decimal_precision_widening(spark):
     assert not row.structure_ok  # the widening is still reported (B1)
 
 
+def test_row_hash_widens_nested_numerics(spark):
+    """The widening chain must hold INSIDE containers too: array/map/
+    struct elements canonicalize recursively, so int vs bigint vs
+    DECIMAL(20,0) element types digest equal values equally — without
+    the recursion, a nested-typed column pair would false-drift every
+    row while the top-level pins stayed green."""
+    from decimal import Decimal
+
+    from tidb_large_table_compare_spark.functions.hashing import row_hash
+
+    def h(df):
+        return df.select(row_hash(df)).collect()[0][0]
+
+    a_int = spark.createDataFrame([([1, 2, None],)], "a array<int>")
+    a_big = spark.createDataFrame([([1, 2, None],)], "a array<bigint>")
+    a_dec = spark.createDataFrame(
+        [([Decimal(1), Decimal(2), None],)], "a array<decimal(20,0)>"
+    )
+    assert h(a_int) == h(a_big) == h(a_dec)
+
+    m_int = spark.createDataFrame([({"x": 5},)], "m map<string,int>")
+    m_dec = spark.createDataFrame(
+        [({"x": Decimal(5)},)], "m map<string,decimal(20,0)>"
+    )
+    assert h(m_int) == h(m_dec)
+
+    s_int = spark.createDataFrame([((7, "z"),)], "s struct<n:int,t:string>")
+    s_dec = spark.createDataFrame(
+        [((Decimal(7), "z"),)], "s struct<n:decimal(20,0),t:string>"
+    )
+    assert h(s_int) == h(s_dec)
+
+
 def test_compare_tolerates_bigint_vs_decimal20_pk(spark):
     """The cross-FAMILY end of the widening chain: TiDB's unsigned
     BIGINT arrives over JDBC as DECIMAL(20,0) while the native side
