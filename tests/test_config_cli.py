@@ -214,6 +214,58 @@ def _dead_pid() -> int:
     return proc.pid
 
 
+def test_runlock_no_overlapping_holds_across_processes(tmp_path):
+    """Production shape: six PROCESSES race to steal one stale lock
+    (flock exclusion is per open-file-description, so the in-thread
+    stress tests don't prove the cross-process case). Sequential
+    re-acquisition after a release is legal; what must never happen is
+    two holders at once, or a holder observing someone else's pid in
+    the lock file mid-hold. Verified 0/60 trials in the round-9 stress;
+    this keeps one trial as a permanent regression pin."""
+    import subprocess
+    import sys as _sys
+
+    worker = r"""
+import sys, time, os
+sys.path.insert(0, sys.argv[2])
+from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
+try:
+    lk = RunLock(sys.argv[1]).acquire()
+    t0 = time.monotonic_ns()
+    ok = open(sys.argv[1]).read() == str(os.getpid())
+    time.sleep(0.05)
+    ok = ok and open(sys.argv[1]).read() == str(os.getpid())
+    t1 = time.monotonic_ns()
+    lk.release()
+    print(f"won {t0} {t1} {int(ok)}")
+except LockHeld:
+    print("held")
+"""
+    import pathlib
+
+    repo = str(pathlib.Path(__file__).resolve().parents[1])
+    path = tmp_path / "run.lock"
+    path.write_text(str(_dead_pid()))
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", worker, str(path), repo],
+            stdout=subprocess.PIPE,
+        )
+        for _ in range(6)
+    ]
+    outs = [p.communicate()[0].decode().strip() for p in procs]
+    intervals = sorted(
+        (int(t0), int(t1))
+        for o in outs
+        if o.startswith("won")
+        for _, t0, t1, ok in [o.split()]
+        if ok == "1" or pytest.fail(f"holder saw foreign pid: {outs}")
+    )
+    assert intervals, outs  # someone must steal the stale lock and win
+    for (a0, a1), (b0, b1) in zip(intervals, intervals[1:]):
+        assert b0 >= a1, f"overlapping holds: {outs}"
+
+
 def test_runlock_steal_rereads_holder_under_guard(tmp_path):
     """The double-acquire race (ADVICE r8): racer B reads a dead holder,
     racer A completes the full steal and acquires a LIVE lock, then B's
