@@ -291,11 +291,17 @@ def test_runlock_steal_rereads_holder_under_guard(tmp_path):
     assert not path.exists()
 
 
-def test_runlock_steal_restores_displaced_live_lock(tmp_path):
-    """Defense-in-depth for guard-less participants: if the under-guard
-    re-read is fooled (simulating a legacy stealer's TOCTOU), the
-    post-rename pid verify detects that the renamed file belongs to a
-    LIVE holder, restores it, and raises instead of displacing it."""
+def test_runlock_steal_restores_displaced_live_lock(tmp_path, monkeypatch):
+    """Defense-in-depth for GUARD-LESS participants (an older build, a
+    hand-rolled script): between B's under-guard holder read (dead pid)
+    and B's rename, a guard-less stealer completes a full steal AND a
+    new holder publishes a LIVE lock — simulated deterministically by an
+    os.rename seam that swaps in a live lock file just before B's steal
+    rename executes. The post-rename pid verify must detect that the
+    renamed file belongs to a live holder, RESTORE it via link, clean
+    the stale debris, and raise LockHeld naming the live holder.
+    (The under-guard re-read cannot catch this: it legitimately saw the
+    dead pid before the interleaving happened.)"""
     import os
 
     from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
@@ -304,17 +310,28 @@ def test_runlock_steal_restores_displaced_live_lock(tmp_path):
     dead = _dead_pid()
     path.write_text(str(dead))
 
-    a = RunLock(path)
-    a.acquire()
+    real_rename = os.rename
+    fired = []
 
+    def interleaved_rename(src, dst):
+        if str(src) == str(path) and not fired:
+            fired.append(1)
+            # the guard-less participant's full steal + a live publish,
+            # landing exactly between B's read and B's rename
+            live = tmp_path / "live.publish"
+            live.write_text(str(os.getpid()))
+            real_rename(str(live), str(path))
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", interleaved_rename)
     b = RunLock(path)
-    b._read_holder = lambda: dead  # the stale-era read, frozen (TOCTOU)
     with pytest.raises(LockHeld) as ei:
         b._steal()
-    assert ei.value.pid == os.getpid()
+    monkeypatch.undo()
+    assert fired, "the interleaving seam never triggered"
+    assert ei.value.pid == os.getpid()  # names the LIVE holder
     assert path.read_text() == str(os.getpid())  # restored, not displaced
     assert not list(tmp_path.glob("*.stale.*"))  # no debris
-    a.release()
 
 
 def test_cli_refuses_concurrent_invocation(spark, tmp_path, capsys):

@@ -62,10 +62,17 @@ def test_corrupt_pin_sidecar_degrades_not_crashes(tmp_path):
     refuses) instead of breaking reads of a healthy artifact."""
     from tidb_large_table_compare_spark.operators.incremental import _read_pin
 
+    base = f"file://{tmp_path}"
     (tmp_path / "_n_buckets").write_text("")
-    assert _read_pin(CONNECT, str(tmp_path)) == (None, None)
+    assert _read_pin(CONNECT, base) == (None, None)
     (tmp_path / "_n_buckets").write_text("not-a-number\n")
-    assert _read_pin(CONNECT, str(tmp_path)) == (None, None)
+    assert _read_pin(CONNECT, base) == (None, None)
+    (tmp_path / "_n_buckets").write_bytes(b"\xff\xfe garbage \x00")
+    assert _read_pin(CONNECT, base) == (None, None)  # non-UTF-8: degrade
+    # field-independent degrade: readable pin + garbled version keeps
+    # the pin with version UNKNOWN
+    (tmp_path / "_n_buckets").write_text("64\ngarbage\n")
+    assert _read_pin(CONNECT, base) == (64, None)
 
 
 # --- maintenance entry points REFUSE (destructive protocols) ---------------
@@ -111,20 +118,27 @@ def test_dedup_index_maintenance_refuses_under_connect():
 
 
 def test_snapshot_versions_degrades_to_local_listing(tmp_path):
+    """Only an EXPLICIT file: scheme takes the driver-local fallback
+    under Connect — a scheme-less base resolves against the SERVER's
+    default FS, where the client's pathlib answer would be wrong."""
     from tidb_large_table_compare_spark.sources.snapshots import snapshot_versions
 
     (tmp_path / "v=00000001").mkdir()
     (tmp_path / "v=00000003").mkdir()
     (tmp_path / "not-a-version").mkdir()
-    assert snapshot_versions(str(tmp_path), CONNECT) == [1, 3]
+    assert snapshot_versions(f"file://{tmp_path}", CONNECT) == [1, 3]
 
 
-def test_snapshot_versions_refuses_remote_base_under_connect():
+def test_snapshot_versions_refuses_ambiguous_bases_under_connect(tmp_path):
     from tidb_large_table_compare_spark.sources.snapshots import snapshot_versions
 
     # [] for a remote base would resurrect the recompute-version-1 bug
     with pytest.raises(ClassicSessionRequired, match="snapshot"):
         snapshot_versions("s3a://lake/snaps", CONNECT)
+    # scheme-LESS is ambiguous under Connect (server-side default FS):
+    # probing the client's disk silently answers for the wrong machine
+    with pytest.raises(ClassicSessionRequired, match="file:"):
+        snapshot_versions(str(tmp_path), CONNECT)
 
 
 def test_digest_pin_degrades_to_local_file(tmp_path):
@@ -134,13 +148,21 @@ def test_digest_pin_degrades_to_local_file(tmp_path):
         _write_pin,
     )
 
-    _write_pin(CONNECT, str(tmp_path), 128)
+    _write_pin(CONNECT, f"file://{tmp_path}", 128)
     assert (tmp_path / "_n_buckets").exists()
-    assert _read_pin(CONNECT, str(tmp_path)) == (128, BUCKETING_VERSION)
+    assert _read_pin(CONNECT, f"file://{tmp_path}") == (128, BUCKETING_VERSION)
 
-    # remote path under Connect: documented skip, never a crash
+    # remote AND scheme-less paths under Connect: documented skip,
+    # never a crash or a wrong-machine write (the scheme-less form
+    # resolves against the server's default FS)
     _write_pin(CONNECT, "s3a://lake/digests", 128)
     assert _read_pin(CONNECT, "s3a://lake/digests") == (None, None)
+    _write_pin(CONNECT, str(tmp_path / "elsewhere"), 128)
+    assert not (tmp_path / "elsewhere").exists()  # nothing written locally
+    assert _read_pin(CONNECT, str(tmp_path / "elsewhere")) == (None, None)
+    # a file:-schemed path whose directory is missing degrades too
+    # (never crash after the Spark-side digest write succeeded)
+    _write_pin(CONNECT, f"file://{tmp_path}/missing/dir", 128)
 
 
 def test_streaming_layout_probe_degrades(tmp_path):

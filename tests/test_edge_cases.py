@@ -189,11 +189,23 @@ def test_in_list_matches_isin_semantics(spark):
     )
     assert got == [5, 7]
 
-    # temporal ids render as TIMESTAMP/DATE literals (session tz is
-    # pinned UTC, so collect() round-trips exactly); tz-AWARE datetimes
-    # carry offset semantics the literal can't pin → isin fallback
+    # DATE ids render as literals (tz-free on both sides); DATETIMES of
+    # any kind must NOT render — collect() converts timestamps through
+    # the driver OS tz while a TIMESTAMP literal parses in the session
+    # tz, so a rendered literal silently selects wrong rows on any
+    # non-UTC host (round-9 review finding). The isin fallback applies
+    # the same OS-local conversion as collect() and stays correct.
     import datetime
 
+    from tidb_large_table_compare_spark.functions.hashing import render_sql_id
+
+    assert render_sql_id(datetime.datetime(2024, 1, 2, 3, 4, 5)) is None
+    assert (
+        render_sql_id(
+            datetime.datetime(2024, 1, 2, tzinfo=datetime.timezone.utc)
+        )
+        is None
+    )
     tdf = df.select(
         F.expr("timestamp'2024-01-02 03:04:05.123456' + make_interval(0,0,0,0,0,0,k)").alias("t"),
         F.col("k"),
@@ -203,11 +215,7 @@ def test_in_list_matches_isin_semantics(spark):
         datetime.datetime(2024, 1, 2, 3, 4, 12, 123456),
     ]
     got = sorted(r.k for r in tdf.filter(in_list("t", want)).collect())
-    assert got == [5, 7]
-    aware = [datetime.datetime(2024, 1, 2, tzinfo=datetime.timezone.utc)]
-    from tidb_large_table_compare_spark.functions.hashing import render_sql_id
-
-    assert render_sql_id(aware[0]) is None
+    assert got == [5, 7]  # via the isin fallback
     dadf = df.select(F.expr("date_add(date'2024-01-01', cast(k as int))").alias("d"), F.col("k"))
     dwant = [datetime.date(2024, 1, 6), datetime.date(2024, 1, 8)]
     got = sorted(r.k for r in dadf.filter(in_list("d", dwant)).collect())

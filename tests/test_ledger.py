@@ -62,7 +62,18 @@ def test_suggest_window_lists_mandatory_cohort():
     # is mandatory, plus the never-green entry
     assert s["newest_round"] == 8 and s["bound"] == 1
     assert s["mandatory"] == ["mid", "never", "old"]
-    assert s["free_slots"] == 47
+    assert s["free_slots"] == 47 and s["feasible"]
+
+    # entries the history never recorded (fresh registrations) need a
+    # first signal more than anything in the files — all_entries pulls
+    # them in as mandatory
+    s = L.suggest_window(rounds, window=50,
+                         all_entries=["fresh", "brand_new", "old"])
+    assert "brand_new" in s["mandatory"] and "old" in s["mandatory"]
+
+    # an overflowing mandatory set is flagged, never a negative slot count
+    s = L.suggest_window(rounds, window=2)
+    assert not s["feasible"] and s["free_slots"] == 0
 
 
 def test_suggest_window_matches_committed_rotation():

@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 __all__ = [
     "ClassicSessionRequired",
     "classic_jvm",
+    "explicit_local_path",
     "hadoop_fs",
     "local_path",
 ]
@@ -92,3 +93,16 @@ def local_path(path: str) -> Path | None:
     if "://" in path:
         return None
     return Path(path)
+
+
+def explicit_local_path(path: str) -> Path | None:
+    """:func:`local_path`, but ONLY for explicitly ``file:``-schemed
+    paths. Under Spark Connect a scheme-LESS path resolves against the
+    SERVER's default filesystem — the client machine may not even have
+    the directory — so a driver-local fallback for it would crash after
+    the Spark-side write succeeded, or silently act on the wrong
+    machine (round-9 review finding). A ``file:`` scheme is the caller
+    saying "this really is the driver's disk"."""
+    if path.startswith("file:"):
+        return local_path(path)
+    return None

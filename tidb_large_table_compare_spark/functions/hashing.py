@@ -64,11 +64,13 @@ def in_list(col_name: str, ids: list) -> Column:
     fixed-point for Decimals (digits/./- only), strings restricted to a
     conservative identifier charset (letters, digits, ``-_.:/@``) quoted
     verbatim — UUID/ULID-style keys, the common big-table string pk, all
-    qualify — and naive datetimes/dates as ``TIMESTAMP ''``/``DATE ''``
-    literals via the unbound isoformat. Anything that could interact
-    with SQL quoting (quotes, backslashes, control chars, hostile
-    subclass renderings) falls back to ``isin`` unchanged, as do other
-    id types and tz-aware datetimes.
+    qualify — dates as ``DATE ''`` literals (tz-free on both sides) and
+    binary as ``X''`` hex. Anything that could interact with SQL quoting
+    (quotes, backslashes, control chars, hostile subclass renderings)
+    falls back to ``isin`` unchanged, as do other id types and ALL
+    datetimes — a timestamp literal parses in the session tz while
+    collect() converts through the driver OS's tz, and this function
+    cannot reconcile the two (see render_sql_id).
     """
     ids = list(ids)
     if not ids:
@@ -111,17 +113,21 @@ def render_sql_id(i) -> str | None:
         s = str.__str__(i)
         return f"'{s}'" if s and set(s) <= _SAFE_STR_ID_CHARS else None
     if isinstance(i, datetime.datetime):
-        # collect() yields session-tz-naive datetimes; a tz-AWARE value
-        # would need offset semantics the literal can't pin — fall back.
-        # The unbound isoformat bypasses subclass overrides; charset-
-        # gated like everything else.
-        if i.tzinfo is not None:
-            return None
-        s = datetime.datetime.isoformat(i, sep=" ")
-        return (
-            f"TIMESTAMP '{s}'" if set(s) <= _SAFE_DT_CHARS else None
-        )
+        # NO fast path for timestamps (datetime.datetime is checked
+        # before its date base class so it can't leak into the DATE
+        # branch): collect() converts TimestampType through the DRIVER
+        # OS's local timezone while a TIMESTAMP '...' literal parses in
+        # the SESSION timezone, and this function has no session handle
+        # to reconcile the two — on any host whose OS tz differs from
+        # spark.sql.session.timeZone a rendered literal silently selects
+        # the wrong rows, where isin (which applies the same OS-local
+        # conversion as collect()) stays correct. Found in the round-9
+        # review by reproducing under TZ=America/New_York.
+        return None
     if isinstance(i, datetime.date):
+        # DateType is timezone-free on both sides (collect() yields a
+        # plain date; DATE '...' parses without tz), so dates keep the
+        # fast path. The unbound isoformat bypasses subclass overrides.
         s = datetime.date.isoformat(i)
         return f"DATE '{s}'" if set(s) <= _SAFE_DT_CHARS else None
     if isinstance(i, (bytes, bytearray)):

@@ -71,32 +71,43 @@ def rotation_candidates(rounds: dict[int, dict[str, dict]]) -> list[str]:
 
 
 def suggest_window(
-    rounds: dict[int, dict[str, dict]], window: int = 50
+    rounds: dict[int, dict[str, dict]],
+    window: int = 50,
+    all_entries: list[str] | None = None,
 ) -> dict:
     """The NEXT round's mandatory window, mechanically.
 
-    At N registry-checked entries the cadence bound is ⌈N/window⌉−1
-    rounds of allowed signal age, so after the newest recorded round R
-    every entry whose last green is ≤ R − bound MUST re-verify next
-    round (plus never-green entries, unconditionally). Returns
+    At N registry entries the cadence bound is ⌈N/window⌉−1 rounds of
+    allowed signal age, so after the newest recorded round R every entry
+    whose last green is ≤ R − bound MUST re-verify next round — plus
+    never-green entries, and (when ``all_entries`` supplies the full
+    registry) entries with NO recorded round at all, which need a first
+    signal more than anything the history contains. Returns
     ``{"mandatory": [names...], "free_slots": int, "bound": int,
-    "newest_round": int}`` — the free slots are for change canaries,
-    chosen by the builder, not by history.
+    "newest_round": int, "feasible": bool}`` — the free slots are for
+    change canaries, chosen by the builder, not by history;
+    ``feasible=False`` means the mandatory set alone overflows the
+    window (e.g. after a skipped round) and the cadence test will flag
+    whatever is left out.
     """
     led = ledger(rounds)
     newest = max(rounds, default=0)
-    n = len(led)
+    names = set(led) | set(all_entries or [])
+    n = len(names)
     bound = max(1, -(-n // window) - 1)
     mandatory = sorted(
         name
-        for name, row in led.items()
-        if row["last_green"] is None or row["last_green"] <= newest - bound
+        for name in names
+        if name not in led
+        or led[name]["last_green"] is None
+        or led[name]["last_green"] <= newest - bound
     )
     return {
         "mandatory": mandatory,
-        "free_slots": window - len(mandatory),
+        "free_slots": max(0, window - len(mandatory)),
         "bound": bound,
         "newest_round": newest,
+        "feasible": len(mandatory) <= window,
     }
 
 
@@ -117,12 +128,18 @@ if __name__ == "__main__":
 
     rounds = load_rounds(Path(__file__).resolve().parent.parent)
     if "--suggest" in sys.argv:
-        s = suggest_window(rounds)
+        # the registry import is deliberately CLI-only: the library half
+        # of this module stays loadable from correctness files alone
+        from tidb_large_table_compare_spark.registry import QUERIES
+
+        s = suggest_window(rounds, all_entries=list(QUERIES))
         print(
             f"next window after r{s['newest_round']} "
             f"(signal-age bound {s['bound']}): "
             f"{len(s['mandatory'])} mandatory, {s['free_slots']} free "
             f"canary slots"
+            + ("" if s["feasible"] else " — INFEASIBLE: mandatory set "
+               "overflows the window; split across rounds deliberately")
         )
         for name in s["mandatory"]:
             print(f"  {name}")

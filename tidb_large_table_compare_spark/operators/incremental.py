@@ -50,9 +50,11 @@ __all__ = [
 # raises a named error); read through the Hadoop FS API so remote
 # filesystems work like the artifacts themselves, falling back to a
 # driver-local file when the JVM gateway is absent (Spark Connect) and
-# the path is local — and skipping the sidecar entirely for a remote
-# path under Connect (the in-data pin still covers every non-empty
-# artifact; only the truncate-to-empty edge then needs a re-snapshot).
+# the path carries an EXPLICIT file: scheme — a scheme-less path under
+# Connect resolves against the SERVER's default FS, so the sidecar is
+# skipped for it and for remote schemes alike (the in-data pin still
+# covers every non-empty artifact; only the truncate-to-empty edge then
+# needs a re-snapshot).
 #
 # Line 2 of the sidecar stamps `hashing.BUCKETING_VERSION`: bucket ids
 # are only comparable under the SAME bucket-assignment function, and the
@@ -73,35 +75,52 @@ def _pin_payload(n_buckets: int) -> str:
     return f"{int(n_buckets)}\n{BUCKETING_VERSION}\n"
 
 
-def _parse_pin(text: str) -> tuple[int | None, int | None]:
-    """Parse a sidecar payload; an empty/garbled sidecar (crash between
-    fs.create and the write) degrades to (None, None) — the artifact's
-    in-data pin still covers every non-empty artifact, version becomes
-    UNKNOWN (read paths tolerate, the fold refuses: exactly the right
-    crash-recovery posture), and the empty-artifact path raises its named
-    re-snapshot error."""
+def _parse_pin(raw: bytes | str) -> tuple[int | None, int | None]:
+    """Parse a sidecar payload; a torn/garbled sidecar (crash between
+    fs.create and the write, filesystem corruption, non-UTF-8 bytes)
+    degrades field-by-field instead of raising — the artifact's in-data
+    pin still covers every non-empty artifact, version becomes UNKNOWN
+    (read paths tolerate, the fold refuses: exactly the right
+    crash-recovery posture), and the empty-artifact path raises its
+    named re-snapshot error. Fields degrade INDEPENDENTLY: a readable
+    n_buckets line with a garbled version line keeps the pin."""
     try:
+        text = raw.decode() if isinstance(raw, (bytes, bytearray)) else raw
         lines = [ln for ln in text.strip().splitlines() if ln.strip()]
-        n_buckets = int(lines[0])
-        version = int(lines[1]) if len(lines) > 1 else None
-    except (IndexError, ValueError):
+    except (UnicodeDecodeError, ValueError):
         return None, None
-    return n_buckets, version
+
+    def _int_or_none(idx: int) -> int | None:
+        try:
+            return int(lines[idx])
+        except (IndexError, ValueError):
+            return None
+
+    return _int_or_none(0), _int_or_none(1)
 
 
 def _write_pin(spark: SparkSession, path: str, n_buckets: int) -> None:
     from tidb_large_table_compare_spark.functions.fsutil import (
         classic_jvm,
-        local_path,
+        explicit_local_path,
     )
 
     payload = _pin_payload(n_buckets)
     jvm = classic_jvm(spark)
     if jvm is None:
-        lp = local_path(path)
+        # Under Connect only an EXPLICIT file: scheme proves the path is
+        # the driver's disk (a scheme-less path resolves against the
+        # SERVER's default FS — writing it locally would land the
+        # sidecar on the wrong machine, or crash after the parquet
+        # write already succeeded). Anything else: documented skip —
+        # the in-data pin covers every non-empty artifact.
+        lp = explicit_local_path(path)
         if lp is None:
-            return  # remote path under Connect: documented sidecar skip
-        (lp / _PIN_SIDECAR).write_text(payload)
+            return
+        try:
+            (lp / _PIN_SIDECAR).write_text(payload)
+        except OSError:
+            return  # degrade, never crash a succeeded digest write
         return
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PIN_SIDECAR}")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -117,15 +136,18 @@ def _read_pin(spark: SparkSession, path: str) -> tuple[int | None, int | None]:
     sidecar is absent, (n, None) for a legacy one-line sidecar."""
     from tidb_large_table_compare_spark.functions.fsutil import (
         classic_jvm,
-        local_path,
+        explicit_local_path,
     )
 
     jvm = classic_jvm(spark)
     if jvm is None:
-        lp = local_path(path)
+        lp = explicit_local_path(path)  # same scheme rule as _write_pin
         if lp is None or not (lp / _PIN_SIDECAR).exists():
             return None, None
-        return _parse_pin((lp / _PIN_SIDECAR).read_text())
+        try:
+            return _parse_pin((lp / _PIN_SIDECAR).read_bytes())
+        except OSError:
+            return None, None
     jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{_PIN_SIDECAR}")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
@@ -144,7 +166,7 @@ def _read_pin(spark: SparkSession, path: str) -> tuple[int | None, int | None]:
                 buf.append(data)
                 data = stream.read()
             raw = bytes(buf)
-        return _parse_pin(raw.decode())
+        return _parse_pin(raw)
     finally:
         stream.close()
 

@@ -35,16 +35,21 @@ def snapshot_versions(base: str, spark: SparkSession | None = None) -> list[int]
     session the local-path fallback remains.
 
     Under Spark Connect (no py4j gateway) the listing degrades to the
-    driver-local fallback for a local base — the pre-Hadoop-FS behavior,
-    which is exactly correct there — and REFUSES a remote base with the
-    engine's named seam error: returning [] for a remote base is the
-    recompute-version-1 bug this function's Hadoop path exists to fix.
+    driver-local fallback ONLY for an explicitly ``file:``-schemed base
+    (which proves the base is the driver's disk) and REFUSES everything
+    else with the engine's named seam error: a remote scheme obviously,
+    but also a scheme-LESS base, which under Connect resolves against
+    the SERVER's default filesystem — probing it with the client's
+    pathlib would return [] for an existing remote base and resurrect
+    the recompute-version-1 bug this function's Hadoop path exists to
+    fix. Use ``file:///...`` for a genuinely driver-local base under
+    Connect.
     """
     if spark is not None:
         from tidb_large_table_compare_spark.functions.fsutil import (
             ClassicSessionRequired,
             classic_jvm,
-            local_path,
+            explicit_local_path,
         )
 
         jvm = classic_jvm(spark)
@@ -59,12 +64,14 @@ def snapshot_versions(base: str, spark: SparkSession | None = None) -> list[int]
                 if m:
                     out.append(int(m.group(1)))
             return sorted(out)
-        lp = local_path(base)
+        lp = explicit_local_path(base)
         if lp is None:
             raise ClassicSessionRequired(
-                f"snapshot version listing on a remote base ({base})"
+                f"snapshot version listing on base {base!r} under Spark "
+                f"Connect (only an explicit file: scheme proves the base "
+                f"is the driver's disk; use file:///... for a local base)"
             )
-        base = str(lp)  # strips a file:// scheme pathlib can't walk
+        base = str(lp)  # strips the file: scheme pathlib can't walk
     p = Path(base)
     if not p.exists():
         return []

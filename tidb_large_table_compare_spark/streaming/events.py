@@ -71,17 +71,27 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
     and falls through to the reader, whose error names the path.
 
     Under Spark Connect (no py4j gateway) the probe degrades to
-    ``os.path.isdir`` — exactly right for local paths, and False for
-    remote URIs, where the single-file branch's reader error still names
-    the path (degrade-don't-crash, read-only probe).
+    ``os.path.isdir`` over the scheme-stripped driver-local form
+    (``fsutil.local_path`` handles both ``file:///x`` and Hadoop's
+    ``file:/x`` rendering — raw isdir on a schemed path is always False,
+    which would misroute a real local directory into the single-file
+    branch, the exact bug this probe exists to prevent). Remote URIs
+    report False, where the single-file branch's reader error still
+    names the path; a scheme-LESS path under Connect with a remote
+    server is inherently ambiguous (the default FS is the server's) —
+    best-effort local probing is the documented degrade.
     """
-    from tidb_large_table_compare_spark.functions.fsutil import classic_jvm
+    from tidb_large_table_compare_spark.functions.fsutil import (
+        classic_jvm,
+        local_path,
+    )
 
     jvm = classic_jvm(spark)
     if jvm is None:
         import os.path
 
-        return os.path.isdir(path)
+        lp = local_path(path)
+        return os.path.isdir(str(lp)) if lp is not None else False
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     try:
