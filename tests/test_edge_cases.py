@@ -189,23 +189,40 @@ def test_in_list_matches_isin_semantics(spark):
     )
     assert got == [5, 7]
 
-    # DATE ids render as literals (tz-free on both sides); DATETIMES of
-    # any kind must NOT render — collect() converts timestamps through
-    # the driver OS tz while a TIMESTAMP literal parses in the session
-    # tz, so a rendered literal silently selects wrong rows on any
-    # non-UTC host (round-9 review finding). The isin fallback applies
-    # the same OS-local conversion as collect() and stays correct.
+    # DATE ids render as literals (tz-free on both sides). DATETIMES
+    # render ONLY when the caller declares the column dtype — a zone-less
+    # TIMESTAMP literal parses in the session tz while collect() converts
+    # through the driver OS tz (round-9 review finding), so the dtype-less
+    # call must keep refusing, and the dtype-declared rendering must be
+    # tz-explicit: instants carry +00:00 (session-independent), NTZ wall
+    # clocks render verbatim as TIMESTAMP_NTZ. End-to-end membership under
+    # a non-UTC OS tz + non-UTC session tz is pinned by the subprocess
+    # test test_timestamp_inlist_membership_under_non_utc_tz.
     import datetime
+
+    from pyspark.sql import types as T
 
     from tidb_large_table_compare_spark.functions.hashing import render_sql_id
 
-    assert render_sql_id(datetime.datetime(2024, 1, 2, 3, 4, 5)) is None
+    naive = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    aware = datetime.datetime(2024, 1, 2, tzinfo=datetime.timezone.utc)
+    assert render_sql_id(naive) is None  # dtype-less: refuse, isin fallback
+    assert render_sql_id(aware) is None
+    # aware instant vs a declared TimestampType column: render through UTC
     assert (
-        render_sql_id(
-            datetime.datetime(2024, 1, 2, tzinfo=datetime.timezone.utc)
-        )
-        is None
+        render_sql_id(aware, T.TimestampType())
+        == "TIMESTAMP '2024-01-02 00:00:00.000000+00:00'"
     )
+    # NTZ wall clock renders verbatim; an aware value has no wall-clock
+    # meaning against an NTZ column and must refuse
+    assert (
+        render_sql_id(naive, T.TimestampNTZType())
+        == "TIMESTAMP_NTZ '2024-01-02 03:04:05.000000'"
+    )
+    assert render_sql_id(aware, T.TimestampNTZType()) is None
+    # dtype is consulted only for datetimes: a declared dtype must not
+    # accidentally open rendering for other fallback types
+    assert render_sql_id(object(), T.TimestampType()) is None
     tdf = df.select(
         F.expr("timestamp'2024-01-02 03:04:05.123456' + make_interval(0,0,0,0,0,0,k)").alias("t"),
         F.col("k"),
@@ -215,7 +232,36 @@ def test_in_list_matches_isin_semantics(spark):
         datetime.datetime(2024, 1, 2, 3, 4, 12, 123456),
     ]
     got = sorted(r.k for r in tdf.filter(in_list("t", want)).collect())
-    assert got == [5, 7]  # via the isin fallback
+    assert got == [5, 7]  # dtype-less: via the isin fallback
+    # dtype-declared: the rendered one-string fast path, same rows (the
+    # test session's OS tz and session tz are both UTC; the non-UTC twin
+    # is the subprocess test)
+    got = sorted(
+        r.k
+        for r in tdf.filter(
+            in_list("t", want, tdf.schema["t"].dataType)
+        ).collect()
+    )
+    assert got == [5, 7]
+    # hostile datetime subclass: rendering is pinned through a genuine
+    # datetime copy, so overrides cannot shape the literal
+    class EvilDt(datetime.datetime):
+        def __format__(self, spec):
+            return "1' OR '1'='1"
+
+        def astimezone(self, tz=None):
+            return self
+
+    evil = EvilDt(2024, 1, 2, 3, 4, 10, 123456)
+    r = render_sql_id(evil, T.TimestampType())
+    assert r is not None and "OR" not in r
+    got = sorted(
+        r.k
+        for r in tdf.filter(
+            in_list("t", [evil, want[1]], tdf.schema["t"].dataType)
+        ).collect()
+    )
+    assert got == [5, 7]
     dadf = df.select(F.expr("date_add(date'2024-01-01', cast(k as int))").alias("d"), F.col("k"))
     dwant = [datetime.date(2024, 1, 6), datetime.date(2024, 1, 8)]
     got = sorted(r.k for r in dadf.filter(in_list("d", dwant)).collect())
@@ -228,6 +274,102 @@ def test_in_list_matches_isin_semantics(spark):
     assert all(isinstance(b, (bytes, bytearray)) for b in bwant)
     got = sorted(r.k for r in bdf.filter(in_list("b", bwant)).collect())
     assert got == [5, 7]
+
+
+_TZ_MEMBERSHIP_SCRIPT = r'''
+import datetime
+import time
+
+# TZ=America/New_York must be in the environment BEFORE this process (and
+# its JVM) start — both Python's localtime and the driver JVM read it once.
+assert time.tzname[0] != "UTC", time.tzname
+
+from pyspark.sql import types as T
+
+from tidb_large_table_compare_spark.functions.hashing import in_list, render_sql_id
+from tidb_large_table_compare_spark.session import get_spark
+
+spark = get_spark("tz-membership", shuffle_partitions=4)
+# a THIRD timezone for the session, so OS tz, session tz, and UTC all
+# differ — the exact configuration where the round-9 zone-less rendering
+# selected wrong rows
+spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+
+# 30-minute grid across the 2024-11-03 US fall-back: local wall clocks
+# 00:00 EDT .. 03:30 EST; the 01:00-01:59 hour occurs TWICE (fold 0/1)
+df = spark.sql(
+    "select timestampadd(MINUTE, 30*id, timestamp'2024-11-03 04:00:00+00:00') as t,"
+    "       cast(id as int) as k from range(12)"
+)
+rows = df.collect()
+folds = {r.k: r.t.fold for r in rows}
+# collect() is fold-aware: ks 4,5 are the second (EST) pass of the
+# ambiguous hour — if this stops holding, the rendering contract changed
+assert folds[2] == 0 and folds[3] == 0 and folds[4] == 1 and folds[5] == 1, folds
+by_k = {r.k: r.t for r in rows}
+dtype = df.schema["t"].dataType
+
+# dtype-less rendering must still refuse every datetime (the r9 posture)
+assert render_sql_id(by_k[2]) is None
+
+# ids include the naive-identical ambiguous pair (k=2 is 01:00 fold 0,
+# k=4 is 01:00 fold 1) plus an unambiguous one — exact membership is the
+# ground truth; Column.isin cannot even express the pair (it drops fold)
+ids = [by_k[2], by_k[4], by_k[7]]
+assert all(render_sql_id(i, dtype) is not None for i in ids)
+got = sorted(r.k for r in df.filter(in_list("t", ids, dtype)).collect())
+assert got == [2, 4, 7], got
+
+# unambiguous ids: the rendered fast path and the isin fallback agree
+plain = [by_k[0], by_k[9]]
+fast = sorted(r.k for r in df.filter(in_list("t", plain, dtype)).collect())
+slow = sorted(r.k for r in df.filter(df.t.isin(plain)).collect())
+assert fast == slow == [0, 9], (fast, slow)
+
+# TIMESTAMP_NTZ: wall clocks, tz-free on both sides, render verbatim
+ndf = spark.sql(
+    "select timestampadd(MINUTE, 30*id, timestamp_ntz'2024-11-03 00:00:00') as n,"
+    "       cast(id as int) as k from range(12)"
+)
+nrows = ndf.collect()
+nids = [r.n for r in nrows if r.k in (1, 6)]
+ndtype = ndf.schema["n"].dataType
+assert all(
+    render_sql_id(i, ndtype).startswith("TIMESTAMP_NTZ '") for i in nids
+)
+ngot = sorted(r.k for r in ndf.filter(in_list("n", nids, ndtype)).collect())
+assert ngot == [1, 6], ngot
+
+spark.stop()
+print("TZ_MEMBERSHIP_OK")
+'''
+
+
+def test_timestamp_inlist_membership_under_non_utc_tz():
+    """The round-9 reproduction, now as the regression gate for the sound
+    rendering: OS tz America/New_York, session tz Asia/Tokyo, ids spanning
+    the DST fall-back's ambiguous hour — the dtype-declared fast path must
+    select exactly the collected instants (fold-aware), where a zone-less
+    literal silently picked session-tz rows. Subprocess because both the
+    Python localtime and the driver JVM bind TZ at process start."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(os.environ, TZ="America/New_York")
+    env.pop("SPARK_GRAFT_CPUS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _TZ_MEMBERSHIP_SCRIPT],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+        cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TZ_MEMBERSHIP_OK" in proc.stdout
 
 
 def test_bucket_id_widens_all_integral_pk_widths(spark):

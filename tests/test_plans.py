@@ -260,6 +260,53 @@ def test_in_list_pushdown_for_decimal_and_string_pks(spark, tmp_path):
     )
     assert "In(pk, [k-5,k-7" in plan2.split("PushedFilters")[1][:80], plan2
 
+    # timestamp pks (both flavors) joined the domain in round 10: the
+    # dtype-declared rendering must reach PushedFilters as In — these are
+    # the event-time keys of CDC feeds, where the isin fallback's driver
+    # cost was the standing 22-30 s penalty
+    import datetime
+
+    p3 = str(tmp_path / "ts")
+    spark.range(1000).selectExpr(
+        "timestampadd(SECOND, cast(id as int), timestamp'2024-01-01 00:00:00+00:00') pk",
+        "id v",
+    ).write.parquet(p3)
+    df3 = spark.read.parquet(p3)
+    tids = [r.pk for r in df3.filter("v in (5, 7)").select("pk").collect()]
+    assert all(isinstance(t, datetime.datetime) for t in tids)
+    plan3 = (
+        df3.filter(in_list("pk", tids, df3.schema["pk"].dataType))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(pk, [2024-01-01" in plan3.split("PushedFilters")[1][:120], plan3
+    got3 = sorted(
+        r.v
+        for r in df3.filter(
+            in_list("pk", tids, df3.schema["pk"].dataType)
+        ).collect()
+    )
+    assert got3 == [5, 7]
+
+    p4 = str(tmp_path / "ntz")
+    spark.range(1000).selectExpr(
+        "timestampadd(SECOND, cast(id as int), timestamp_ntz'2024-01-01 00:00:00') pk",
+        "id v",
+    ).write.parquet(p4)
+    df4 = spark.read.parquet(p4)
+    nids = [r.pk for r in df4.filter("v in (5, 7)").select("pk").collect()]
+    plan4 = (
+        df4.filter(in_list("pk", nids, df4.schema["pk"].dataType))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(pk, [2024-01-01" in plan4.split("PushedFilters")[1][:120], plan4
+    got4 = sorted(
+        r.v
+        for r in df4.filter(
+            in_list("pk", nids, df4.schema["pk"].dataType)
+        ).collect()
+    )
+    assert got4 == [5, 7]
+
 
 def test_compare_drilldown_shuffle_bounded_under_hot_bucket(spark):
     """Inject a hot bucket at sf0.1: every row of ONE of 10 buckets differs

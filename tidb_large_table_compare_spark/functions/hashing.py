@@ -44,12 +44,13 @@ __all__ = [
 
 
 _SAFE_DT_CHARS = frozenset("0123456789-:. ")
+_SAFE_TS_CHARS = frozenset("0123456789-:. +")
 _SAFE_STR_ID_CHARS = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-_.:/@"
 )
 
 
-def in_list(col_name: str, ids: list) -> Column:
+def in_list(col_name: str, ids: list, dtype: T.DataType | None = None) -> Column:
     """Membership predicate for a possibly-huge id list.
 
     ``Column.isin`` converts every element to a literal through its own
@@ -67,27 +68,40 @@ def in_list(col_name: str, ids: list) -> Column:
     qualify — dates as ``DATE ''`` literals (tz-free on both sides) and
     binary as ``X''`` hex. Anything that could interact with SQL quoting
     (quotes, backslashes, control chars, hostile subclass renderings)
-    falls back to ``isin`` unchanged, as do other id types and ALL
-    datetimes — a timestamp literal parses in the session tz while
-    collect() converts through the driver OS's tz, and this function
-    cannot reconcile the two (see render_sql_id).
+    falls back to ``isin`` unchanged, as do other id types.
+
+    Datetimes render ONLY when the caller declares the filtered column's
+    ``dtype`` (a naive Python datetime alone cannot say whether it came
+    from a TimestampType collect() — an OS-local instant — or a
+    TIMESTAMP_NTZ wall clock, and the two render differently; see
+    render_sql_id). Without ``dtype`` they fall back to ``isin``
+    unchanged, which is always membership-correct, just driver-slow.
     """
     ids = list(ids)
     if not ids:
         return F.lit(False)
-    rendered = [render_sql_id(i) for i in ids]
+    rendered = [render_sql_id(i, dtype) for i in ids]
     if all(r is not None for r in rendered):
         quoted = col_name.replace("`", "``")  # user PK names may need quoting
         return F.expr(f"`{quoted}` IN ({','.join(rendered)})")
     return F.col(col_name).isin(ids)
 
 
-def render_sql_id(i) -> str | None:
+def render_sql_id(i, dtype: T.DataType | None = None) -> str | None:
     """Pinned, charset-gated SQL-literal rendering of one id — or ``None``
     if the value cannot be rendered safely. This single predicate defines
     the domain of BOTH :func:`in_list`'s one-string fast path and the
     compare family's pk-IN scan pushdown (``_bounded_pushdown_keys``), so
-    the two gates cannot drift apart."""
+    the two gates cannot drift apart.
+
+    ``dtype`` is the filtered COLUMN's Spark type; it is consulted only
+    for datetimes, which are otherwise unrenderable (the round-9 tz
+    finding): the Python value alone cannot distinguish a TimestampType
+    id (collect() yields the instant as a fold-aware naive datetime in
+    the driver OS tz) from a TIMESTAMP_NTZ wall clock, and a zone-less
+    ``TIMESTAMP '...'`` literal would additionally parse in the SESSION
+    tz rather than the OS tz. With the dtype declared, both render
+    soundly and tz-independently — see the datetime branch."""
     from decimal import Decimal
 
     if isinstance(i, bool):
@@ -113,17 +127,47 @@ def render_sql_id(i) -> str | None:
         s = str.__str__(i)
         return f"'{s}'" if s and set(s) <= _SAFE_STR_ID_CHARS else None
     if isinstance(i, datetime.datetime):
-        # NO fast path for timestamps (datetime.datetime is checked
-        # before its date base class so it can't leak into the DATE
-        # branch): collect() converts TimestampType through the DRIVER
-        # OS's local timezone while a TIMESTAMP '...' literal parses in
-        # the SESSION timezone, and this function has no session handle
-        # to reconcile the two — on any host whose OS tz differs from
-        # spark.sql.session.timeZone a rendered literal silently selects
-        # the wrong rows, where isin (which applies the same OS-local
-        # conversion as collect()) stays correct. Found in the round-9
-        # review by reproducing under TZ=America/New_York.
-        return None
+        # datetime.datetime is checked before its date base class so it
+        # can't leak into the DATE branch. Rendering requires the
+        # DECLARED column dtype: a zone-less TIMESTAMP '...' literal
+        # parses in the SESSION tz while collect() converts TimestampType
+        # through the driver OS's tz (the round-9 finding, reproduced
+        # under TZ=America/New_York), so the sound rendering never emits
+        # a zone-less instant literal. Instead:
+        #
+        # - TimestampType: the id is an instant; a naive value is
+        #   OS-local BY COLLECT()'S CONTRACT (fromtimestamp, fold-aware —
+        #   the DST fall-back hour yields fold=0/1 for the two instants,
+        #   and astimezone() inverts it exactly; probed on Spark 4 under
+        #   TZ=America/New_York, tests/test_edge_cases.py). Convert to
+        #   UTC and render with an EXPLICIT offset —
+        #   ``TIMESTAMP '... +00:00'`` — which Spark parses
+        #   independently of spark.sql.session.timeZone, so no session
+        #   handle is needed and no session-tz DST ambiguity exists.
+        # - TimestampNTZType: the id is a wall clock; render the naive
+        #   value verbatim as ``TIMESTAMP_NTZ '...'`` (tz-free on both
+        #   sides, like DATE). Aware values don't pair with a wall-clock
+        #   column — fall back.
+        #
+        # The value is first copied into a GENUINE datetime (preserving
+        # fold) so no subclass override of astimezone/__format__ can
+        # shape the rendering; the charset gate stays as belt-and-braces.
+        if not isinstance(
+            dtype, (T.TimestampType, T.TimestampNTZType)
+        ):
+            return None
+        pinned = datetime.datetime(
+            i.year, i.month, i.day, i.hour, i.minute, i.second,
+            i.microsecond, i.tzinfo, fold=i.fold,
+        )
+        if isinstance(dtype, T.TimestampNTZType):
+            if pinned.tzinfo is not None:
+                return None
+            s = _ts_body(pinned)
+            return f"TIMESTAMP_NTZ '{s}'" if set(s) <= _SAFE_TS_CHARS else None
+        utc = pinned.astimezone(datetime.timezone.utc)
+        s = _ts_body(utc) + "+00:00"
+        return f"TIMESTAMP '{s}'" if set(s) <= _SAFE_TS_CHARS else None
     if isinstance(i, datetime.date):
         # DateType is timezone-free on both sides (collect() yields a
         # plain date; DATE '...' parses without tz), so dates keep the
@@ -138,6 +182,17 @@ def render_sql_id(i) -> str | None:
         s = bytes(i).hex()
         return f"X'{s}'" if set(s) <= set("0123456789abcdef") else None
     return None
+
+
+def _ts_body(dt: datetime.datetime) -> str:
+    """``yyyy-MM-dd HH:mm:ss.SSSSSS`` from components — strftime's %Y
+    does not zero-pad pre-1000 years on every platform, and Spark's
+    literal parser wants the 4-digit form."""
+    return (
+        f"{dt.year:04d}-{dt.month:02d}-{dt.day:02d} "
+        f"{dt.hour:02d}:{dt.minute:02d}:{dt.second:02d}."
+        f"{dt.microsecond:06d}"
+    )
 
 
 def _canonical(col: Column, dtype: T.DataType, float_round: int | None) -> Column:

@@ -270,22 +270,25 @@ class TableCompare:
         """``col``'s values from ``frame`` when they qualify for the pk-IN
         scan pushdown: at most ``_MAX_INLIST`` of them and every one in
         ``hashing.render_sql_id``'s safe-rendering domain (ints, Decimals
-        — the TiDB unsigned-BIGINT mapping — and identifier-charset
-        strings like UUID keys). Returns None when oversized or
-        unrenderable — the one eligibility rule shared by fix_sql's
-        master retrieval and column_drift's pair retrieval, defined by
-        the same predicate as in_list's fast path, so the cap and the
-        type gate cannot drift apart."""
+        — the TiDB unsigned-BIGINT mapping — identifier-charset strings
+        like UUID keys, dates, binary, and — dtype-declared — both
+        timestamp flavors). Returns None when oversized or unrenderable —
+        the one eligibility rule shared by fix_sql's master retrieval and
+        column_drift's pair retrieval, defined by the same predicate as
+        in_list's fast path, so the cap and the type gate cannot drift
+        apart. Callers must pass ``frame``'s own dtype for ``col`` into
+        the ``in_list`` that consumes the returned ids."""
         from tidb_large_table_compare_spark.functions.hashing import (
             render_sql_id,
         )
 
+        dtype = frame.schema[col].dataType
         ids = [
             r[0]
             for r in frame.select(col).limit(self._MAX_INLIST + 1).collect()
         ]
         if len(ids) <= self._MAX_INLIST and all(
-            render_sql_id(i) is not None for i in ids
+            render_sql_id(i, dtype) is not None for i in ids
         ):
             return ids
         return None
@@ -446,7 +449,9 @@ class TableCompare:
             mod = self.diff_rows().filter(F.col("diff_type") == "modified")
             ids = self._bounded_pushdown_keys(mod, self.pk[0])
             if ids is not None:
-                pred = in_list(self.pk[0], ids)
+                pred = in_list(
+                    self.pk[0], ids, mod.schema[self.pk[0]].dataType
+                )
                 lsrc, rsrc = self.left.filter(pred), self.right.filter(pred)
         if lsrc is None:
             lsrc = self._restrict_to_bad_buckets(self.left)

@@ -255,7 +255,9 @@ def query_neardup_index(
         if len(corpus_ids) <= verify_pushdown_max_ids:
             # in_list, not Column.isin — per-element py4j literal cost (see
             # hashing.in_list); integer doc ids render as one SQL IN string
-            idx_docs = idx_docs.filter(in_list(id_col, corpus_ids))
+            idx_docs = idx_docs.filter(
+                in_list(id_col, corpus_ids, cands.schema["id_a"].dataType)
+            )
     verify_sets = idx_docs.unionByName(new_shingles)
     return jaccard_verified_pairs(cands, verify_sets, id_col, threshold)
 

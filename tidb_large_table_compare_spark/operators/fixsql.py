@@ -81,7 +81,9 @@ def fix_sql(cmp) -> DataFrame:
     if len(pk) == 1 and bad_ids:
         ids = cmp._bounded_pushdown_keys(to_replace, pk[0])
         if ids is not None:
-            master_rows = left.filter(in_list(pk[0], ids))
+            master_rows = left.filter(
+                in_list(pk[0], ids, to_replace.schema[pk[0]].dataType)
+            )
     if master_rows is None:
         master_rows = left.join(to_replace, pk, "left_semi")
     values = F.concat_ws(", ", *[sql_literal(F.col(c), fields[c]) for c in cols])

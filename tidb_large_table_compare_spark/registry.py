@@ -316,6 +316,64 @@ SELECT 'o_totalprice',
 _register("cmp_column_drift_orders", _cmp_column_drift, _CMP_COLUMN_DRIFT_SQL)
 
 
+def _cmp_column_drift_ts_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 change canary: drill-down over a TIMESTAMP primary key.
+
+    Round 9 excluded datetimes from the rendered-IN fast path (a zone-less
+    TIMESTAMP literal parses in the session tz while collect() converts
+    through the OS tz); round 10 restored them soundly — ids render
+    through UTC with an explicit ``+00:00`` offset when the caller
+    declares the column dtype (functions/hashing.py render_sql_id). This
+    entry drives that path end-to-end: a unique event-time pk synthesized
+    from o_orderkey, bounded value drift, and a column_drift whose pk-IN
+    retrieval renders ~1/97 of the pks as TIMESTAMP literals — a wrong
+    instant selection drops modified pairs and fails the oracle hash.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.expr(
+            "timestampadd(SECOND, cast(o_orderkey as int), "
+            "timestamp'2020-01-01 00:00:00+00:00')"
+        ).alias("ts_pk"),
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    left = base.drop("o_orderkey")
+    right = base.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    ).drop("o_orderkey")
+    # n_buckets pinned HIGH relative to the ~1/97 drift so the bad-bucket
+    # state stays in its bounded IN-list form at every sf — that is the
+    # gate the pk-IN retrieval sits behind (with the default coarse
+    # sizing the drift covers most buckets, restriction is skipped, and
+    # this canary would silently stop exercising the rendered literals)
+    cmp = compare_tables(
+        spark, left, right, pk=["ts_pk"],
+        options=CompareOptions(n_buckets=512), table_name="main.ts_orders",
+    )
+    cmp.diff_rows()  # computed diff → column_drift takes the pk-IN retrieval
+    return cmp.column_drift()
+
+
+_register(
+    "cmp_column_drift_timestamp_pk",
+    _cmp_column_drift_ts_pk,
+    """
+SELECT 'o_custkey' AS column_name, CAST(0 AS BIGINT) AS mismatch_rows
+UNION ALL
+SELECT 'o_orderstatus', CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'o_totalprice',
+       CAST(COUNT(*) AS BIGINT) FROM orders WHERE (o_orderkey % 97) = 0
+""",
+)
+
+
 def _fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-schema referential-integrity audit, with the orders replica
     drifted: the rows the replica DELETEd (perturb.py) orphan their
@@ -4405,75 +4463,75 @@ FROM w GROUP BY window_start
 # oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) the full round-6 cohort (ledger-derived: 38 entries whose latest
-    # green signal is r6) — at 129 entries the cadence bound is
-    # ⌈129/50⌉−1 = 2 rounds, so every one of these MUST re-verify this
-    # round; the phase-aware test_registry_order.py rotation test enforces
-    # the bound
-    "approx_price_quantiles",
-    "asof_purchase_last_signup",
-    "cms_heavy_hitters",
-    "dedup_cluster_assignments",
-    "dedup_final_corpus_stats",
-    "dup_span_docs",
-    "embedding_dedup_clusters",
-    "extract_table_from_sql",
-    "fk_orphan_audit",
-    "json_props_by_type",
-    "lateral_top2_orders_per_customer",
-    "multimodal_binary_meta",
-    "multimodal_decode_stats",
-    "neardup_minhash_lsh",
-    "neardup_ngram_jaccard",
-    "order_priority_counts",
-    "price_quantiles_by_status",
-    "q11_important_part_stock",
-    "q12_priority_line_counts",
-    "q15_top_supplier_by_revenue",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_revenue",
-    "q20_suppliers_of_heavy_parts",
-    "q21_suppliers_with_problem_orders",
-    "q22_idle_rich_customers",
-    "rag_chunk_docs",
-    "range_join_errors_busy_hours",
-    "redact_pii_documents",
-    "repeat_purchase_custkeys",
-    "seeded_shuffle_sample",
-    "sketch_daily_users_merged",
-    "stable_sequential_ids",
-    "streaming_hourly_counts",
-    "string_ops_documents",
-    "yearly_volume_by_nation",
-    "zorder_lineitem_extents",
-    # (b) regression canaries for round-9 changes: the digest bucketing-
-    # version stamp + Connect-degradable pin sidecar (incremental.py),
-    # the compaction inventory prefix validation + classic-session gates
-    # (compaction.py), and the near-dup index maintenance seam
-    # (dedup_index.py). cms_heavy_hitters (the CMS decode seam) is already
-    # carried by cohort (a); the runlock steal fix has no dataflow to
-    # oracle-check (pytest-pinned, test_config_cli.py).
+    # (a) the full round-7 cohort (ledger-derived: 35 entries whose latest
+    # green signal is r7, exactly `python -m ...ledger --suggest`'s
+    # mandatory set) — at 130 entries the cadence bound is ⌈130/50⌉−1 = 2
+    # rounds, so every one of these MUST re-verify this round; the
+    # phase-aware test_registry_order.py rotation test enforces the bound
+    "ann_ivf_trained_topk",
+    "base64_roundtrip_docs",
+    "contamination_check",
+    "cube_order_price_stats",
+    "customers_never_finished",
+    "customers_with_both_statuses",
+    "dedup_corpus_stats",
+    "dedup_exact_docs",
+    "doc_fingerprints",
+    "doc_lang_guess",
+    "doc_quality_scores",
+    "doc_token_counts",
+    "embedding_array_stats",
+    "embedding_neardup_pairs",
+    "event_prop_keys",
+    "event_ts_labels",
+    "grouping_sets_order_counts",
+    "knn_label_classify_ivf",
+    "latest_event_per_user",
+    "multimodal_frame_samples",
+    "neardup_minhash_lsh_capped",
+    "neardup_simhash_pairs",
+    "pack_training_chunks_sharded",
+    "profile_orders_approx_bounds",
+    "profile_orders_columns",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "rollup_quantity_by_flag_status",
+    "running_revenue_per_customer",
+    "salted_lineitem_counts",
+    "sessionize_events",
+    "simhash_docs",
+    "stale_worklist",
+    "tfidf_top_terms",
+    "unigram_familiarity_scores",
+    # (b) regression canaries for round-10 changes: the timestamp-pk
+    # rendered-IN fast path (functions/hashing.py render_sql_id +
+    # in_list(dtype), its new oracle-backed entry plus every
+    # _bounded_pushdown_keys consumer), the incremental pin sidecar's
+    # Connect refusal message (incremental.py), the dedup_index in_list
+    # dtype threading, and the bench-adjudicated multimodal entry. The
+    # fsutil authority-form and runlock stale-evidence fixes have no
+    # dataflow to oracle-check (pytest-pinned: test_connect_seams.py,
+    # test_config_cli.py).
+    "cmp_column_drift_timestamp_pk",
+    "cmp_diff_rows_orders",
+    "cmp_fix_sql_orders",
+    "cmp_column_drift_orders",
     "cmp_summary_incremental",
-    "compaction_plan_bins",
-    "compaction_replan_converges",
     "neardup_index_admission",
-    "neardup_index_lifecycle",
-    # (c) ann_ivf_topk re-verifies alongside this round's in-session bench
-    # adjudication of its r8 uptick (PERFORMANCE.md round-9)
-    "ann_ivf_topk",
-    # (d) early rotation of round-7 signals adjacent to this round's
-    # touched code (the compare family shares bucket_id / digest state
-    # with the version stamp; ann_cosine/hourly sit next to the two
-    # bench-adjudicated entries) — shrinks the 41-entry r7 cohort
-    # round 10 must otherwise carry whole
-    "cmp_summary_orders",
-    "cmp_diff_rows_composite_pk",
-    "cmp_float_tolerance",
-    "cmp_summary_self",
-    "ann_cosine_topk",
-    "hourly_event_counts",
+    "multimodal_decode_stats",
+    # (c) early rotation of round-8 signals: the rest of the compare
+    # family (shares the in_list/bucket machinery this round touched —
+    # canary double duty) plus the two oldest source-side entries —
+    # shrinks the 44-entry r8 cohort r11 must otherwise carry whole
+    # (44 − 11 re-verified here = 33 mandatory next round)
+    "cmp_reconcile_orders",
+    "cmp_summary_orders_multiset",
+    "cmp_summary_orders_ranged",
+    "cmp_summary_composite_pk",
+    "cmp_schema_diff_drift",
+    "cmp_struct_only_drift",
+    "catalog_discovery",
+    "parsed_report_roundtrip",
 ]
 
 
