@@ -334,6 +334,58 @@ def test_runlock_steal_restores_displaced_live_lock(tmp_path, monkeypatch):
     assert not list(tmp_path.glob("*.stale.*"))  # no debris
 
 
+def test_runlock_steal_preserves_displaced_lock_when_restore_races(
+    tmp_path, monkeypatch
+):
+    """The restore's worst corner (round-10 ADVICE): after B renames a
+    guard-less participant's LIVE lock aside, a racer re-creates the
+    lock path before B's restoring link — FileExistsError. Unlinking the
+    .stale file there would destroy the displaced live holder's only
+    claim while the racer also holds one (two effective holders, proof
+    gone). B must LEAVE the .stale file on disk as recoverable evidence
+    and still raise LockHeld naming the live holder."""
+    import os
+
+    from tidb_large_table_compare_spark.runlock import LockHeld, RunLock
+
+    path = tmp_path / "run.lock"
+    dead = _dead_pid()
+    path.write_text(str(dead))
+
+    real_rename = os.rename
+    real_link = os.link
+    fired = []
+
+    def interleaved_rename(src, dst):
+        if str(src) == str(path) and not fired:
+            fired.append("rename")
+            live = tmp_path / "live.publish"
+            live.write_text(str(os.getpid()))  # guard-less steal + publish
+            real_rename(str(live), str(path))
+        real_rename(src, dst)
+
+    def racing_link(src, dst):
+        if str(dst) == str(path) and "link" not in fired:
+            fired.append("link")
+            # a racer re-creates the lock path just before the restore
+            (tmp_path / "racer.publish").write_text("424242")
+            real_rename(str(tmp_path / "racer.publish"), str(path))
+        real_link(src, dst)
+
+    monkeypatch.setattr(os, "rename", interleaved_rename)
+    monkeypatch.setattr(os, "link", racing_link)
+    b = RunLock(path)
+    with pytest.raises(LockHeld) as ei:
+        b._steal()
+    monkeypatch.undo()
+    assert fired == ["rename", "link"]
+    assert ei.value.pid == os.getpid()  # still names the LIVE holder
+    stale = list(tmp_path.glob("*.stale.*"))
+    assert len(stale) == 1  # evidence preserved, NOT unlinked
+    assert stale[0].read_text() == str(os.getpid())  # the displaced claim
+    assert path.read_text() == "424242"  # the racer's lock left untouched
+
+
 def test_cli_refuses_concurrent_invocation(spark, tmp_path, capsys):
     """Second invocation against the same comparison exits 1 while the lock
     is held (reference: '程序已在运行中' refusal)."""

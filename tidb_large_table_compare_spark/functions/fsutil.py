@@ -18,8 +18,13 @@ Two postures, chosen per call site to match round-8's stats-probe guards:
 - **degrade** (:func:`classic_jvm` returning ``None`` + a driver-local
   fallback): read-side conveniences (snapshot-version listing, the
   digest-artifact ``_n_buckets`` sidecar) fall back to ``pathlib`` when
-  the path is driver-local, and to their pre-sidecar behavior otherwise —
-  the degrade-don't-crash posture ``functions/partitioning.py`` set.
+  the path is provably this client's disk, and to their pre-sidecar
+  behavior otherwise — the degrade-don't-crash posture
+  ``functions/partitioning.py`` set. "Provably" means an explicit
+  ``file:`` scheme AND the ``spark.graft.connect.colocatedFs=true``
+  opt-in (:func:`colocated_fs_opt_in`): under REMOTE Connect a ``file:``
+  path resolves on the SERVER, so a client-side fallback without
+  evidence of co-location would act on the wrong machine.
 """
 
 from __future__ import annotations
@@ -31,6 +36,7 @@ from pyspark.sql import SparkSession
 __all__ = [
     "ClassicSessionRequired",
     "classic_jvm",
+    "colocated_fs_opt_in",
     "explicit_local_path",
     "hadoop_fs",
     "local_path",
@@ -85,9 +91,20 @@ def local_path(path: str) -> Path | None:
 
     Handles both slash forms of the local scheme: ``file:///x`` (URI) and
     ``file:/x`` (how Hadoop's ``Path.toString`` renders qualified local
-    paths)."""
+    paths). The AUTHORITY form ``file://host/path`` is local only for an
+    empty or ``localhost`` authority — naively stripping ``file://``
+    would leave ``host/path``, a RELATIVE path the driver-local
+    fallbacks could then probe or write cwd-relative (round-9 ADVICE);
+    any other authority is some other machine's disk and returns
+    ``None`` like a remote scheme."""
     if path.startswith("file://"):
-        return Path(path[len("file://"):] or "/")
+        rest = path[len("file://"):]
+        if rest.startswith("/"):
+            return Path(rest)  # empty authority: file:///x
+        authority, _, tail = rest.partition("/")
+        if authority == "" or authority.lower() == "localhost":
+            return Path("/" + tail)
+        return None  # file://othernode/x is NOT this machine's disk
     if path.startswith("file:"):
         return Path(path[len("file:"):])
     if "://" in path:
@@ -95,14 +112,41 @@ def local_path(path: str) -> Path | None:
     return Path(path)
 
 
-def explicit_local_path(path: str) -> Path | None:
+def colocated_fs_opt_in(spark: SparkSession) -> bool:
+    """True when the user has asserted that this (Connect) client shares
+    a filesystem with the Spark server — the one condition under which a
+    client-side pathlib fallback for a ``file:``-schemed path acts on
+    the machine the server wrote to. Read from the session conf so it
+    travels with the connection, not the codebase; any failure to read
+    counts as not-asserted."""
+    try:
+        v = spark.conf.get("spark.graft.connect.colocatedFs", "false")
+    except Exception:
+        return False
+    return str(v).lower() == "true"
+
+
+def explicit_local_path(
+    path: str, spark: SparkSession | None = None
+) -> Path | None:
     """:func:`local_path`, but ONLY for explicitly ``file:``-schemed
-    paths. Under Spark Connect a scheme-LESS path resolves against the
+    paths — and, when ``spark`` (the Connect session the caller already
+    probed with :func:`classic_jvm`) is supplied, ONLY with co-location
+    asserted via :func:`colocated_fs_opt_in`.
+
+    Under Spark Connect a scheme-LESS path resolves against the
     SERVER's default filesystem — the client machine may not even have
     the directory — so a driver-local fallback for it would crash after
     the Spark-side write succeeded, or silently act on the wrong
-    machine (round-9 review finding). A ``file:`` scheme is the caller
-    saying "this really is the driver's disk"."""
-    if path.startswith("file:"):
-        return local_path(path)
-    return None
+    machine (round-9 review finding). And a ``file:`` scheme under
+    REMOTE Connect names the SERVER's disk too: without evidence of
+    co-location the client-side fallback would probe the wrong machine
+    — e.g. listing [] snapshot versions for an existing server-side
+    base and resurrecting the recompute-version-1 bug — so it now
+    requires the explicit ``spark.graft.connect.colocatedFs=true``
+    opt-in (round-10 ADVICE)."""
+    if not path.startswith("file:"):
+        return None
+    if spark is not None and not colocated_fs_opt_in(spark):
+        return None
+    return local_path(path)

@@ -108,13 +108,16 @@ def _write_pin(spark: SparkSession, path: str, n_buckets: int) -> None:
     payload = _pin_payload(n_buckets)
     jvm = classic_jvm(spark)
     if jvm is None:
-        # Under Connect only an EXPLICIT file: scheme proves the path is
-        # the driver's disk (a scheme-less path resolves against the
-        # SERVER's default FS — writing it locally would land the
-        # sidecar on the wrong machine, or crash after the parquet
-        # write already succeeded). Anything else: documented skip —
-        # the in-data pin covers every non-empty artifact.
-        lp = explicit_local_path(path)
+        # Under Connect only an EXPLICIT file: scheme PLUS the
+        # colocatedFs opt-in proves the path is a disk this client
+        # shares with the server (a scheme-less path resolves against
+        # the SERVER's default FS, and even file: names the server's
+        # disk when client and server aren't co-located — writing it
+        # locally would land the sidecar on the wrong machine, or
+        # crash after the parquet write already succeeded). Anything
+        # else: documented skip — the in-data pin covers every
+        # non-empty artifact.
+        lp = explicit_local_path(path, spark)
         if lp is None:
             return
         try:
@@ -141,7 +144,8 @@ def _read_pin(spark: SparkSession, path: str) -> tuple[int | None, int | None]:
 
     jvm = classic_jvm(spark)
     if jvm is None:
-        lp = explicit_local_path(path)  # same scheme rule as _write_pin
+        # same scheme + co-location rule as _write_pin
+        lp = explicit_local_path(path, spark)
         if lp is None or not (lp / _PIN_SIDECAR).exists():
             return None, None
         try:
@@ -406,8 +410,32 @@ def apply_changes_to_digests(
     while every verdict stays plausible. Read paths tolerate unknown
     (slow-but-sound); the one permanently destructive consumer does not.
     """
+    from tidb_large_table_compare_spark.functions.fsutil import (
+        ClassicSessionRequired,
+        classic_jvm,
+        explicit_local_path,
+    )
     from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
 
+    if classic_jvm(spark) is None and explicit_local_path(
+        digests_path, spark
+    ) is None:
+        # Under Connect with a client-unreadable digests path the pin
+        # sidecar is UNKNOWABLE from here, not absent — a correctly
+        # stamped artifact reads (None, None) exactly like a legacy one,
+        # so falling through would hit the legacy-artifact refusal below
+        # and wrongly advise a destructive re-snapshot (round-10
+        # ADVICE). Name the seam up front, before any read: the fix is
+        # running the fold classically (or the colocatedFs opt-in for a
+        # genuinely shared file: path).
+        raise ClassicSessionRequired(
+            f"the CDC digest fold's bucketing-version check on "
+            f"{digests_path!r} (the sidecar is unreadable from this "
+            f"client, so the artifact may be perfectly valid — do "
+            f"NOT re-snapshot; for a co-located file: path, "
+            f"spark.graft.connect.colocatedFs=true re-enables the "
+            f"client-side read)"
+        )
     stored, n_buckets, pin_version = _read_digests_versioned(spark, digests_path)
     if pin_version is None:
         raise ValueError(

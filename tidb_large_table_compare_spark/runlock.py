@@ -140,8 +140,16 @@ class RunLock:
                 try:
                     os.link(stale, self.path)
                 except FileExistsError:
-                    pass
-                os.unlink(stale)
+                    # a racer re-created the path between our rename and
+                    # this link: the displaced LIVE holder's claim now
+                    # exists ONLY in the .stale file — leave it on disk
+                    # as recoverable evidence (unlinking it would leave
+                    # that holder running with no lock anywhere while
+                    # the racer also holds one: two effective holders
+                    # with the proof destroyed). Reachable only with a
+                    # guard-less participant in the mix.
+                    raise LockHeld(self.path, stolen)
+                os.unlink(stale)  # restored: stale is now a duplicate link
                 raise LockHeld(self.path, stolen)
             os.unlink(stale)
         finally:

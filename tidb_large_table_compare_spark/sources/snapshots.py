@@ -64,12 +64,14 @@ def snapshot_versions(base: str, spark: SparkSession | None = None) -> list[int]
                 if m:
                     out.append(int(m.group(1)))
             return sorted(out)
-        lp = explicit_local_path(base)
+        lp = explicit_local_path(base, spark)
         if lp is None:
             raise ClassicSessionRequired(
                 f"snapshot version listing on base {base!r} under Spark "
-                f"Connect (only an explicit file: scheme proves the base "
-                f"is the driver's disk; use file:///... for a local base)"
+                f"Connect (a client-side listing is sound only for an "
+                f"explicit file: scheme AND an asserted shared "
+                f"filesystem — set spark.graft.connect.colocatedFs=true "
+                f"when this client really shares the server's disk)"
             )
         base = str(lp)  # strips the file: scheme pathlib can't walk
     p = Path(base)
