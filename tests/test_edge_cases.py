@@ -276,6 +276,62 @@ def test_in_list_matches_isin_semantics(spark):
     assert got == [5, 7]
 
 
+def test_fix_sql_timestamp_pk_and_values(spark):
+    """REPLACE/DELETE export over a TIMESTAMP pk + timestamp value column:
+    the master retrieval renders the pk keys as TIMESTAMP literals (the
+    r10 fast path) and sql_literal renders timestamp VALUES zone-less in
+    the session tz with a 6-digit fraction — the conventional fix.sql
+    contract (the target applies them under its own matching tz; this
+    session pins UTC, so the strings equal the +00:00 instants)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tidb_large_table_compare_spark.operators.compare import (
+        CompareOptions,
+        compare_tables,
+    )
+
+    base = spark.sql(
+        "select timestampadd(SECOND, cast(id as int),"
+        "       timestamp'2024-01-01 00:00:00.123456+00:00') as pk,"
+        "       timestampadd(HOUR, cast(id as int),"
+        "       timestamp'2024-06-01 00:00:00+00:00') as v,"
+        "       id from range(100)"
+    )
+    left = base.drop("id")
+    right = (
+        base.withColumn(
+            "v",
+            F.when(
+                F.col("id").isin(5, 7),
+                F.expr("timestampadd(MINUTE, 1, v)"),
+            ).otherwise(F.col("v")),
+        )
+        .filter("id <> 9")
+        .drop("id")
+    )
+    cmp = compare_tables(
+        spark, left, right, pk=["pk"],
+        options=CompareOptions(n_buckets=64), table_name="t",
+    )
+    stmts = sorted(r["fix_sql"] for r in fix_sql(cmp).collect())
+    assert len(stmts) == 3 and all(s.startswith("REPLACE INTO t") for s in stmts)
+    # the k=5 row: pk instant 00:00:05.123456Z renders as the session-tz
+    # (UTC) wall clock; the modified v renders with its 6-digit fraction
+    k5 = [s for s in stmts if "2024-01-01 00:00:05.123456" in s]
+    assert len(k5) == 1, stmts
+    assert "'2024-06-01 05:00:00.000000'" in k5[0], k5[0]
+    # the missing k=9 row re-inserts from the master
+    assert any("2024-01-01 00:00:09.123456" in s for s in stmts)
+    # and the retrieval really used the rendered-IN fast path: the keys
+    # qualify under the declared TimestampType dtype
+    mod = cmp.diff_rows().select("pk")
+    ids = cmp._bounded_pushdown_keys(mod, "pk")
+    assert ids is not None and len(ids) == 3
+    assert all(isinstance(i, datetime.datetime) for i in ids)
+
+
 _TZ_MEMBERSHIP_SCRIPT = r'''
 import datetime
 import time
