@@ -331,10 +331,14 @@ def _cmp_column_drift_ts_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
-        F.expr(
-            "timestampadd(SECOND, cast(o_orderkey as int), "
-            "timestamp'2020-01-01 00:00:00+00:00')"
-        ).alias("ts_pk"),
+        # timestamp_seconds(bigint), NOT timestampadd(..., cast(k as int), ...):
+        # replicated scale factors offset keys by 1e9 per replica
+        # (tools/replicate_sf.py), which overflows the INT cast under
+        # ANSI at sf1 — caught by the round-10 sf1 spot check.
+        # 1577836800 = 2020-01-01T00:00:00Z.
+        F.timestamp_seconds(F.lit(1577836800) + F.col("o_orderkey")).alias(
+            "ts_pk"
+        ),
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
