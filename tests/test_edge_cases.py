@@ -401,6 +401,71 @@ print("TZ_MEMBERSHIP_OK")
 '''
 
 
+_TZ_GENERIC_SCRIPT = r'''
+import datetime
+import os
+import time
+
+assert time.tzname[0] != "UTC", time.tzname
+
+from tidb_large_table_compare_spark.functions.hashing import in_list, render_sql_id
+from tidb_large_table_compare_spark.session import get_spark
+
+spark = get_spark("tz-generic", shuffle_partitions=4)
+spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+
+# a 15-minute grid across the zone's DST fall-back window (start passed
+# in UTC via env, zone-agnostic): ambiguous-hour twins sit 2 grid steps
+# apart, and the k % 3 == 0 selection never picks both twins — so a
+# rendering that loses fold matches the TWIN's row instead and the key
+# set comes back wrong
+start = os.environ["TZ_GRID_START_UTC"]
+df = spark.sql(
+    f"select timestampadd(MINUTE, 15*id, timestamp'{start}+00:00') as t,"
+    f"       cast(id as int) as k from range(16)"
+)
+rows = df.collect()
+assert any(r.t.fold == 1 for r in rows), rows  # the window IS ambiguous
+dtype = df.schema["t"].dataType
+ids = [r.t for r in rows if r.k % 3 == 0]
+assert all(render_sql_id(i, dtype) is not None for i in ids)
+got = sorted(r.k for r in df.filter(in_list("t", ids, dtype)).collect())
+assert got == [k for k in range(16) if k % 3 == 0], got
+spark.stop()
+print("TZ_GENERIC_OK")
+'''
+
+
+def test_timestamp_inlist_membership_under_half_hour_dst_zone():
+    """Zone-generic twin of the NY reproduction under a HALF-HOUR DST
+    zone (Australia/Lord_Howe shifts 30 minutes): the rendering's
+    OS-local→UTC inversion must hold for non-whole-hour offsets and
+    folds too. Grid start 2024-04-06 13:00Z spans Lord Howe's 2024
+    fall-back (02:00 LHDT → 01:30 LHST at 15:00Z)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    env = dict(
+        os.environ,
+        TZ="Australia/Lord_Howe",
+        TZ_GRID_START_UTC="2024-04-06 13:00:00",
+    )
+    env.pop("SPARK_GRAFT_CPUS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _TZ_GENERIC_SCRIPT],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=420,
+        cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "TZ_GENERIC_OK" in proc.stdout
+
+
 def test_timestamp_inlist_membership_under_non_utc_tz():
     """The round-9 reproduction, now as the regression gate for the sound
     rendering: OS tz America/New_York, session tz Asia/Tokyo, ids spanning
