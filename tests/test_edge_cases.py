@@ -276,6 +276,70 @@ def test_in_list_matches_isin_semantics(spark):
     assert got == [5, 7]
 
 
+def test_render_sql_id_edge_of_range_instants_refuse_not_crash():
+    """astimezone raises OverflowError when a value's UTC image falls
+    outside Python's datetime range (year 1/9999 at an offset pointing
+    past the boundary) — the rendering must refuse to the isin fallback,
+    never crash the predicate build (round-10 self-review)."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from tidb_large_table_compare_spark.functions.hashing import render_sql_id
+
+    over = datetime.datetime(
+        9999, 12, 31, 23, 59,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=-14)),
+    )
+    under = datetime.datetime(
+        1, 1, 1, 0, 1,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=14)),
+    )
+    assert render_sql_id(over, T.TimestampType()) is None
+    assert render_sql_id(under, T.TimestampType()) is None
+    # an in-range extreme still renders
+    ok = datetime.datetime(
+        9999, 12, 31, 23, 59,
+        tzinfo=datetime.timezone(datetime.timedelta(hours=2)),
+    )
+    assert render_sql_id(ok, T.TimestampType()) == (
+        "TIMESTAMP '9999-12-31 21:59:00.000000+00:00'"
+    )
+
+
+def test_pushdown_gate_refuses_mixed_timestamp_flavors(spark):
+    """A timestamp rendering is flavor-specific (instant vs wall clock):
+    when the compare's two sides disagree on TIMESTAMP vs TIMESTAMP_NTZ
+    for the pk, one literal cannot be sound against both scans — the
+    pushdown gate must refuse and keep the join shape."""
+    from tidb_large_table_compare_spark.operators.compare import (
+        CompareOptions,
+        compare_tables,
+    )
+
+    left = spark.sql(
+        "select timestampadd(SECOND, cast(id as int),"
+        " timestamp'2024-01-01 00:00:00+00:00') as pk, id as v from range(50)"
+    )
+    right_ntz = spark.sql(
+        "select timestampadd(SECOND, cast(id as int),"
+        " timestamp_ntz'2024-01-01 00:00:00') as pk,"
+        " id + case when id = 5 then 100 else 0 end as v from range(50)"
+    )
+    cmp = compare_tables(
+        spark, left, right_ntz, pk=["pk"],
+        options=CompareOptions(n_buckets=64), table_name="t",
+    )
+    mod = left.select("pk").limit(3)
+    assert cmp._bounded_pushdown_keys(mod, "pk") is None
+    # same flavor on both sides: the gate opens
+    cmp2 = compare_tables(
+        spark, left, left, pk=["pk"],
+        options=CompareOptions(n_buckets=64), table_name="t",
+    )
+    assert cmp2._bounded_pushdown_keys(mod, "pk") is not None
+
+
 def test_fix_sql_timestamp_pk_and_values(spark):
     """REPLACE/DELETE export over a TIMESTAMP pk + timestamp value column:
     the master retrieval renders the pk keys as TIMESTAMP literals (the

@@ -165,7 +165,14 @@ def render_sql_id(i, dtype: T.DataType | None = None) -> str | None:
                 return None
             s = _ts_body(pinned)
             return f"TIMESTAMP_NTZ '{s}'" if set(s) <= _SAFE_TS_CHARS else None
-        utc = pinned.astimezone(datetime.timezone.utc)
+        try:
+            utc = pinned.astimezone(datetime.timezone.utc)
+        except (OverflowError, OSError, ValueError):
+            # the UTC image of an edge-of-range value (year 1 / 9999 at
+            # an offset pointing past the boundary) does not exist as a
+            # Python datetime — refuse to the isin fallback, never crash
+            # the predicate build
+            return None
         s = _ts_body(utc) + "+00:00"
         return f"TIMESTAMP '{s}'" if set(s) <= _SAFE_TS_CHARS else None
     if isinstance(i, datetime.date):

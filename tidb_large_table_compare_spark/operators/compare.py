@@ -34,6 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from tidb_large_table_compare_spark.functions.hashing import (
     bucket_id,
@@ -283,6 +284,19 @@ class TableCompare:
         )
 
         dtype = frame.schema[col].dataType
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            # a timestamp rendering is flavor-specific (instant vs wall
+            # clock): when the two sides disagree on the flavor the one
+            # predicate cannot be sound against both scans — keep the
+            # semi-join/bucket shape, which pairs rows through the join's
+            # own coercion instead of a literal's
+            sides = {
+                s.schema[col].dataType
+                for s in (self.left, self.right)
+                if col in s.columns
+            }
+            if sides != {dtype}:
+                return None
         ids = [
             r[0]
             for r in frame.select(col).limit(self._MAX_INLIST + 1).collect()
