@@ -516,16 +516,22 @@ def test_decode_stats_is_shuffle_free(spark):
 
 
 def test_stable_ids_have_no_single_partition_exchange(spark):
-    """Global deterministic enumeration must come from range-partitioned
-    per-partition ranks + driver offsets — never a single-task global sort.
+    """Global deterministic enumeration must come from ordered-bucket
+    per-bucket ranks + driver offsets — never a single-task global sort.
     (`pack_training_chunks` keeps its documented global window as the exact
-    twin; this op is the scale path for 0..N-1 id assignment.)"""
+    twin; this op is the scale path for 0..N-1 id assignment.) The bucket
+    id must be a pure function of the key, NOT repartitionByRange +
+    spark_partition_id(): the range sampler seeds on the RDD id, so the
+    offsets count-job and the rank-job can sample different boundaries
+    (caught live by the round-10 sf1 oracle sweep) — no rangepartitioning
+    may appear; the rank window's hash exchange is the only shuffle."""
     from tests.conftest import SF_SMALL
 
     plan = _plan(QUERIES["stable_sequential_ids"](spark, SF_SMALL))
     assert "Exchange SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
-    assert "Window" in plan  # per-partition rank, partitioned by pid
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "hashpartitioning(__pid" in plan, plan  # the rank window's shuffle
+    assert "Window" in plan  # per-bucket rank, partitioned by pid
 
 
 def test_fk_audit_prunes_parent_scan_to_keys(spark):

@@ -188,23 +188,29 @@ def q8_brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     p = load_table(spark, sf_dir, "part")
+    # volume stays DECIMAL through the sums: a per-row double cast made
+    # brand12_share a ratio of two order-dependent double sums, which
+    # diverged from the oracle by an ulp once sf1 summed across 32
+    # partitions (round-10 sf1 sweep). Exact decimal sums + ONE final
+    # correctly-rounded double division are scale-independent.
     per_item = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(p, l.l_partkey == p.p_partkey)
         .select(
             F.year("o_orderdate").alias("order_year"),
             "p_brand",
-            _disc_price().cast("double").alias("volume"),
+            _disc_price().alias("volume"),
         )
     )
+    zero = F.lit(0).cast(per_item.schema["volume"].dataType.simpleString())
     return per_item.groupBy("order_year").agg(
         (
             F.sum(
                 F.when(F.col("p_brand") == "Brand#12", F.col("volume")).otherwise(
-                    F.lit(0.0)
+                    zero
                 )
             ).cast("double")
-            / F.sum("volume")
+            / F.sum("volume").cast("double")
         ).alias("brand12_share"),
         F.count(F.lit(1)).alias("n_items"),
     )

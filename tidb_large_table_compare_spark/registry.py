@@ -907,17 +907,22 @@ _register(
     _A.q1_pricing_summary,
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+       -- the VARCHAR hop on each decimal->double cast forces DuckDB's
+       -- correctly-rounded string->double path; its direct cast
+       -- double-rounds above 2^53 unscaled (sum_charge diverged by an
+       -- ulp at sf1 with the exact decimal sums engine-identical —
+       -- round-10 sweep decomposition)
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+                (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
          AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
                 (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) *
-                (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+                (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS VARCHAR) AS DOUBLE)
          AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -3000,13 +3005,18 @@ _register(
     _A.q8_brand_share_by_year,
     """
 SELECT order_year,
-       CAST(SUM(CASE WHEN p_brand = 'Brand#12' THEN volume ELSE 0.0 END) AS DOUBLE)
-         / SUM(volume) AS brand12_share,
+       -- decimal sums (exact, order-independent) + ONE final double
+       -- division; the VARCHAR hop forces DuckDB's correctly-rounded
+       -- string->double path — its direct decimal->double double-rounds
+       -- above 2^53 unscaled (round-10 sf1 sweep decomposition)
+       CAST(CAST(SUM(CASE WHEN p_brand = 'Brand#12' THEN volume
+                          ELSE CAST(0 AS DECIMAL(16,4)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS brand12_share,
        COUNT(*) AS n_items
 FROM (
   SELECT EXTRACT(YEAR FROM o.o_orderdate) AS order_year, p.p_brand,
-         CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
-              (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))) AS DOUBLE)
+         CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+         (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2)))
            AS volume
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3822,25 +3832,37 @@ def _stable_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — the enumeration step that shards a training corpus — WITHOUT a
     single-task global sort and without ``monotonically_increasing_id``
     (whose values depend on partition layout and are neither contiguous nor
-    reproducible). Two-pass pattern: range-partition by the order key, rank
-    within each (sorted) partition, add driver-computed partition offsets —
-    one narrow count per partition, so the global order materializes with
-    no Exchange SinglePartition anywhere (plan-asserted). The assignment is
-    invariant to where the range sampler places its boundaries: rank-
-    within-partition + offset equals global rank under ANY range split."""
+    reproducible). Two-pass pattern: split the keyspace into ORDERED
+    buckets, rank within each bucket, add driver-computed bucket offsets —
+    one narrow count per bucket, so the global order materializes with no
+    Exchange SinglePartition anywhere (plan-asserted).
+
+    The bucket id is a PURE FUNCTION of the key — the md5 order key is
+    uniform hex, so its first two hex chars (0..255, floor-divided into 32
+    contiguous ranges) give balanced buckets where every key in bucket p
+    sorts before every key in bucket p+1 BY CONSTRUCTION. The r9 version
+    used ``repartitionByRange`` + ``spark_partition_id()`` instead, and
+    the round-10 sf1 oracle sweep caught it assigning non-contiguous ids:
+    the range sampler's seed incorporates the RDD id, so the offsets
+    count-job and the final rank-job sampled DIFFERENT boundaries once
+    partitions grew past full-partition sampling (2+ input splits at
+    sf1; the single-split small SFs masked it). A value-deterministic
+    bucket cannot disagree with itself across executions — and it drops
+    the extra range exchange (the rank window's own hash exchange on
+    ``__pid`` is the only shuffle)."""
     from pyspark.sql import window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    keyed = (
-        docs.select(
-            "doc_id",
-            F.md5(F.concat(F.lit("seq:"), F.col("doc_id").cast("string"))).alias(
-                "__k"
-            ),
-        )
-        .repartitionByRange(32, "__k", "doc_id")
-        .sortWithinPartitions("__k", "doc_id")
-        .withColumn("__pid", F.spark_partition_id())
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("seq:"), F.col("doc_id").cast("string"))).alias(
+            "__k"
+        ),
+    ).withColumn(
+        "__pid",
+        F.floor(
+            F.conv(F.substring("__k", 1, 2), 16, 10).cast("int") / F.lit(8)
+        ).cast("int"),
     )
     # bounded driver state: one row per partition
     sizes = {
@@ -4525,17 +4547,20 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_decode_stats",
     # (c) early rotation of round-8 signals: the rest of the compare
     # family (shares the in_list/bucket machinery this round touched —
-    # canary double duty) plus the two oldest source-side entries —
-    # shrinks the 44-entry r8 cohort r11 must otherwise carry whole
-    # (44 − 11 re-verified here = 33 mandatory next round)
+    # canary double duty) plus q1/q8, whose decimal-sum shape the
+    # round-10 sf1 sweep corrected (q8's Spark plan now sums exact
+    # decimals; both oracles route DuckDB's decimal→double through the
+    # correctly-rounded VARCHAR path) — shrinks the 44-entry r8 cohort
+    # r11 must otherwise carry whole (44 − 11 re-verified here = 33
+    # mandatory next round)
     "cmp_reconcile_orders",
     "cmp_summary_orders_multiset",
     "cmp_summary_orders_ranged",
     "cmp_summary_composite_pk",
     "cmp_schema_diff_drift",
     "cmp_struct_only_drift",
-    "catalog_discovery",
-    "parsed_report_roundtrip",
+    "q1_pricing_summary",
+    "q8_brand_share_by_year",
 ]
 
 
