@@ -241,6 +241,78 @@ def _write_summary(tmp_path, table, ts, up, down, equivalent, noise=False):
     (d / "summary.txt").write_text("\n".join(lines) + "\n")
 
 
+def test_summary_line_numbering_is_layout_independent(spark, tmp_path):
+    """A18's "first backticked data row" must come from the FILE's order,
+    not the scan's partition layout. The numbering is posexplode over a
+    wholetext read — deterministic by construction — so the truth row wins
+    even when the scan conf would have split a line-oriented read of this
+    file into many partitions (the works-by-layout class the round-10 sf1
+    sweep caught in stable_sequential_ids)."""
+    from tidb_large_table_compare_spark.sources.reports import (
+        _numbered_summary_lines,
+        parse_summaries,
+    )
+
+    d = tmp_path / "db_big_20240105_010101"
+    d.mkdir(parents=True)
+    filler = ["padding line %04d with no delimiter" % i for i in range(2000)]
+    body = filler + [
+        "| `db`.`big` | 11 | 22 |",  # the TRUE first data row
+        *("more padding %04d" % i for i in range(2000)),
+        "| `db`.`big` | 99 | 99 |",  # a later decoy
+    ]
+    (d / "summary.txt").write_text("\n".join(body) + "\n")
+
+    conf = spark.conf
+    before = conf.get("spark.sql.files.maxPartitionBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        numbered = _numbered_summary_lines(spark, f"{tmp_path}/*/summary.txt")
+        rows = numbered.orderBy("__line_no").collect()
+        parsed = parse_summaries(spark, f"{tmp_path}/*/summary.txt").collect()
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", before)
+
+    # line numbers are exactly the file positions, regardless of the conf
+    assert [r.line for r in rows] == body
+    assert [r["__line_no"] for r in rows] == list(range(len(body)))
+    (row,) = parsed
+    assert (row.upcount, row.downcount) == (11, 22)
+
+
+def test_read_summary_lines_termination_parity(spark, tmp_path):
+    """The wholetext+split reader must reproduce line-reader termination
+    semantics: one trailing newline is a terminator (no phantom empty
+    line), CRLF normalizes, interior empty lines survive, and an empty
+    file yields zero rows."""
+    from tidb_large_table_compare_spark.sources.reports import (
+        _numbered_summary_lines,
+    )
+
+    d = tmp_path / "db_t_20240101_000000"
+    d.mkdir(parents=True)
+    cases = {
+        "terminated.txt": ("a\nb\n", ["a", "b"]),
+        "unterminated.txt": ("a\nb", ["a", "b"]),
+        "crlf.txt": ("a\r\nb\r\n", ["a", "b"]),
+        "interior_blank.txt": ("a\n\nb\n", ["a", "", "b"]),
+        "empty.txt": ("", []),
+    }
+    for name, (text, _) in cases.items():
+        (d / name).write_text(text)
+
+    got = (
+        _numbered_summary_lines(spark, f"{d}/*.txt")
+        .orderBy("path", "__line_no")
+        .collect()
+    )
+    by_file: dict[str, list[str]] = {}
+    for r in got:
+        by_file.setdefault(r.path.rsplit("/", 1)[-1], []).append(r.line)
+    for name, (_, want) in cases.items():
+        assert by_file.get(name, []) == want, name
+
+
 def test_parse_summaries_text_path(spark, tmp_path):
     _write_summary(tmp_path, "users", "20240103_010101", 12, 34, False, noise=True)
     _write_summary(tmp_path, "items", "20240103_010101", 0, 0, True)

@@ -29,8 +29,40 @@ from tidb_large_table_compare_spark.plans.report import EQUIVALENT_MARKER
 
 def read_summary_lines(spark: SparkSession, glob: str) -> DataFrame:
     """A14: scan all summary files under a glob, tagged with their path."""
-    return spark.read.text(glob).select(
-        F.input_file_name().alias("path"), F.col("value").alias("line")
+    return _numbered_summary_lines(spark, glob).select("path", "line")
+
+
+def _numbered_summary_lines(spark: SparkSession, glob: str) -> DataFrame:
+    """Lines tagged with a within-file ``__line_no`` that is deterministic
+    BY CONSTRUCTION, not by scan layout.
+
+    A18 ("first backticked data row") needs the file's read order. The
+    previous implementation materialized it with
+    ``monotonically_increasing_id`` over a line-oriented ``spark.read.text``,
+    which encodes the SCAN PARTITION index — that tracks file offsets only
+    because Spark's split packing happens to sort equal-size splits stably
+    and bin-pack them sequentially, an implementation detail with no
+    contract (the round-10 sf1 sweep caught `stable_sequential_ids` dying
+    on exactly this works-by-layout class). Instead each file is read
+    whole (``wholetext``) and line numbers come from ``posexplode`` over
+    the split body: the number IS the line's position, independent of
+    splits, packing, partition count, or retries.
+
+    Scale note: ``wholetext`` makes a single report unsplittable, which is
+    the right trade — summary reports are KB-sized and the 100 TB
+    parallelism unit is the FILE (the glob fans out to one row per file),
+    not intra-file splits.
+    """
+    files = spark.read.text(glob, wholetext=True).select(
+        F.input_file_name().alias("path"), "value"
+    )
+    # split("\r?\n") after dropping ONE trailing newline reproduces the
+    # line reader's termination semantics ("a\nb\n" → [a, b], not
+    # [a, b, ""]); an empty file yields zero lines, same as read.text.
+    body = F.regexp_replace(F.col("value"), "\r?\n$", "")
+    return files.filter(F.length("value") > 0).select(
+        "path",
+        F.posexplode(F.split(body, "\r?\n")).alias("__line_no", "line"),
     )
 
 
@@ -38,7 +70,7 @@ def parse_summaries(spark: SparkSession, glob: str) -> DataFrame:
     """Full A14-A20 pipeline: text reports → structured summaries DataFrame
     ``(run_ts, table, structure_ok, upcount, downcount)`` (FIXTURES.md §6).
     """
-    lines = read_summary_lines(spark, glob)
+    lines = _numbered_summary_lines(spark, glob)
     # A4: drop client-warning noise merged into the text stream.
     lines = lines.filter(~F.col("line").startswith("mysql:"))
     # A15: run_ts from the parent directory name '{schema}_{table}_{YYYYMMDD_HHMMSS}'.
@@ -58,9 +90,8 @@ def parse_summaries(spark: SparkSession, glob: str) -> DataFrame:
             & ~F.col("line").startswith("+")
             & ~F.col("line").contains("TABLE")
         )
-        # materialize the read order before aggregating: non-deterministic
-        # expressions are not allowed inside aggregate arguments
-        .withColumn("__line_no", F.monotonically_increasing_id())
+        # __line_no is the construction-deterministic within-file position
+        # from _numbered_summary_lines — NOT a scan-layout artifact
         .groupBy("path")
         .agg(F.min_by("line", F.col("__line_no")).alias("line"))
     )
