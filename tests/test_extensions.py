@@ -200,6 +200,51 @@ def test_ivf_recall_vs_brute_force(spark):
     assert recall >= 0.6, f"IVF recall@5 collapsed: {recall:.2f}"
 
 
+def test_ivf_sampled_quantizer_is_bounded(spark):
+    """The sampled quantizer must be the ``max_cells`` SMALLEST qualifying
+    ids — bounded driver state and a linear (never quadratic) assignment
+    pass. With a binding cap, ivf_topk must equal the same call fed those
+    centroids explicitly, and the k-means seed must respect the same rule
+    (the sf10 rehearsal measured the uncapped modulo sample at 80k cells
+    and a 17-265 s assignment — cells grew with the corpus)."""
+    from tidb_large_table_compare_spark.operators.kmeans import trained_centroids
+    from tidb_large_table_compare_spark.operators.similarity import (
+        ivf_topk,
+        quantize,
+    )
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # the explicit-centroid twin: the 4 smallest ids with id % 25 == 0
+    expected_cents = [
+        (r["id"], r["qv"])
+        for r in emb.select(
+            F.col("vec_id").alias("id"), quantize(F.col("embedding")).alias("qv")
+        )
+        .filter(F.col("id") % 25 == 0)
+        .orderBy("id")
+        .limit(4)
+        .collect()
+    ]
+    assert len(expected_cents) == 4
+    capped = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk(emb, max_cells=4).collect()
+    )
+    explicit = sorted(
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk(emb, centroids=expected_cents).collect()
+    )
+    assert capped == explicit and capped
+
+    # the k-means seed obeys the same bound: ≤ max_cells clusters ever,
+    # and every cluster id descends from a seed id in the capped set
+    seed_ids = {i for i, _ in expected_cents}
+    cents = trained_centroids(emb, iterations=2, max_cells=4)
+    assert 0 < len(cents) <= 4
+    assert {i for i, _ in cents} <= seed_ids
+
+
 def test_ivf_trained_centroids_recall_at_least_modulo_baseline(spark):
     """k-means → IVF composition: feeding the trainer's centroids into the
     IVF index must not lose recall vs the `id % 25` sampling stand-in (the

@@ -83,7 +83,7 @@ def _prep_vectors(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _train(
-    vectors: DataFrame, centroid_mod: int, iterations: int
+    vectors: DataFrame, centroid_mod: int, iterations: int, max_cells: int
 ) -> list[tuple[int, list[int]]]:
     """Seed + (iterations-1) assign/update rounds → final centroid rows.
 
@@ -91,10 +91,21 @@ def _train(
     centroids are driver-side state between rounds (O(k × dims), the same
     shape MLlib keeps on the driver); each round is one map-side numpy
     argmin over the corpus plus one (cluster, dim) aggregation.
+
+    The seed is the ``max_cells`` SMALLEST ids with ``id % centroid_mod
+    == 0`` — k is bounded by construction. An uncapped modulo seed makes
+    k ∝ corpus (N/centroid_mod), so every Lloyd's round's N×k argmin
+    turns quadratic and the between-round driver state unbounded — the
+    round-10 sf10 rehearsal measured the IVF twin of this defect at 80k
+    cells / 17–265 s per assignment. Lloyd's updates can only merge
+    clusters, never split, so the bound holds across rounds.
     """
     centroid_rows = [
         (r["id"], r["qv"])
-        for r in vectors.filter(F.col("id") % centroid_mod == 0).collect()
+        for r in vectors.filter(F.col("id") % centroid_mod == 0)
+        .orderBy("id")
+        .limit(max_cells)
+        .collect()
     ]
     for _ in range(iterations - 1):
         assigned = _assign(vectors, centroid_rows)
@@ -110,15 +121,17 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     centroid_mod: int = 25,
     iterations: int = 2,
+    max_cells: int = 1024,
 ) -> DataFrame:
     """Run ``iterations`` Lloyd's rounds; returns (vec_id, cluster_id).
 
-    Initial centroids are the corpus vectors with ``id % centroid_mod == 0``
-    (deterministic seeding); cluster ids are those seed vectors' ids.
+    Initial centroids are the ``max_cells`` smallest corpus ids with
+    ``id % centroid_mod == 0`` (deterministic bounded seeding — see
+    :func:`_train`); cluster ids are those seed vectors' ids.
     """
     vectors = _prep_vectors(corpus, id_col, vec_col).persist()
     try:
-        centroid_rows = _train(vectors, centroid_mod, iterations)
+        centroid_rows = _train(vectors, centroid_mod, iterations, max_cells)
         # Final assignment runs against the STILL-CACHED vectors and the
         # (id, cluster_id) result — two longs per row — is pinned as an
         # eager localCheckpoint, so the cache can be released inside this
@@ -143,6 +156,7 @@ def trained_centroids(
     vec_col: str = "embedding",
     centroid_mod: int = 25,
     iterations: int = 2,
+    max_cells: int = 1024,
 ) -> list[tuple[int, list[int]]]:
     """Train and return the final (cluster_id, quantized-vector) centroids.
 
@@ -155,6 +169,6 @@ def trained_centroids(
     """
     vectors = _prep_vectors(corpus, id_col, vec_col).persist()
     try:
-        return _train(vectors, centroid_mod, iterations)
+        return _train(vectors, centroid_mod, iterations, max_cells)
     finally:
         vectors.unpersist()

