@@ -32,7 +32,7 @@ from pyspark.sql import window as W
 
 __all__ = [
     "quantize", "dot_q", "norm_q", "cosine_q", "brute_force_topk",
-    "sign_bucket", "topk_cells",
+    "sign_bucket", "band_ids", "topk_cells",
 ]
 
 _SCALE = 1_000_000
@@ -184,33 +184,82 @@ def sign_bucket(vec: Column, n_bits: int = 5) -> Column:
     return bucket
 
 
+def band_ids(vec: Column, n_bands: int = 4, band_bits: int = 16) -> Column:
+    """``array<long>`` of per-band sign-bucket ids: band ``b`` packs the
+    sign bits of components ``[b*band_bits, (b+1)*band_bits)`` (same
+    missing-component-as-negative rule as :func:`sign_bucket`, via the
+    null-safe ``F.get``). The banded generalization of the single coarse
+    bucket — candidates agree on ALL bits of SOME band, the standard
+    hyperplane-LSH OR-of-ANDs construction (here over the component signs
+    themselves, which both engines can reproduce bit-for-bit without a
+    seeded projection matrix)."""
+    bands = []
+    for b in range(n_bands):
+        bucket = F.lit(0).cast("long")
+        for i in range(band_bits):
+            bit = F.when(
+                F.get(vec, b * band_bits + i) >= 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bucket + F.shiftleft(bit, i)
+        bands.append(bucket)
+    return F.array(*bands)
+
+
 def bucketed_neardup_pairs(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
     threshold: float = 0.99,
+    n_bands: int = 4,
+    band_bits: int = 16,
 ) -> DataFrame:
-    """Near-duplicate pairs (cosine ≥ threshold) via sign-LSH blocking.
+    """Near-duplicate pairs (cosine ≥ threshold) via BANDED sign-LSH
+    blocking: candidates are pairs sharing a (label, band, band-value)
+    block for ANY of the ``n_bands`` bands; exact quantized cosine filters
+    them. Returns (id_a, id_b, cosine).
 
-    Pairs are generated only within (label, sign-bucket) blocks; exact
-    quantized cosine filters them. Returns (id_a, id_b, cosine).
+    Banding is load-bearing on both axes — the round-10 sf10 rehearsal
+    measured the previous single 5-bit bucket at 40× for 10× data:
+
+    - **cost**: with one k-bit bucket the block population is N/2^k at
+      FIXED k, so in-block pairing is quadratic in the corpus (2.4 s at
+      sf1 → 97 s at sf10, candidates ~600× the true pairs). The default
+      4×16 bands give 2^16 values per band — block sizes stay O(1) for
+      any realistic corpus, candidate volume tracks the true near-dup
+      count (plus the ~2^-16 random-collision floor per band).
+    - **recall**: one bucket over the first 5 sign bits MISSES any true
+      pair differing in one of those 5 signs (~10%% at a 2%% per-component
+      flip rate). OR-of-bands over all 64 components misses only pairs
+      differing in every band: (1-(1-p)^16)^4 ≈ 0.6%% at p=0.02.
+
+    Candidate ids travel WITHOUT vector payloads (the band join carries
+    two longs per side; vectors re-attach by id afterwards), so the extra
+    band fan-out multiplies a narrow shuffle, not the embedding column.
     """
     prepped = corpus.select(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("lbl"),
         quantize(F.col(vec_col)).alias("qv"),
-        sign_bucket(F.col(vec_col)).alias("bucket"),
+        band_ids(F.col(vec_col), n_bands, band_bits).alias("bands"),
     )
-    a = prepped.select(
-        F.col("id").alias("id_a"), "lbl", "bucket", F.col("qv").alias("qa")
+    keyed = prepped.select(
+        "id", "lbl", F.posexplode("bands").alias("band", "bval")
     )
-    b = prepped.select(
-        F.col("id").alias("id_b"), "lbl", "bucket", F.col("qv").alias("qb")
+    a = keyed.select(F.col("id").alias("id_a"), "lbl", "band", "bval")
+    b = keyed.select(F.col("id").alias("id_b"), "lbl", "band", "bval")
+    cand = (
+        a.join(b, ["lbl", "band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
-    joined = a.join(b, ["lbl", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    va = prepped.select(F.col("id").alias("id_a"), F.col("qv").alias("qa"))
+    vb = prepped.select(F.col("id").alias("id_b"), F.col("qv").alias("qb"))
     return (
-        joined.withColumn("cosine", cosine_q(F.col("qa"), F.col("qb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_q(F.col("qa"), F.col("qb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -1641,9 +1641,23 @@ def _embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_neardup_pairs(emb.unionByName(copies), threshold=0.99)
 
 
-_SIGN_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN embedding[{i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
-    for i in range(1, 6)
+# Banded sign-LSH, mirrored from similarity.band_ids (4 bands × 16 bits =
+# all 64 components): candidates agree on ALL bits of SOME band. The
+# previous single 5-bit bucket made in-block pairing quadratic in the
+# corpus (fixed 32 blocks — 2.4 s at sf1 → 97 s at sf10) AND missed any
+# true pair differing in one of the first 5 signs; see the round-10
+# PERFORMANCE.md rehearsal section. DuckDB's embedding[i] is 1-based and
+# NULL past the end (missing components read as negative on both engines).
+def _band_bucket_sql(b: int, bits: int = 16) -> str:
+    return " + ".join(
+        f"(CASE WHEN embedding[{b * bits + i}] >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
+        for i in range(1, bits + 1)
+    )
+
+
+_EMB_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"  SELECT id, lbl, {b} AS band, {_band_bucket_sql(b)} AS bval FROM p"
+    for b in range(4)
 )
 
 _EMB_PAIRS_BODY = f"""
@@ -1652,15 +1666,24 @@ WITH corpus AS (
   UNION ALL
   SELECT vec_id + 100000, embedding, label FROM embeddings WHERE vec_id % 50 = 0
 ),
-p AS (SELECT vec_id AS id, label AS lbl, {_QUANT} AS qv,
-             {_SIGN_BUCKET_SQL} AS bucket
+p AS (SELECT vec_id AS id, label AS lbl, {_QUANT} AS qv, embedding
       FROM corpus),
+bands AS (
+{_EMB_BANDS_SQL}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.lbl = b.lbl AND a.band = b.band AND a.bval = b.bval AND a.id < b.id
+),
 pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b,
-         CAST(list_sum(list_transform(list_zip(a.qv, b.qv), x -> x[1] * x[2])) AS DOUBLE)
-         / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
-            * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))) AS cosine
-  FROM p a JOIN p b ON a.lbl = b.lbl AND a.bucket = b.bucket AND a.id < b.id
+  SELECT c.id_a, c.id_b,
+         CAST(list_sum(list_transform(list_zip(pa.qv, pb.qv), x -> x[1] * x[2])) AS DOUBLE)
+         / (sqrt(CAST(list_sum(list_transform(pa.qv, x -> x * x)) AS DOUBLE))
+            * sqrt(CAST(list_sum(list_transform(pb.qv, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM cand c
+  JOIN p pa ON pa.id = c.id_a
+  JOIN p pb ON pb.id = c.id_b
 )
 SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
 """
@@ -4553,18 +4576,21 @@ _DRIVER_PRIORITY: list[str] = [
     "cmp_summary_incremental",
     "neardup_index_admission",
     "multimodal_decode_stats",
-    # (c) round-10 change canaries, second tranche: the bounded IVF/k-means
-    # quantizer (the sf10 rehearsal found the sampled seed growing cells
-    # ∝ corpus — quadratic assignment; now capped at the 1024 smallest
-    # qualifying ids on BOTH engines) — ann_ivf_topk,
-    # kmeans_cluster_assignments, kmeans_cluster_sizes here, while the
-    # other two capped entries (ann_ivf_trained_topk,
-    # knn_label_classify_ivf) are already mandatory in (a); plus q1/q8,
-    # whose decimal-sum shape the sf1 sweep corrected, and the compare
-    # entries whose in_list/bucket machinery round 10 touched
-    # (canary double duty — also early r8-cohort rotation)
+    # (c) round-10 change canaries, second tranche — both quadratic
+    # candidate-generation fixes the sf10 rehearsal forced: the bounded
+    # IVF/k-means quantizer (sampled seed grew cells ∝ corpus; now capped
+    # at the 1024 smallest qualifying ids on BOTH engines) via
+    # ann_ivf_topk, kmeans_cluster_assignments, kmeans_cluster_sizes
+    # (ann_ivf_trained_topk and knn_label_classify_ivf are already
+    # mandatory in (a)), and the banded sign-LSH near-dup blocking
+    # (single fixed 5-bit bucket → 4×16 bands) via
+    # embedding_dedup_clusters (embedding_neardup_pairs is already
+    # mandatory in (a)); plus q1/q8, whose decimal-sum shape the sf1
+    # sweep corrected, and the compare entries whose in_list/bucket
+    # machinery round 10 touched (canary double duty — also early
+    # r8-cohort rotation)
     "cmp_reconcile_orders",
-    "cmp_summary_orders_multiset",
+    "embedding_dedup_clusters",
     "cmp_summary_composite_pk",
     "ann_ivf_topk",
     "kmeans_cluster_assignments",
