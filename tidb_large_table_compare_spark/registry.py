@@ -1450,6 +1450,12 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+    # materialize once before the self-join: both sides otherwise re-derive
+    # the FULL fingerprint pass (text → token hash → bit sums) from source
+    # — the same duplicated-lineage shape the sf10 profile measured in the
+    # minhash candidate stage. Narrow table (id + two longs + band key);
+    # localCheckpoint because no unpersist hook exists after the return.
+    exploded = exploded.localCheckpoint(eager=True)
     a = exploded.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "bkey"
     )
