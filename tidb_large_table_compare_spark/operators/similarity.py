@@ -243,6 +243,12 @@ def bucketed_neardup_pairs(
         quantize(F.col(vec_col)).alias("qv"),
         band_ids(F.col(vec_col), n_bands, band_bits).alias("bands"),
     )
+    # materialize once: FOUR downstream derivations (both band-join sides
+    # and both vector re-attach sides) otherwise each re-run the scan +
+    # quantize + band computation. Interleaved A/B: 16-18 vs 21-27 s at
+    # the sf10 replica, 1.3 vs 1.6 s at sf0.1. localCheckpoint because no
+    # unpersist hook exists after the return (dedup_index discipline).
+    prepped = prepped.localCheckpoint(eager=True)
     keyed = prepped.select(
         "id", "lbl", F.posexplode("bands").alias("band", "bval")
     )
