@@ -74,8 +74,12 @@ def topk_cells(
 
     The centroid set is tiny driver-side state (k-means/IVF keep it that way
     by construction: O(cells × dims)); every executor batch computes
-    ``V @ C.T`` in int64 — exact, since quantized components are ≤ ~1.1e6 and
-    64-dim dots stay far below 2^53 — then ranks per row. Scores match the
+    ``V @ C.T`` — through the float64 BLAS GEMM when every partial sum
+    provably fits float64's exact-integer range (4·d·max² < 2^53, true for
+    ~1.1e6-bounded quantized components up to ~1,800 dims: the result is
+    then the IDENTICAL integers in any summation order), falling back to
+    the exact-but-BLAS-less int64 loop beyond the gate — then ranks per
+    row. Scores match the
     SQL formulation bit-for-bit:
 
     - cosine: float64 ``dot / (sqrt(vv) * sqrt(cc))``, the identical IEEE
@@ -98,6 +102,9 @@ def topk_cells(
 
     schema = f"{id_col} long, {vec_col} array<long>, {out_col} long"
 
+    C64 = C.astype(np.float64)
+    c_absmax = int(np.abs(C).max()) if C.size else 0
+
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
@@ -105,14 +112,39 @@ def topk_cells(
             if len(pdf) == 0:
                 continue
             V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
-            dots = V @ C.T
+            # numpy's int64 matmul has no BLAS kernel (it is a naive loop —
+            # the dominant cost of this stage, profiled at the sf10
+            # replica). When every partial sum provably fits in float64's
+            # exact-integer range (4·d·max², covering dot, vv+cc−2·dot and
+            # every prefix, < 2^53), the float64 BLAS GEMM returns the
+            # IDENTICAL integers regardless of summation order, so the
+            # exactness contract is preserved bit-for-bit. Quantized
+            # components are ~1.1e6, so the gate holds up to ~1,800 dims;
+            # wider/larger inputs keep the exact int64 loop.
+            d = V.shape[1] if V.ndim == 2 else 0
+            absmax = max(int(np.abs(V).max()) if V.size else 0, c_absmax)
+            blas_exact = 4 * d * absmax * absmax < 2**53
+            dots = (
+                V.astype(np.float64) @ C64.T if blas_exact else V @ C.T
+            )
             if metric == "cosine":
                 vnorm = np.sqrt((V * V).sum(axis=1).astype(np.float64))
-                scores = dots.astype(np.float64) / (vnorm[:, None] * cnorm[None, :])
+                scores = dots.astype(np.float64) / (
+                    vnorm[:, None] * cnorm[None, :]
+                )
                 order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
             else:
+                # inputs inside the gate: float64 arithmetic on exact
+                # integers, identical to int64; outside it, dots stayed
+                # int64 above and so does the distance algebra
                 vv = (V * V).sum(axis=1)
-                d2 = vv[:, None] + cc[None, :] - 2 * dots
+                d2 = (
+                    vv.astype(np.float64)[:, None]
+                    + cc.astype(np.float64)[None, :]
+                    - 2 * dots
+                    if blas_exact
+                    else vv[:, None] + cc[None, :] - 2 * dots
+                )
                 order = np.argsort(d2, axis=1, kind="stable")[:, :k]
             n, kk = order.shape
             idx = np.repeat(np.arange(n), kk)
