@@ -486,6 +486,46 @@ def test_minhash_from_sets_drops_empty_shingle_sets(spark):
     assert pairs == {(1, 2)}  # no empty-doc mega-bucket pairs
 
 
+def test_topk_cells_blas_gate_is_exact(spark):
+    """The centroid GEMM's float64-BLAS fast path must rank IDENTICALLY to
+    the int64 loop: inside the gate (4·d·max² < 2^53) every partial sum is
+    an exactly-representable integer, so both paths compute the same
+    numbers; values built to EXCEED the gate must take the int64 fallback
+    and still rank correctly. Both regimes in one call set, for both
+    metrics — same rows drive a small-component frame (BLAS path) and a
+    2^26-component frame: past the gate (4·8·(2^26)² = 2^57 ≥ 2^53 →
+    int64 path) yet safely inside int64's own range (d2 ≤ ~2^57), where
+    centroid 1 is constructed nearest for ties."""
+    from tidb_large_table_compare_spark.operators.similarity import topk_cells
+
+    big = 1 << 26  # past the float64-exact gate, inside int64
+    for scale, metric in [(1_000_000, "cosine"), (1_000_000, "l2"),
+                          (big, "l2")]:
+        rows = [(i, [scale - i - j for j in range(8)]) for i in range(6)]
+        df = spark.createDataFrame(rows, "id long, v array<long>")
+        cents = [(0, [scale] * 8), (1, [scale - 3] * 8), (2, [-scale] * 8)]
+        got = {
+            r["id"]: r["cell"]
+            for r in topk_cells(df, "id", "v", cents, k=1, metric=metric).collect()
+        }
+        # exact nearest centroid, recomputed driver-side in python ints
+        import math
+
+        def score(v, c):
+            dot = sum(a * b for a, b in zip(v, c))
+            if metric == "l2":
+                return sum((a - b) ** 2 for a, b in zip(v, c))
+            return -dot / (
+                math.sqrt(sum(a * a for a in v)) * math.sqrt(sum(b * b for b in c))
+            )
+
+        want = {
+            i: min(cents, key=lambda cr: (score(v, cr[1]), cr[0]))[0]
+            for i, v in rows
+        }
+        assert got == want, f"{metric}@{scale}: {got} != {want}"
+
+
 def test_sign_bucket_handles_short_vectors(spark):
     """A vector shorter than n_bits must bucket deterministically (missing
     components read as negative), not raise under ANSI mode."""

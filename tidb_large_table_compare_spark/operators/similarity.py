@@ -120,7 +120,9 @@ def topk_cells(
             # IDENTICAL integers regardless of summation order, so the
             # exactness contract is preserved bit-for-bit. Quantized
             # components are ~1.1e6, so the gate holds up to ~1,800 dims;
-            # wider/larger inputs keep the exact int64 loop.
+            # wider/larger inputs keep the int64 loop (itself exact only
+            # within int64's own d·max² range — the ×1e6 quantization
+            # stays orders of magnitude inside both bounds).
             d = V.shape[1] if V.ndim == 2 else 0
             absmax = max(int(np.abs(V).max()) if V.size else 0, c_absmax)
             blas_exact = 4 * d * absmax * absmax < 2**53
