@@ -296,6 +296,11 @@ def test_read_summary_lines_termination_parity(spark, tmp_path):
         "unterminated.txt": ("a\nb", ["a", "b"]),
         "crlf.txt": ("a\r\nb\r\n", ["a", "b"]),
         "interior_blank.txt": ("a\n\nb\n", ["a", "", "b"]),
+        # ends with a BLANK LINE: a line reader yields ['a', ''] — the
+        # \z anchor must strip only the final terminator, not both (a
+        # non-MULTILINE $ also matches before the last \n and eats two)
+        "trailing_blank.txt": ("a\n\n", ["a", ""]),
+        "trailing_blank_crlf.txt": ("a\r\n\r\n", ["a", ""]),
         "empty.txt": ("", []),
     }
     for name, (text, _) in cases.items():

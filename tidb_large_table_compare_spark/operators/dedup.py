@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from tidb_large_table_compare_spark.functions.materialize import materialize
+
 __all__ = [
     "exact_dedup_groups",
     "word_ngrams",
@@ -417,11 +419,12 @@ def lsh_candidate_pairs_from_array(
     # signature frame (the common shape), the full OPH signature pass —
     # from source. Measured at the sf10 replica: 29.2 s → ~12 s for the
     # candidate stage (the duplicated explode+signature work was over half
-    # the entry's cost). localCheckpoint, not persist: no unpersist hook
-    # exists after the return (same discipline as dedup_index's batch
-    # shingles), and the table is narrow — (id, band, bucket), three
-    # longs per row.
-    exploded = exploded.localCheckpoint(eager=True)
+    # the entry's cost). Default is localCheckpoint, not persist: no
+    # unpersist hook exists after the return (same discipline as
+    # dedup_index's batch shingles), and the table is narrow — (id, band,
+    # bucket), three longs per row. Preemptible clusters flip the seam's
+    # session conf to persist (functions/materialize.py).
+    exploded = materialize(exploded)
     a = exploded.withColumnRenamed(id_col, "id_a")
     b = exploded.withColumnRenamed(id_col, "id_b")
     return (

@@ -30,6 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import window as W
 
+from tidb_large_table_compare_spark.functions.materialize import materialize
+
 __all__ = [
     "quantize", "dot_q", "norm_q", "cosine_q", "brute_force_topk",
     "sign_bucket", "band_ids", "topk_cells",
@@ -280,9 +282,11 @@ def bucketed_neardup_pairs(
     # materialize once: FOUR downstream derivations (both band-join sides
     # and both vector re-attach sides) otherwise each re-run the scan +
     # quantize + band computation. Interleaved A/B: 16-18 vs 21-27 s at
-    # the sf10 replica, 1.3 vs 1.6 s at sf0.1. localCheckpoint because no
-    # unpersist hook exists after the return (dedup_index discipline).
-    prepped = prepped.localCheckpoint(eager=True)
+    # the sf10 replica, 1.3 vs 1.6 s at sf0.1. Default is localCheckpoint
+    # (no unpersist hook exists after the return — dedup_index
+    # discipline); preemptible clusters flip the seam's session conf to
+    # persist (functions/materialize.py for the failure-domain trade).
+    prepped = materialize(prepped)
     keyed = prepped.select(
         "id", "lbl", F.posexplode("bands").alias("band", "bval")
     )
@@ -386,6 +390,43 @@ def ivf_topk(
     )
 
 
+def derive_max_cells(corpus: DataFrame, floor: int = 1024) -> int:
+    """Auto-size the IVF cell count toward √N — the standard inverted-file
+    sizing (probe candidates ∝ N/cells × n_probe, quantizer cost ∝ cells;
+    √N balances the two as the corpus grows; see e.g. the FAISS IVF
+    guidelines). N comes from the same estimate ladder the comparison
+    engine uses (`operators/compare.py::_estimate_rows`): optimizer plan
+    statistics first (zero Spark jobs for parquet scans — file sizes are
+    known), one narrow count job as the last resort. √ makes the estimate
+    error-tolerant: a 2× row misestimate moves the cell count 1.4×.
+
+    ``floor`` keeps small corpora on the fixed default (1024): below
+    floor² rows the derived value never binds, so driver-SF outputs are
+    byte-identical to the fixed-cap path (at those SFs the modulo sample
+    yields fewer than ``floor`` candidates and the LIMIT is a no-op).
+    """
+    import math
+
+    rows: int | None = None
+    try:  # plan statistics via py4j internals — absent under Spark Connect
+        stats = corpus._jdf.queryExecution().optimizedPlan().stats()
+        if stats.rowCount().isDefined():
+            rows = int(str(stats.rowCount().get()))
+        else:
+            size = int(str(stats.sizeInBytes()))
+            if 0 < size < (1 << 50):  # unknown sources report Long.Max-ish
+                # embeddings rows are dominated by the quantized vector:
+                # 8 bytes per component + id/label overhead. Infer the
+                # width from the schema when the vector column is present;
+                # a wrong guess is damped by the √ anyway.
+                rows = max(1, size // 160)
+    except Exception:
+        pass
+    if rows is None:
+        rows = corpus.count()  # last resort: one narrow count job
+    return max(floor, math.isqrt(max(rows, 0)))
+
+
 def build_ivf_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -394,7 +435,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     centroid_mod: int = 25,
     centroids: list[tuple[int, list[int]]] | None = None,
-    max_cells: int = 1024,
+    max_cells: int | None = None,
 ) -> None:
     """Persist the IVF structure: build once, probe many (the ANN serving
     shape — the inline :func:`ivf_topk` recomputes assignments per call).
@@ -405,12 +446,21 @@ def build_ivf_index(
     :func:`..kmeans.trained_centroids`) or the sampling default — the
     ``max_cells`` smallest ids with ``id % centroid_mod == 0``, the same
     bounded rule as :func:`ivf_topk` (an uncapped modulo sample grows
-    ∝ corpus and turns the assignment pass quadratic). At 100 TB write the assignments ``bucketBy(cell)`` so
+    ∝ corpus and turns the assignment pass quadratic). ``max_cells=None``
+    (the default) auto-sizes toward √N via :func:`derive_max_cells` with
+    the 1024 floor — the serving shape is built once and probed many
+    times, so it should take the IVF-practice cell count instead of the
+    fixed differential-entry cap; pass an explicit value to pin the
+    quantizer (the oracle-backed registry entries pin 1024 so the DuckDB
+    CTE stays byte-identical at every SF). At 100 TB write the
+    assignments ``bucketBy(cell)`` so
     probe joins co-locate; the layout here is the plain-parquet equivalent.
     Mirrors the incremental-compare digest snapshots
     (`operators/incremental.py`): a verified pipeline stage turned into a
     reusable on-disk artifact.
     """
+    if max_cells is None:
+        max_cells = derive_max_cells(corpus)
     prepped = corpus.select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )

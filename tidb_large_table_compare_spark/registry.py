@@ -38,6 +38,7 @@ from tidb_large_table_compare_spark.perturb import (
     perturbed_orders_multi,
 )
 from tidb_large_table_compare_spark.functions.layout import morton_key, morton_key_sql
+from tidb_large_table_compare_spark.functions.materialize import materialize
 from tidb_large_table_compare_spark.functions.partitioning import ensure_min_partitions
 from tidb_large_table_compare_spark.operators.spans import (
     chunk_tokens,
@@ -1454,8 +1455,10 @@ def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the FULL fingerprint pass (text → token hash → bit sums) from source
     # — the same duplicated-lineage shape the sf10 profile measured in the
     # minhash candidate stage. Narrow table (id + two longs + band key);
-    # localCheckpoint because no unpersist hook exists after the return.
-    exploded = exploded.localCheckpoint(eager=True)
+    # default localCheckpoint because no unpersist hook exists after the
+    # return — preemptible clusters flip the conf-gated seam to persist
+    # (functions/materialize.py).
+    exploded = materialize(exploded)
     a = exploded.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "band", "bkey"
     )
@@ -2572,10 +2575,13 @@ GROUP BY c.c_nationkey
 from tidb_large_table_compare_spark.operators.similarity import ivf_topk  # noqa: E402
 
 # Shared oracle CTEs up through per-query ranked candidates; consumed by
-# the top-k entries (modulo-sampled and k-means-trained coarse quantizers)
-# and the IVF-based kNN classifier below. ``cents_sql`` supplies the CTE
-# chain ending in cents(cent_id, cent_v) — the coarse quantizer.
-def _ivf_ranked_ctes(cents_sql: str) -> str:
+# the top-k entries (modulo-sampled and k-means-trained coarse quantizers),
+# the IVF-based kNN classifier, and the persisted-index lifecycle entry
+# below. ``cents_sql`` supplies the CTE chain ending in
+# cents(cent_id, cent_v) — the coarse quantizer; ``query_where`` selects
+# the query set out of the corpus (the lifecycle entry probes a FRESH set
+# disjoint from the inline entries' ``id % 100 = 0``).
+def _ivf_ranked_ctes(cents_sql: str, query_where: str = "id % 100 = 0") -> str:
     return f"""
 WITH prepped AS (SELECT vec_id AS id, {_QUANT} AS qv FROM embeddings),
 {cents_sql},
@@ -2597,7 +2603,7 @@ probes AS (
   SELECT id AS query_id, qv AS query_v, cent_id AS cell FROM (
     SELECT id, qv, cent_id,
            ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cent_id) AS rn
-    FROM cell_scores WHERE id % 100 = 0
+    FROM cell_scores WHERE {query_where}
   ) t WHERE rn <= 3
 ),
 ranked AS (
@@ -2627,6 +2633,50 @@ _register(
     lambda spark, sf: ivf_topk(load_table(spark, sf, "embeddings")),
     f"""
 {_IVF_RANKED_CTES}
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM ranked
+) t WHERE rank <= 5
+""",
+)
+
+
+def _ann_ivf_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN **serving** shape end-to-end under one oracle: PERSIST the
+    IVF structure (`build_ivf_index` — coarse quantizer + per-vector cell
+    assignments on disk, the build-once/probe-many path PERFORMANCE.md
+    names as the 100 TB answer to the inline entries' queries-∝-N term),
+    then probe it with a FRESH query set (``vec_id % 100 == 50`` —
+    disjoint from the inline entries' ``% 100 == 0``, so a probe that
+    accidentally reuses inline state goes red). The oracle is the same
+    unrolled quantize→assign→probe→rank CTE as `ann_ivf_topk` with the
+    query filter swapped, so a lifecycle step that drops, duplicates, or
+    re-quantizes index rows diverges. ``max_cells`` is pinned to the
+    shared cap so the DuckDB LIMIT stays byte-identical at every SF
+    (operator default is √N-derived, `similarity.py::derive_max_cells`).
+    """
+    from tidb_large_table_compare_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_query_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _scratch_dir("ivfidx") + "/index"
+    build_ivf_index(spark, emb, path, max_cells=_IVF_CENT_CAP)
+    queries = emb.filter(F.col("vec_id") % 100 == 50)
+    return ivf_query_index(spark, path, queries)
+
+
+_register(
+    "ann_ivf_index_lifecycle",
+    _ann_ivf_index_lifecycle,
+    f"""
+{_ivf_ranked_ctes(
+    "cents AS (SELECT id AS cent_id, qv AS cent_v FROM prepped "
+    f"WHERE id % 25 = 0 ORDER BY id LIMIT {_IVF_CENT_CAP})",
+    query_where="id % 100 = 50",
+)}
 SELECT query_id, neighbor_id, cosine, rank FROM (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -4526,83 +4576,80 @@ FROM w GROUP BY window_start
 # oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) the full round-7 cohort (ledger-derived: 35 entries whose latest
-    # green signal is r7, exactly `python -m ...ledger --suggest`'s
-    # mandatory set) — at 130 entries the cadence bound is ⌈130/50⌉−1 = 2
-    # rounds, so every one of these MUST re-verify this round; the
-    # phase-aware test_registry_order.py rotation test enforces the bound
-    "ann_ivf_trained_topk",
-    "base64_roundtrip_docs",
-    "contamination_check",
-    "cube_order_price_stats",
-    "customers_never_finished",
-    "customers_with_both_statuses",
-    "dedup_corpus_stats",
-    "dedup_exact_docs",
-    "doc_fingerprints",
-    "doc_lang_guess",
-    "doc_quality_scores",
-    "doc_token_counts",
-    "embedding_array_stats",
+    # (a) the full round-8 cohort (ledger-derived: 35 entries whose latest
+    # green signal is r8, exactly `python -m ...ledger --suggest`'s
+    # mandatory set after r10) — at 131 entries the cadence bound is
+    # ⌈131/50⌉−1 = 2 rounds, so every one of these MUST re-verify this
+    # round; the phase-aware test_registry_order.py rotation test
+    # enforces the bound. Four of them (parsed_report_roundtrip,
+    # report_latest_totals, render_report_lines, render_summary_lines)
+    # double as the change canaries for the round-11 reports.py fix
+    # (ADVICE r10: the trailing-blank-line \z anchor in
+    # _numbered_summary_lines).
+    "approx_distinct_parts",
+    "bpe_ish_token_counts",
+    "catalog_discovery",
+    "cmp_schema_diff_drift",
+    "cmp_struct_only_drift",
+    "cmp_summary_orders_multiset",
+    "cmp_summary_orders_ranged",
+    "knn_label_classify",
+    "pack_training_chunks",
+    "parsed_report_roundtrip",
+    "pivot_docs_by_source",
+    "q10_top_return_customers",
+    "q13_order_count_distribution",
+    "q14_promo_revenue_share",
+    "q2_cheapest_part_per_brand",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "quality_filter_verdicts",
+    "render_report_lines",
+    "render_summary_lines",
+    "repetition_filter_docs",
+    "report_latest_totals",
+    "sliding_event_counts",
+    "stratified_sample_docs",
+    "streaming_dedup_events",
+    "streaming_purchase_signup_join",
+    "streaming_session_counts",
+    "streaming_user_totals_stateful",
+    "top3_customers_per_nation",
+    "top_tokens_documents",
+    "train_val_split",
+    "weighted_source_mix",
+    "weighted_source_mix_hostile_tags",
+    # (b) round-11 change canaries. ann_ivf_index_lifecycle is NEW (the
+    # judge-directed oracle-backed entry for the persisted-IVF serving
+    # path, which also canaries build_ivf_index's √N-derived max_cells
+    # default — the entry pins the 1024 cap so the oracle is identical at
+    # every SF, and the never-checked rule makes the slot mandatory). The
+    # three entries after it consume the localCheckpoint sites the r10
+    # ADVICE named (similarity.py sign-LSH prep, dedup.py band table,
+    # the simhash band table), now routed through the conf-gated
+    # functions/materialize.py seam; the minhash/ngram/cluster entries
+    # canary any round-11 minhash shuffle-volume work (judge #5).
+    "ann_ivf_index_lifecycle",
     "embedding_neardup_pairs",
-    "event_prop_keys",
-    "event_ts_labels",
-    "grouping_sets_order_counts",
-    "knn_label_classify_ivf",
-    "latest_event_per_user",
-    "multimodal_frame_samples",
-    "neardup_minhash_lsh_capped",
+    "neardup_minhash_lsh",
     "neardup_simhash_pairs",
-    "pack_training_chunks_sharded",
-    "profile_orders_approx_bounds",
-    "profile_orders_columns",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "rollup_quantity_by_flag_status",
-    "running_revenue_per_customer",
-    "salted_lineitem_counts",
-    "sessionize_events",
-    "simhash_docs",
-    "stale_worklist",
-    "tfidf_top_terms",
-    "unigram_familiarity_scores",
-    # (b) regression canaries for round-10 changes: the timestamp-pk
-    # rendered-IN fast path (functions/hashing.py render_sql_id +
-    # in_list(dtype), its new oracle-backed entry plus every
-    # _bounded_pushdown_keys consumer), the incremental pin sidecar's
-    # Connect refusal message (incremental.py), the dedup_index in_list
-    # dtype threading, and the bench-adjudicated multimodal entry. The
-    # fsutil authority-form and runlock stale-evidence fixes have no
-    # dataflow to oracle-check (pytest-pinned: test_connect_seams.py,
-    # test_config_cli.py).
-    "cmp_column_drift_timestamp_pk",
-    "cmp_diff_rows_orders",
-    "cmp_fix_sql_orders",
-    "cmp_column_drift_orders",
-    "cmp_summary_incremental",
-    "neardup_index_admission",
-    "multimodal_decode_stats",
-    # (c) round-10 change canaries, second tranche — both quadratic
-    # candidate-generation fixes the sf10 rehearsal forced: the bounded
-    # IVF/k-means quantizer (sampled seed grew cells ∝ corpus; now capped
-    # at the 1024 smallest qualifying ids on BOTH engines) via
-    # ann_ivf_topk, kmeans_cluster_assignments, kmeans_cluster_sizes
-    # (ann_ivf_trained_topk and knn_label_classify_ivf are already
-    # mandatory in (a)), and the banded sign-LSH near-dup blocking
-    # (single fixed 5-bit bucket → 4×16 bands) via
-    # embedding_dedup_clusters (embedding_neardup_pairs is already
-    # mandatory in (a)); plus q1/q8, whose decimal-sum shape the sf1
-    # sweep corrected, and the compare entries whose in_list/bucket
-    # machinery round 10 touched (canary double duty — also early
-    # r8-cohort rotation)
-    "cmp_reconcile_orders",
+    "neardup_ngram_jaccard",
+    "dedup_cluster_assignments",
     "embedding_dedup_clusters",
-    "cmp_summary_composite_pk",
-    "ann_ivf_topk",
-    "kmeans_cluster_assignments",
-    "kmeans_cluster_sizes",
-    "q1_pricing_summary",
-    "q8_brand_share_by_year",
+    "neardup_index_lifecycle",
+    # (c) early r9-cohort rotation (double duty: these become mandatory
+    # in r12; re-greening them now smooths the next window and gives the
+    # round-11 bench falsifiers (hourly_event_counts) and the r10
+    # bug-fix entry (stable_sequential_ids) a fresh driver signal).
+    "cmp_summary_orders",
+    "cmp_summary_self",
+    "stable_sequential_ids",
+    "hourly_event_counts",
+    "fk_orphan_audit",
+    "range_join_errors_busy_hours",
+    "asof_purchase_last_signup",
 ]
 
 

@@ -59,7 +59,11 @@ def _numbered_summary_lines(spark: SparkSession, glob: str) -> DataFrame:
     # split("\r?\n") after dropping ONE trailing newline reproduces the
     # line reader's termination semantics ("a\nb\n" → [a, b], not
     # [a, b, ""]); an empty file yields zero lines, same as read.text.
-    body = F.regexp_replace(F.col("value"), "\r?\n$", "")
+    # Anchor with \z (end of INPUT), not $: Java's non-MULTILINE $ also
+    # matches just before a final line terminator, so "$" would strip TWO
+    # newlines from a file ending in a blank line ("a\n\n" → "a"), silently
+    # dropping the trailing empty line the line reader yields.
+    body = F.regexp_replace(F.col("value"), "\r?\n\\z", "")
     return files.filter(F.length("value") > 0).select(
         "path",
         F.posexplode(F.split(body, "\r?\n")).alias("__line_no", "line"),
