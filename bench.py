@@ -40,6 +40,11 @@ HEADLINE = [
     "dedup_exact_docs",
     "neardup_minhash_lsh",
     "ann_ivf_topk",
+    # round-11 surface: the persisted-IVF serving shape (build once →
+    # probe a fresh query set) — the 100 TB ANN path, now oracle-backed;
+    # benching it per-round keeps the build+probe cost visible alongside
+    # the inline differential twin above
+    "ann_ivf_index_lifecycle",
     "kmeans_cluster_sizes",
     "range_join_errors_busy_hours",
     "doc_fingerprints",

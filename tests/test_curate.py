@@ -290,3 +290,40 @@ def test_curate_cli_compact_index_mode(spark, tmp_path, capsys):
                             "--jaccard", "0.5"]) == 0
     admitted = _json.loads(capsys.readouterr().out)
     assert admitted["n_batch_docs_with_neardup"] == 1
+
+
+def test_observed_counts_latch_before_read(spark, tmp_path, monkeypatch):
+    """Invariant behind `_observed_count`'s thread+timeout fallback (r10
+    verdict, minor #3): by the time the pipeline reads any stage metric,
+    the action carrying that Observation has already run, so `obs.get`
+    returns from latched metrics — the recompute fallback must never fire
+    on the pipeline's own action ordering. A reorder that parks an
+    observed node behind a cache (metrics never surfacing) fails here
+    loudly instead of silently costing one extra count job per stage."""
+    import threading
+
+    from tidb_large_table_compare_spark.plans import curate as C
+
+    reads = {"n": 0}
+
+    def strict_observed_count(obs, frame, timeout_sec=30.0):
+        box = {}
+
+        def _grab():
+            box["v"] = int(obs.get["n"])
+
+        t = threading.Thread(target=_grab, daemon=True)
+        t.start()
+        t.join(15.0)  # latched metrics return in ms; 15 s = hung, not slow
+        assert "v" in box, (
+            "observation metrics not latched before the pipeline read them "
+            "— an action was reordered or cached away"
+        )
+        reads["n"] += 1
+        return box["v"]
+
+    monkeypatch.setattr(C, "_observed_count", strict_observed_count)
+    docs = _corpus_with_dups(spark)
+    manifest = curate_corpus(spark, docs, str(tmp_path / "curated"))
+    assert reads["n"] >= 3  # the stage counters actually went through it
+    assert manifest["stages"]["input"] == docs.count()
