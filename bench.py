@@ -225,10 +225,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    steal_pct: dict[str, float] = {}
+
+    # Hypervisor CPU steal, sampled around every measured run. Rounds 10-11
+    # both hit the "uniform inflation across untouched entries" signature
+    # (r10: +19% committed vs flat quiet-host; r11 in-session: 17 -> 28 ->
+    # 50 s totals with /proc/stat showing 6-26% of all 32 CPUs stolen in
+    # waves while this repo was the only tenant workload). Shipping the
+    # steal fraction inside the artifact makes the noisy-host adjudication
+    # falsifiable from the committed JSON alone instead of needing a
+    # same-session re-run.
+    def _cpu_stat() -> tuple[int, int] | None:
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except Exception:
+            return None
 
     def measure(name, thunk):
         runs: list[float] = []
+        steals: list[float] = []
         for _ in range(REPEATS):
+            s0 = _cpu_stat()
             t0 = time.monotonic()
             try:
                 n = thunk()
@@ -237,11 +258,17 @@ def main() -> None:
                 print(f"# {name}: FAILED ({errors[name]})", file=sys.stderr)
                 return
             runs.append(round(time.monotonic() - t0, 3))
+            s1 = _cpu_stat()
+            if s0 and s1 and s1[1] > s0[1]:
+                steals.append(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]))
         samples[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]
+        if steals:
+            steal_pct[name] = round(sorted(steals)[len(steals) // 2], 1)
         print(
             f"# {name}: {timings[name]:.3f}s median of "
-            f"{[f'{s:.3f}' for s in runs]} ({n} rows)",
+            f"{[f'{s:.3f}' for s in runs]} ({n} rows)"
+            + (f" steal={steal_pct[name]}%" if steals else ""),
             file=sys.stderr,
         )
 
@@ -271,6 +298,13 @@ def main() -> None:
         "cold_start_sec": cold_start,
         "sf": sf,
     }
+    if steal_pct:
+        vals = sorted(steal_pct.values())
+        out["host_steal_pct"] = {
+            "median": vals[len(vals) // 2],
+            "max": vals[-1],
+            "per_query": steal_pct,
+        }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
