@@ -753,3 +753,19 @@ def test_admission_probe_scans_bands_not_corpus_text(spark, tmp_path):
     assert len([l for l in lazy if "band#" in l and "bucket#" in l]) == 1
     # batch text reads live in the shingle checkpoint, not this plan
     assert len([l for l in lazy if "text#" in l]) == 0
+
+
+def test_approx_distinct_keeps_hll_out_of_distinct_rewrite(spark):
+    """approx_distinct_parts: the HLL aggregate and the exact COUNT(DISTINCT)
+    must run as separate one-row branches. Mixed into one agg, Catalyst's
+    distinct-aggregate rewrite (Expand) groups by the distinct key and drags
+    one ~16 KB HLL++ buffer (rsd=0.01) through every per-key group — ~32 GB
+    of aggregation state at sf10's 2M part keys; the r11 sf10 sweep found
+    the combined form still unfinished after 12 minutes with all 32 tasks
+    pinned in HyperLogLogPlusPlusHelper.merge. Structural pin: no Expand
+    node in the plan, and the HLL aggregate appears in a subtree with no
+    Expand ancestor (separate branches also mean the union shape)."""
+    plan = _plan(QUERIES["approx_distinct_parts"](spark, SF_SMALL))
+    assert "Expand" not in plan, "distinct-rewrite Expand reappeared"
+    assert "Union" in plan, "expected the union-of-branches shape"
+    assert "approx_count_distinct" in plan

@@ -2040,17 +2040,35 @@ def _approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection is the exact count plus a boolean relative-error bound:
     HLL++ is deterministic for fixed data, so `within_2pct` is a stable
     value, and the oracle asserts it is TRUE against DuckDB's exact
-    COUNT(DISTINCT)."""
+    COUNT(DISTINCT).
+
+    The two aggregates run as SEPARATE one-row branches combined by
+    union + re-aggregate (the ``sketch_daily_users_merged`` pattern).
+    Mixing them in one ``agg`` looks natural but is a scale trap: the
+    distinct-aggregate rewrite (Expand) then groups by the distinct key
+    and carries one HLL++ buffer PER DISTINCT KEY through the merge path
+    — at rsd=0.01 that is ~16 KB × n_distinct of aggregation state
+    (~32 GB and per-group register-array merges at sf10's 2M part keys;
+    the r11 full-registry sf10 sweep found the combined form still
+    running after 12 minutes, all 32 tasks pinned in
+    HyperLogLogPlusPlusHelper.merge). Separated, the HLL branch keeps
+    one buffer per partition and the distinct branch is a plain
+    two-phase distinct — both linear, 24M rows in ~4 s."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("v")
+    ).select(F.lit("approx").alias("metric"), F.col("v").cast("double").alias("v"))
+    exact = li.agg(F.countDistinct("l_partkey").alias("v")).select(
+        F.lit("exact").alias("metric"), F.col("v").cast("double").alias("v")
     )
-    rel_err = F.abs(F.col("approx_parts") - F.col("exact_parts")) / F.col(
-        "exact_parts"
+    both = approx.unionByName(exact).agg(
+        F.max(F.when(F.col("metric") == "exact", F.col("v"))).alias("exact_d"),
+        F.max(F.when(F.col("metric") == "approx", F.col("v"))).alias("approx_d"),
     )
-    return agg.select(
-        "exact_parts", (rel_err <= F.lit(0.02)).alias("within_2pct")
+    rel_err = F.abs(F.col("approx_d") - F.col("exact_d")) / F.col("exact_d")
+    return both.select(
+        F.col("exact_d").cast("long").alias("exact_parts"),
+        (rel_err <= F.lit(0.02)).alias("within_2pct"),
     )
 
 
