@@ -1275,3 +1275,70 @@ def test_parse_summaries_malformed_and_flag_only_reports(spark, tmp_path):
     assert r1.table is None and r1.upcount is None and r1.downcount is None
     r2 = rows["20240102_090000"]  # no data row at all -> flag-only row kept
     assert r2.table is None and r2.upcount is None
+
+
+def test_prefix_filtered_candidates_complete_vs_naive(spark):
+    """prefix_filtered_candidates must be candidate-COMPLETE: verified pairs
+    over its candidates are identical to verified pairs over the naive
+    every-shared-shingle join. Corpus is adversarial: a hot 3-gram shared
+    by every doc (the shape whose d^2 pair blowup stalled the r11 sf10
+    sweep), tiny docs whose prefix is the whole set, and true near-dup
+    pairs at several sizes around the 0.6 boundary."""
+    from tidb_large_table_compare_spark.operators.dedup import (
+        hashed_word_ngrams,
+        jaccard_verified_pairs,
+        prefix_filtered_candidates,
+    )
+
+    base = [
+        "common phrase here alpha beta gamma delta epsilon zeta eta",
+        "common phrase here alpha beta gamma delta epsilon zeta theta",
+        "common phrase here iota kappa lam mu nu xi omicron",
+        "common phrase here iota kappa lam mu nu xi pi",
+        "short text one",
+        "short text two",
+        "common phrase here",  # exactly one 3-gram: the hot one
+        "unrelated words entirely disjoint from everything else present",
+    ]
+    # 40 more docs all containing the hot phrase + mostly-unique tails
+    rows = [(i, t) for i, t in enumerate(base)] + [
+        (100 + i, f"common phrase here tail{i} word{i} extra{i % 3} pad{i % 5}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets_ = docs.select(
+        "doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shingles")
+    ).persist()
+
+    eg = sets_.select("doc_id", F.explode("shingles").alias("__gram"))
+    naive = (
+        eg.withColumnRenamed("doc_id", "id_a")
+        .join(eg.withColumnRenamed("doc_id", "id_b"), "__gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    for t in (0.3, 0.6, 0.9):
+        got = sorted(
+            map(
+                tuple,
+                jaccard_verified_pairs(
+                    prefix_filtered_candidates(sets_, "doc_id", t), sets_, "doc_id", t
+                ).collect(),
+            )
+        )
+        want = sorted(
+            map(tuple, jaccard_verified_pairs(naive, sets_, "doc_id", t).collect())
+        )
+        assert got == want, f"threshold {t}: {len(got)} vs {len(want)} pairs"
+    assert len(
+        jaccard_verified_pairs(
+            prefix_filtered_candidates(sets_, "doc_id", 0.6), sets_, "doc_id", 0.6
+        ).collect()
+    ) > 0, "corpus must actually contain near-dup pairs for the test to bite"
+    # the hot gram must NOT pair every doc: candidate count strictly below
+    # the naive join's (the entire point of the prefix)
+    n_pref = prefix_filtered_candidates(sets_, "doc_id", 0.6).count()
+    n_naive = naive.count()
+    assert n_pref < n_naive, f"prefix gave {n_pref} >= naive {n_naive}"
+    sets_.unpersist()

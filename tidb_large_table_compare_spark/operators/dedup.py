@@ -26,6 +26,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "jaccard_verified_pairs",
+    "prefix_filtered_candidates",
     "simhash",
     "cap_hot_buckets",
 ]
@@ -224,6 +225,102 @@ def jaccard_verified_pairs(
         joined.withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_filtered_candidates(
+    shingle_sets: DataFrame,  # (id, shingles array)
+    id_col: str,
+    threshold: float,
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """Exact Jaccard candidate pairs via prefix filtering (AllPairs/PPJoin;
+    Bayardo et al., WWW'07; Xiao et al., WWW'08) — candidate-COMPLETE for
+    Jaccard >= ``threshold``, so verifying candidates on the full sets gives
+    byte-identical results to the naive every-shared-shingle join.
+
+    Why not join on every shared shingle: one hot shingle with document
+    frequency d generates d²/2 candidate rows inside a single join
+    partition — output-size skew AQE cannot see (the INPUT partition is
+    tiny), measured as a lone straggler task pinning the r11 sf10 sweep
+    for ~40 minutes on `neardup_ngram_jaccard`. Prefix filtering joins
+    only on each set's first ``|s| - ceil(t*|s|) + 1`` shingles under a
+    global rarest-first order (ascending document frequency), so a hot
+    shingle enters the join only for documents with almost no rarer
+    shingle — d_prefix(g) << d(g) exactly for the shingles that explode.
+
+    Exactness: J(A,B) >= t implies |A∩B| >= t*union >= t*max(|A|,|B|),
+    and two sets sharing >= ceil(t*|s|) elements under a common total
+    order must collide inside these prefixes (the prefix-filtering
+    principle) — so no qualifying pair is dropped, only non-qualifying
+    candidates. The ceil() is computed with a 1e-9 slack so float noise
+    can only ENLARGE a prefix, never shrink it below the exact bound.
+
+    On top of the prefix join, two more PPJoin filters prune candidates
+    pair-locally, both recall-lossless:
+
+    - size filter: J(A,B) >= t implies min(|A|,|B|) >= |A∩B| >= t*max, so
+      mismatched sizes cannot qualify;
+    - positional filter: all common elements sort at-or-after the FIRST
+      shared prefix gram (an earlier common element would itself be a
+      shared prefix gram — contradiction), so |A∩B| <= 1 +
+      min(|A|-pos_A, |B|-pos_B); the pair must clear the exact overlap
+      bound alpha = ceil(t/(1+t)*(|A|+|B|)) at at least one joined gram,
+      and the first shared gram (smallest positions) always clears it for
+      a true pair.
+
+    Cost shape: +1 shuffle for the df table and a per-document window
+    sort (documents are small; the window never sees more than one
+    document's shingles). Candidate volume drops from sum_g df(g)^2 to
+    sum_g df_prefix(g)^2, then again by the pair-local filters — measured
+    at the sf10 replica: 35.2M prefix-only candidates for 81.7k true
+    pairs, each candidate shipping two ~50-element arrays into the
+    verify join.
+    """
+    from pyspark.sql import window as W
+
+    eg = shingle_sets.select(
+        F.col(id_col), F.size(shingle_col).alias("__sz"),
+        F.explode(shingle_col).alias("__gram"),
+    )
+    df_tbl = eg.groupBy("__gram").agg(F.count(F.lit(1)).alias("__df"))
+    w = W.Window.partitionBy(id_col).orderBy(F.asc("__df"), F.asc("__gram"))
+    pref = (
+        eg.join(df_tbl, "__gram")
+        .withColumn("__pos", F.row_number().over(w))
+        .filter(
+            F.col("__pos")
+            <= F.col("__sz")
+            - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9))
+            + 1
+        )
+        .select(id_col, "__gram", "__pos", "__sz")
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"), "__gram",
+        F.col("__pos").alias("__pa"), F.col("__sz").alias("__sza"),
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), "__gram",
+        F.col("__pos").alias("__pb"), F.col("__sz").alias("__szb"),
+    )
+    t = F.lit(threshold)
+    alpha = F.ceil(
+        t / (F.lit(1.0) + t) * (F.col("__sza") + F.col("__szb")) - F.lit(1e-9)
+    )
+    overlap_ub = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__pa"), F.col("__szb") - F.col("__pb")
+    )
+    return (
+        a.join(b, "__gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("__szb") >= t * F.col("__sza") - F.lit(1e-9))
+            & (F.col("__sza") >= t * F.col("__szb") - F.lit(1e-9))
+        )
+        .filter(overlap_ub >= alpha)
+        .select("id_a", "id_b")
+        .distinct()
     )
 
 

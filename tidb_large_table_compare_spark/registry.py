@@ -1102,6 +1102,7 @@ from tidb_large_table_compare_spark.operators.dedup import (  # noqa: E402
     jaccard_verified_pairs,
     lsh_candidate_pairs_from_array,
     minhash_signature_oph_np,
+    prefix_filtered_candidates,
     simhash,
     word_ngrams,
 )
@@ -1351,22 +1352,18 @@ WHERE ((id_a < 100000 OR (id_a - 100000) % 20 = 3)
 
 
 def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard (no LSH) — candidates from a shared-
-    shingle equi-join, so pairs with zero overlap never materialize."""
+    """Exact all-pairs n-gram Jaccard (no LSH) — candidates via prefix
+    filtering (AllPairs/PPJoin), which is candidate-complete for J >= 0.6,
+    so the verified output is byte-identical to a naive every-shared-
+    shingle join while hot shingles stop pairing quadratically (the r11
+    sf10 sweep measured the naive join's lone hot-gram straggler at ~40
+    minutes; see prefix_filtered_candidates)."""
     corpus = _near_dup_corpus(spark, sf_dir)
     shingle_sets = _persist_tracked(
         "neardup_ngram_jaccard:shingles",
         corpus.select("doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shingles")),
     )
-    eg = shingle_sets.select("doc_id", F.explode("shingles").alias("gram"))
-    a = eg.withColumnRenamed("doc_id", "id_a")
-    b = eg.withColumnRenamed("doc_id", "id_b")
-    cands = (
-        a.join(b, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cands = prefix_filtered_candidates(shingle_sets, "doc_id", 0.6)
     return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.6)
 
 
