@@ -37,6 +37,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # differential verification collects FULL query results to compare
+        # against the oracle; at replica SFs a single result can exceed the
+        # 1g default (the r11 sf10 sweep lost a 15M-row stream-join result
+        # to it). 4g of a 16g driver is safe; operators themselves never
+        # rely on large collects (registry guardrails audit every collect)
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
         # runtime bloom-filter join pruning: build a bloom filter on the

@@ -346,6 +346,8 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
             .withWatermark(f"{alias}_ts", "1 hour")
         )
 
+    import tempfile
+
     with _scoped_stream_confs(spark):
         purchases = side("purchase", "p")
         signups = side("signup", "s")
@@ -354,23 +356,31 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr(
                 "p_user = s_user AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 30 DAYS"
             ),
+        ).select(
+            F.col("p_user").alias("user_id"),
+            F.col("p_id").alias("purchase_id"),
+            F.col("s_id").alias("signup_id"),
         )
-        name = f"stream_ss_join_{uuid.uuid4().hex[:8]}"
+        # FILE sink, not memory: a stream-stream join's output grows with
+        # matches, and a memory sink ships every batch's rows to the driver
+        # — the r11 sf10 sweep killed this entry at exactly
+        # spark.driver.maxResultSize (1 GiB of serialized task results;
+        # invisible at the driver SFs). The parquet sink keeps the output
+        # distributed — the shape a real deployment uses — and the batch
+        # read-back below is lazily scanned, so no driver copy ever exists.
+        outdir = tempfile.mkdtemp(prefix="stream_ss_join_")
         query = (
             joined.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
+            .format("parquet")
+            .option("path", f"{outdir}/data")
+            .option("checkpointLocation", f"{outdir}/ckpt")
             .start()
         )
         try:
             query.processAllAvailable()
         finally:
             query.stop()
-    return _drain_memory_table(spark, name, lambda df: df.select(
-        F.col("p_user").alias("user_id"),
-        F.col("p_id").alias("purchase_id"),
-        F.col("s_id").alias("signup_id"),
-    ))
+    return spark.read.parquet(f"{outdir}/data")
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
