@@ -269,3 +269,27 @@ def test_streaming_entries_drop_their_memory_tables(spark):
     result = streaming_hourly_counts(spark, "/root/testdata/sf0.001")
     assert stream_views() == before  # view gone before the caller acts
     assert result.count() > 0  # rows survive the drop (checkpointed)
+
+
+def test_stream_stream_join_uses_file_sink_not_driver_memory(spark):
+    """streaming_purchase_signup_join must return a parquet-file-backed
+    frame (the micro-batches write a file sink), never a memory-sink
+    snapshot: a stream-stream join's output grows with matches, and the
+    memory sink ships every batch's rows to the driver — the r11 sf10
+    sweep killed the old shape at exactly spark.driver.maxResultSize
+    (1 GiB serialized results, ~13.7M matches), invisible at driver SFs."""
+    from tidb_large_table_compare_spark.streaming.events import (
+        streaming_purchase_signup_join,
+    )
+
+    out = streaming_purchase_signup_join(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan, plan[:500]
+    assert "LocalTableScan" not in plan  # the driver-copy signature
+    # no lingering memory-sink view either
+    leftovers = [
+        t.name for t in spark.catalog.listTables()
+        if t.isTemporary and t.name.startswith("stream_ss_join")
+    ]
+    assert leftovers == []
+    assert out.count() > 0
