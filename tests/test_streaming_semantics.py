@@ -293,3 +293,54 @@ def test_stream_stream_join_uses_file_sink_not_driver_memory(spark):
     ]
     assert leftovers == []
     assert out.count() > 0
+
+
+def test_stream_join_scratch_dirs_bounded_and_session_scoped(spark):
+    """ADVICE r11: the old per-call tempfile.mkdtemp sink was never
+    reclaimed — repeated driver/bench invocations accumulated a parquet
+    copy + checkpoint per call. Policy now: one scratch ROOT per session
+    (removed at interpreter exit), at most ONE live sink dir per
+    (entry, sf_dir) — re-invoking reclaims the previous dir."""
+    import os
+
+    from tidb_large_table_compare_spark.streaming import events as ev
+
+    sf = "/root/testdata/sf0.001"
+    first = ev.streaming_purchase_signup_join(spark, sf)
+    n_first = first.count()
+    dir_first = ev._SCRATCH_LIVE[("stream_ss_join", sf)]
+    root = ev._SCRATCH_ROOTS[spark.sparkContext.applicationId]
+    assert dir_first.startswith(root)
+
+    second = ev.streaming_purchase_signup_join(spark, sf)
+    dir_second = ev._SCRATCH_LIVE[("stream_ss_join", sf)]
+    assert dir_second != dir_first
+    assert not os.path.exists(dir_first)  # previous invocation reclaimed
+    assert os.path.isdir(dir_second)
+    assert second.count() == n_first
+    # exactly one live dir for the key → the root holds one entry per key
+    live = [d for d in os.listdir(root) if d.startswith("stream_ss_join")]
+    assert len(live) == 1
+
+
+def test_stream_join_zero_match_returns_empty_frame(spark, tmp_path):
+    """ADVICE r11: a zero-match replay leaves the parquet sink with no
+    data files; schema inference would raise 'Unable to infer schema'.
+    The read-back pins the streaming plan's schema instead, so the
+    degenerate case is an empty frame with the right columns."""
+    from tidb_large_table_compare_spark.sources.tables import load_table
+    from tidb_large_table_compare_spark.streaming.events import (
+        streaming_purchase_signup_join,
+    )
+
+    # a miniature sf_dir whose events contain no purchase/signup rows
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks_only = events.filter(
+        ~events.event_type.isin("purchase", "signup")
+    ).limit(50)
+    assert clicks_only.count() > 0
+    clicks_only.write.parquet(str(tmp_path / "events.parquet"))
+
+    out = streaming_purchase_signup_join(spark, str(tmp_path))
+    assert out.columns == ["user_id", "purchase_id", "signup_id"]
+    assert out.count() == 0

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tidb_large_table_compare_spark.functions.materialize import materialize
+
 __all__ = ["connected_components"]
 
 # Edge-count bound under which components resolve on the driver: 100k pairs
@@ -92,7 +94,8 @@ def connected_components(
         .distinct()
         .persist()
     )
-    # Per-round state is localCheckpoint(eager)ed, NOT persisted. Spark's
+    # Per-round state goes through the materialize() seam (default
+    # localCheckpoint, NOT an unpersist-chained persist). Spark's
     # non-cascading unpersist (SPARK-24596) re-registers dependent cache
     # entries UNMATERIALIZED: with persist+unpersist chaining, dropping round
     # N-1 silently cleared round N's just-built cache, so each next round (and
@@ -105,13 +108,15 @@ def connected_components(
     # of scope, and rounds are bounded by the dup graph's diameter anyway.
     # (localCheckpoint blocks are executor-local and non-replicated: on a
     # real cluster an executor loss mid-loop fails the query and the caller
-    # retries the whole CC — acceptable for a bounded minutes-long loop;
-    # switch to reliable checkpointing if that ever proves too coarse.)
-    labels = (
+    # retries the whole CC. Preemptible clusters flip the seam conf to
+    # persist: rounds then accumulate evictable MEMORY_AND_DISK entries for
+    # the loop's bounded lifetime — never unpersisted mid-loop, exactly
+    # because of the SPARK-24596 pathology above — and executor loss
+    # recomputes through lineage instead of failing the query.)
+    labels = materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -121,7 +126,7 @@ def connected_components(
         )
         # carry (old, new) label in one frame: the convergence probe reads it
         # directly instead of re-joining the new labels against the old ones
-        merged = (
+        merged = materialize(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
@@ -130,7 +135,6 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = merged.filter(F.col("label") != F.col("old_label")).count()
         labels = merged.select("node", "label")

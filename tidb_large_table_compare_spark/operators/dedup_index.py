@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tidb_large_table_compare_spark.functions.hashing import in_list
+from tidb_large_table_compare_spark.functions.materialize import materialize
 from tidb_large_table_compare_spark.functions.partitioning import (
     optimized_plan_size_bytes,
 )
@@ -197,17 +198,18 @@ def query_neardup_index(
     identical pairs; PERFORMANCE.md round-8). Above the id cap (or with
     ``verify_pushdown_max_ids=0``) the probe stays lazy.
     """
-    # checkpointed: the batch's shingles feed BOTH candidate generation
+    # materialized: the batch's shingles feed BOTH candidate generation
     # (signatures → bands) and the verify union below — without it the
     # batch text is re-read and re-shingled per consumer on every probe.
-    # localCheckpoint, not persist: no unpersist hook exists after the
-    # returned frame is consumed, and persist here would accumulate one
-    # cache entry per admission batch for the session's lifetime (the
-    # ContextCleaner frees checkpoint blocks once the frame goes out of
-    # scope; same pattern as `cands` below).
-    new_shingles = _shingle_sets(
-        new_docs, id_col, text_col, shingle_n
-    ).localCheckpoint(eager=True)
+    # Seam default is localCheckpoint, not persist: no unpersist hook
+    # exists after the returned frame is consumed, and persist here
+    # accumulates one evictable cache entry per admission batch for the
+    # session's lifetime (the ContextCleaner frees checkpoint blocks once
+    # the frame goes out of scope; same pattern as `cands` below) — the
+    # documented cost of flipping the conf on preemptible clusters.
+    new_shingles = materialize(
+        _shingle_sets(new_docs, id_col, text_col, shingle_n)
+    )
     new_sigs = minhash_signature_oph_np(new_shingles, id_col, n_hashes=n_hashes)
     new_bands = signature_band_buckets(new_sigs, id_col, n_hashes, n_bands)
 
@@ -243,8 +245,8 @@ def query_neardup_index(
         and store_bytes >= verify_pushdown_min_store_bytes
     ):
         # small by construction (hot buckets are capped at build time);
-        # checkpointing also keeps candidate generation single-execution
-        cands = cands.localCheckpoint(eager=True)
+        # materializing also keeps candidate generation single-execution
+        cands = materialize(cands)
         corpus_ids = [
             r[0]
             for r in cands.select("id_a")

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tidb_large_table_compare_spark.functions.materialize import materialize
 from tidb_large_table_compare_spark.operators.similarity import quantize, topk_cells
 
 __all__ = ["kmeans_assignments", "trained_centroids"]
@@ -133,18 +134,21 @@ def kmeans_assignments(
     try:
         centroid_rows = _train(vectors, centroid_mod, iterations, max_cells)
         # Final assignment runs against the STILL-CACHED vectors and the
-        # (id, cluster_id) result — two longs per row — is pinned as an
-        # eager localCheckpoint, so the cache can be released inside this
-        # call without the caller's later action recomputing the scan +
-        # quantize prep. (The round-5 fix released the cache but re-derived
-        # the prep from source for the final pass, which moved a full
-        # Arrow-quantize pass into every steady-state invocation: measured
-        # 1.4 s → 2.3 s on the sf0.1 bench. This keeps the release AND the
-        # single-scan profile.)
-        return (
+        # (id, cluster_id) result — two longs per row — is pinned through
+        # the materialize() seam (eager localCheckpoint by default), so the
+        # cache can be released inside this call without the caller's later
+        # action recomputing the scan + quantize prep. (The round-5 fix
+        # released the cache but re-derived the prep from source for the
+        # final pass, which moved a full Arrow-quantize pass into every
+        # steady-state invocation: measured 1.4 s → 2.3 s on the sf0.1
+        # bench. This keeps the release AND the single-scan profile.
+        # Under the seam's opt-in persist mode the release below
+        # re-registers the dependent cache entry unmaterialized
+        # (SPARK-24596), costing one lineage recompute on first use —
+        # the price of recoverability that mode exists to buy.)
+        return materialize(
             _assign(vectors, centroid_rows)
             .select(F.col("id").alias(id_col), "cluster_id")
-            .localCheckpoint(eager=True)
         )
     finally:
         vectors.unpersist()

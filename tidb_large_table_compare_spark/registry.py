@@ -4591,80 +4591,74 @@ FROM w GROUP BY window_start
 # oldest, then regression canaries for code paths touched this round.
 
 _DRIVER_PRIORITY: list[str] = [
-    # (a) the full round-8 cohort (ledger-derived: 35 entries whose latest
-    # green signal is r8, exactly `python -m ...ledger --suggest`'s
-    # mandatory set after r10) — at 131 entries the cadence bound is
+    # (a) the full round-9 cohort (ledger-derived: 34 entries whose latest
+    # green signal is r9, exactly `python -m ...ledger --suggest`'s
+    # mandatory set after r11) — at 131 entries the cadence bound is
     # ⌈131/50⌉−1 = 2 rounds, so every one of these MUST re-verify this
     # round; the phase-aware test_registry_order.py rotation test
-    # enforces the bound. Four of them (parsed_report_roundtrip,
-    # report_latest_totals, render_report_lines, render_summary_lines)
-    # double as the change canaries for the round-11 reports.py fix
-    # (ADVICE r10: the trailing-blank-line \z anchor in
-    # _numbered_summary_lines).
-    "approx_distinct_parts",
-    "bpe_ish_token_counts",
-    "catalog_discovery",
-    "cmp_schema_diff_drift",
-    "cmp_struct_only_drift",
-    "cmp_summary_orders_multiset",
-    "cmp_summary_orders_ranged",
-    "knn_label_classify",
-    "pack_training_chunks",
-    "parsed_report_roundtrip",
-    "pivot_docs_by_source",
-    "q10_top_return_customers",
-    "q13_order_count_distribution",
-    "q14_promo_revenue_share",
-    "q2_cheapest_part_per_brand",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q7_nation_pair_volume",
-    "q9_profit_by_nation_year",
-    "quality_filter_verdicts",
-    "render_report_lines",
-    "render_summary_lines",
-    "repetition_filter_docs",
-    "report_latest_totals",
-    "sliding_event_counts",
-    "stratified_sample_docs",
-    "streaming_dedup_events",
-    "streaming_purchase_signup_join",
-    "streaming_session_counts",
-    "streaming_user_totals_stateful",
-    "top3_customers_per_nation",
-    "top_tokens_documents",
-    "train_val_split",
-    "weighted_source_mix",
-    "weighted_source_mix_hostile_tags",
-    # (b) round-11 change canaries. ann_ivf_index_lifecycle is NEW (the
-    # judge-directed oracle-backed entry for the persisted-IVF serving
-    # path, which also canaries build_ivf_index's √N-derived max_cells
-    # default — the entry pins the 1024 cap so the oracle is identical at
-    # every SF, and the never-checked rule makes the slot mandatory). The
-    # three entries after it consume the localCheckpoint sites the r10
-    # ADVICE named (similarity.py sign-LSH prep, dedup.py band table,
-    # the simhash band table), now routed through the conf-gated
-    # functions/materialize.py seam; the minhash/ngram/cluster entries
-    # canary any round-11 minhash shuffle-volume work (judge #5).
-    "ann_ivf_index_lifecycle",
-    "embedding_neardup_pairs",
-    "neardup_minhash_lsh",
-    "neardup_simhash_pairs",
-    "neardup_ngram_jaccard",
+    # enforces the bound.
+    "ann_cosine_topk",
+    "approx_price_quantiles",
+    "cmp_diff_rows_composite_pk",
+    "cmp_float_tolerance",
+    "cms_heavy_hitters",
+    "compaction_plan_bins",
+    "compaction_replan_converges",
+    "dedup_final_corpus_stats",
+    "dup_span_docs",
+    "extract_table_from_sql",
+    "json_props_by_type",
+    "lateral_top2_orders_per_customer",
+    "multimodal_binary_meta",
+    "order_priority_counts",
+    "price_quantiles_by_status",
+    "q11_important_part_stock",
+    "q12_priority_line_counts",
+    "q15_top_supplier_by_revenue",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_revenue",
+    "q20_suppliers_of_heavy_parts",
+    "q21_suppliers_with_problem_orders",
+    "q22_idle_rich_customers",
+    "rag_chunk_docs",
+    "redact_pii_documents",
+    "repeat_purchase_custkeys",
+    "seeded_shuffle_sample",
+    "sketch_daily_users_merged",
+    "streaming_hourly_counts",
+    "string_ops_documents",
+    "yearly_volume_by_nation",
+    "zorder_lineitem_extents",
+    # (b) round-12 change canaries — every code path this round touched
+    # (VERDICT r11 #3/#4, ADVICE r11): the materialize() seam now governs
+    # the previously hard-coded localCheckpoint sites in clustering.py
+    # (both cluster entries), kmeans.py (both kmeans entries),
+    # dedup_index.py (the index lifecycle), and streaming/events.py's
+    # memory-sink drain (the three memory-sink streaming shapes);
+    # streaming_purchase_signup_join additionally canaries the
+    # session-scoped scratch-root sink + explicit-schema read-back that
+    # replaced the leaking per-call mkdtemp.
     "dedup_cluster_assignments",
     "embedding_dedup_clusters",
+    "kmeans_cluster_assignments",
+    "kmeans_cluster_sizes",
     "neardup_index_lifecycle",
-    # (c) early r9-cohort rotation (double duty: these become mandatory
-    # in r12; re-greening them now smooths the next window and gives the
-    # round-11 bench falsifiers (hourly_event_counts) and the r10
-    # bug-fix entry (stable_sequential_ids) a fresh driver signal).
-    "cmp_summary_orders",
-    "cmp_summary_self",
-    "stable_sequential_ids",
-    "hourly_event_counts",
-    "fk_orphan_audit",
-    "range_join_errors_busy_hours",
-    "asof_purchase_last_signup",
+    "streaming_dedup_events",
+    "streaming_session_counts",
+    "streaming_user_totals_stateful",
+    "streaming_purchase_signup_join",
+    # (c) early r10-cohort rotation (these become mandatory in r13;
+    # re-greening the most expensive / highest-value ones now smooths the
+    # next window — same discipline as r11's early r9 rotation).
+    "cmp_diff_rows_orders",
+    "cmp_fix_sql_orders",
+    "cmp_reconcile_orders",
+    "dedup_exact_docs",
+    "knn_label_classify_ivf",
+    "multimodal_decode_stats",
+    "q1_pricing_summary",
 ]
 
 

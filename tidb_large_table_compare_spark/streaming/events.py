@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql.types import StructType
 
+from tidb_large_table_compare_spark.functions.materialize import materialize
 from tidb_large_table_compare_spark.sources.tables import normalize_event_ts
 
 # Confs every streaming entry needs while its micro-batches execute:
@@ -57,6 +58,56 @@ def _scoped_stream_confs(spark: SparkSession):
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+# One scratch root per SparkSession (keyed by applicationId), removed at
+# interpreter exit; within it, at most ONE live sink dir per (kind, key) —
+# creating a new one reclaims the previous. This bounds on-disk state to
+# O(distinct entries × SFs) per session instead of O(invocations): the r11
+# shape (tempfile.mkdtemp per call, never removed) accumulated a parquet
+# copy + checkpoint state for every driver verification round and bench
+# warmup/sample until /tmp cleanup (ADVICE r11).
+_SCRATCH_ROOTS: dict[str, str] = {}
+_SCRATCH_LIVE: dict[tuple[str, str], str] = {}
+
+
+def _reclaim_scratch_roots() -> None:
+    import shutil
+
+    for root in _SCRATCH_ROOTS.values():
+        shutil.rmtree(root, ignore_errors=True)
+    _SCRATCH_ROOTS.clear()
+    _SCRATCH_LIVE.clear()
+
+
+def _stream_scratch_dir(spark: SparkSession, kind: str, key: str) -> str:
+    """A fresh sink/checkpoint dir under the session's scratch root.
+
+    Contract: the dir (and any DataFrame lazily reading from it) is valid
+    until the NEXT call with the same ``(kind, key)`` or interpreter exit,
+    whichever comes first — matching how the driver and bench consume
+    entry results (collect immediately, then re-invoke).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:  # Spark Connect: no sparkContext; one shared root
+        app_id = "connect"
+    root = _SCRATCH_ROOTS.get(app_id)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"spark_graft_stream_{app_id}_")
+        if not _SCRATCH_ROOTS:
+            atexit.register(_reclaim_scratch_roots)
+        _SCRATCH_ROOTS[app_id] = root
+    prev = _SCRATCH_LIVE.pop((kind, key), None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix=f"{kind}_", dir=root)
+    _SCRATCH_LIVE[(kind, key)] = out
+    return out
 
 
 def _is_directory(spark: SparkSession, path: str) -> bool:
@@ -106,14 +157,21 @@ def _drain_memory_table(spark: SparkSession, name: str, transform=None) -> DataF
     A memory sink retains its full result set for the session lifetime;
     without the drop, every entry invocation (driver verification rounds,
     bench warmup+samples) leaks one complete result copy per call. The
-    rows are snapshotted into lineage-free localCheckpoint blocks first —
-    released by the ContextCleaner when the returned frame goes out of
-    scope — so the returned DataFrame survives the drop.
+    rows are snapshotted through the materialize() seam first (default:
+    lineage-free localCheckpoint blocks, released by the ContextCleaner
+    when the returned frame goes out of scope) — so the returned
+    DataFrame survives the drop. NOTE: under the seam's opt-in persist
+    mode the snapshot keeps lineage against the temp view being dropped
+    here; the eager count inside materialize() fills the cache before
+    the drop, so reads still succeed, but an executor loss afterwards
+    cannot recompute — memory-sink drains are inherently
+    snapshot-or-nothing, which is why streaming entries with large
+    results use file sinks instead (see stream_stream_join).
     """
     df = spark.table(name)
     if transform is not None:
         df = transform(df)
-    out = df.localCheckpoint(eager=True)
+    out = materialize(df)
     spark.catalog.dropTempView(name)
     return out
 
@@ -346,8 +404,6 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
             .withWatermark(f"{alias}_ts", "1 hour")
         )
 
-    import tempfile
-
     with _scoped_stream_confs(spark):
         purchases = side("purchase", "p")
         signups = side("signup", "s")
@@ -368,7 +424,10 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
         # invisible at the driver SFs). The parquet sink keeps the output
         # distributed — the shape a real deployment uses — and the batch
         # read-back below is lazily scanned, so no driver copy ever exists.
-        outdir = tempfile.mkdtemp(prefix="stream_ss_join_")
+        # The sink lives under the session-scoped scratch root (see
+        # _stream_scratch_dir): one live dir per sf_dir, reclaimed on the
+        # next invocation, the whole root at exit (ADVICE r11 leak fix).
+        outdir = _stream_scratch_dir(spark, "stream_ss_join", sf_dir)
         query = (
             joined.writeStream.outputMode("append")
             .format("parquet")
@@ -380,7 +439,10 @@ def streaming_purchase_signup_join(spark: SparkSession, sf_dir: str) -> DataFram
             query.processAllAvailable()
         finally:
             query.stop()
-    return spark.read.parquet(f"{outdir}/data")
+    # Explicit schema: a zero-match replay leaves the sink dir with no data
+    # files, and schema inference would fail instead of returning an empty
+    # frame (ADVICE r11). The streaming plan's schema is authoritative.
+    return spark.read.schema(joined.schema).parquet(f"{outdir}/data")
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,13 +71,30 @@ def sweep_entry(spark, name: str, sf_dir: str) -> dict:
 
 
 def main() -> int:
-    sf_dir, out_path = sys.argv[1], Path(sys.argv[2])
-    wanted = sys.argv[3:] or sorted(entrymod.oracle_sql())
-    done = set()
+    argv = [a for a in sys.argv[1:] if a != "--retry-failed"]
+    retry_failed = "--retry-failed" in sys.argv[1:]
+    sf_dir, out_path = argv[0], Path(argv[1])
+    wanted = argv[2:] or sorted(entrymod.oracle_sql())
+    # Resume skips only ok==true records (failed/EXC entries re-run unless
+    # they already succeeded later); --retry-failed additionally re-runs
+    # entries whose LATEST record failed even if an older one passed.
+    # A corrupt/partially-written trailing line is ignored, not fatal.
+    done: set[str] = set()
     if out_path.exists():
         for line in out_path.read_text().splitlines():
-            if line.strip():
-                done.add(json.loads(line)["name"])
+            if not line.strip():
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("ok") is True and not retry_failed:
+                done.add(rec["name"])
+            elif retry_failed:
+                if rec.get("ok") is True:
+                    done.add(rec["name"])
+                else:
+                    done.discard(rec["name"])
     todo = [n for n in wanted if n not in done]
     if not todo:
         print("nothing to do")
