@@ -311,6 +311,10 @@ def test_stream_join_scratch_dirs_bounded_and_session_scoped(spark):
     dir_first = ev._SCRATCH_LIVE[("stream_ss_join", sf)]
     root = ev._SCRATCH_ROOTS[spark.sparkContext.applicationId]
     assert dir_first.startswith(root)
+    # earlier tests (and the oracle harness) may have probed OTHER sf_dirs
+    # in this session — each key legitimately keeps one live dir; what must
+    # not happen is growth on re-invocation of the SAME key
+    live_before = set(os.listdir(root))
 
     second = ev.streaming_purchase_signup_join(spark, sf)
     dir_second = ev._SCRATCH_LIVE[("stream_ss_join", sf)]
@@ -318,9 +322,10 @@ def test_stream_join_scratch_dirs_bounded_and_session_scoped(spark):
     assert not os.path.exists(dir_first)  # previous invocation reclaimed
     assert os.path.isdir(dir_second)
     assert second.count() == n_first
-    # exactly one live dir for the key → the root holds one entry per key
-    live = [d for d in os.listdir(root) if d.startswith("stream_ss_join")]
-    assert len(live) == 1
+    live_after = set(os.listdir(root))
+    assert len(live_after) == len(live_before)  # swap, not accumulate
+    # and the live-dir census matches the registry exactly: one per key
+    assert len(live_after) == len(ev._SCRATCH_LIVE)
 
 
 def test_stream_join_zero_match_returns_empty_frame(spark, tmp_path):
