@@ -17,9 +17,21 @@ round-5 rehearsals, PERFORMANCE.md):
   shingle spaces are DISJOINT across replicas — the near-dup pair space
   models a FACTOR-times-larger corpus (linear), not FACTOR-copy dup groups
   (quadratic).
-- ``embeddings.embedding``: component 0 shifted by ``0.001 * i`` — replicas
-  are distinct vectors, so ANN/embedding-dedup candidate sets scale like a
-  genuinely larger corpus.
+- ``embeddings.embedding``: replica i>0 gets a cyclic component rotation
+  by ``i % dims``, a full sign flip on alternating rotation windows, and a
+  LARGE first-component shift (``0.5 * (1 + i // (2*dims))``). The r10–r11
+  rule (shift component 0 by ``0.001*i`` only) made every replica a
+  NEAR-DUPLICATE of its original (cosine ≥ 0.999, identical sign-LSH
+  bands), so factor-F replication manufactured F-member dup cliques:
+  measured in the r12 sf30 rehearsal as 52.5 → 116.7 candidate pairs per
+  vector (6.67× pairs for 3× vectors) — a superlinear pair-problem
+  growth that says nothing about the engine (per-pair cost actually
+  FELL, 4.4 → 2.6 µs). Rotation changes the direction substantially
+  (components of synthetic embeddings are uncorrelated across positions),
+  so replicas now model a genuinely larger corpus for near-dup AND the
+  residual same-rotation-window replicas are separated by the large
+  shift. A handful of accidental near-dups can survive (real corpora
+  have those too); the systematic F-clique is gone.
 - ``events.ts`` is left on the original time axis: windowed aggregations
   then carry FACTOR× rows per window, the worst case for window state.
 
@@ -101,16 +113,42 @@ def replicate(src: str, dst: str, factor: int) -> None:
         "documents",
     )
 
-    # embeddings: distinct-per-replica vectors
+    # embeddings: genuinely distinct-DIRECTION replicas (see module
+    # docstring — the old 0.001-shift rule manufactured F-member near-dup
+    # cliques). Per replica i>0: cyclic rotation by i % dims, full sign
+    # flip on alternating rotation windows, and a large first-component
+    # shift separating same-rotation-same-sign residuals.
+    dims = con.execute(
+        f"SELECT len(embedding) FROM read_parquet('{src}/embeddings.parquet') LIMIT 1"
+    ).fetchone()[0]
     copy(
         f"""
-        SELECT vec_id + r.i * {KEY_OFF} AS vec_id,
-               CASE WHEN r.i = 0 THEN embedding
-                    ELSE list_prepend(CAST(embedding[1] + 0.001 * r.i AS FLOAT),
-                                      embedding[2:])
+        WITH rot AS (
+          SELECT vec_id + r.i * {KEY_OFF} AS vec_id, r.i AS i,
+                 CASE WHEN r.i % {dims} = 0 THEN embedding
+                      ELSE embedding[1 + (r.i % {dims}):]
+                           || embedding[1:(r.i % {dims})]
+                 END AS e,
+                 label
+          FROM read_parquet('{src}/embeddings.parquet'), range({factor}) r(i)
+        ),
+        sgn AS (
+          SELECT vec_id, i,
+                 CASE WHEN (i // {dims}) % 2 = 1
+                      THEN list_transform(e, x -> CAST(-x AS FLOAT))
+                      ELSE e
+                 END AS e,
+                 label
+          FROM rot
+        )
+        SELECT vec_id,
+               CASE WHEN i = 0 THEN e
+                    ELSE list_prepend(
+                        CAST(e[1] + 0.5 * (1 + i // (2 * {dims})) AS FLOAT),
+                        e[2:])
                END AS embedding,
                label
-        FROM read_parquet('{src}/embeddings.parquet'), range({factor}) r(i)
+        FROM sgn
         """,
         "embeddings",
     )
