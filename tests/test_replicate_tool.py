@@ -80,3 +80,21 @@ def test_replication_invariants(tmp_path):
         """
     ).fetchone()[0]
     assert same == 0
+
+    # ...and NOT near-duplicates of each other (r12 fix: the old
+    # 0.001-shift rule kept every replica at cosine >= 0.999 to its
+    # original with identical sign-LSH bands, so factor-F replication
+    # manufactured F-member dup cliques and embedding-dedup "slopes"
+    # measured clique growth, not engine scaling). Pin the worst pair
+    # across ALL replica pairs of every original below the 0.99 dedup
+    # threshold the registry entries use.
+    worst = con.execute(
+        f"""
+        SELECT max(list_cosine_similarity(a.embedding, b.embedding))
+        FROM read_parquet('{dst}/embeddings.parquet') a
+        JOIN read_parquet('{dst}/embeddings.parquet') b
+          ON a.vec_id % {KEY_OFF} = b.vec_id % {KEY_OFF}
+         AND a.vec_id < b.vec_id
+        """
+    ).fetchone()[0]
+    assert worst < 0.99, worst
