@@ -98,3 +98,63 @@ def test_replication_invariants(tmp_path):
         """
     ).fetchone()[0]
     assert worst < 0.99, worst
+
+
+def test_replication_no_cliques_at_large_factor(tmp_path):
+    """The factor-2 invariant test above could NOT catch the second r12
+    perturbation defect: the growing first-component shift
+    (0.5*(1 + i//(2*dims))) only converges same-rotation/same-sign
+    replicas once shift levels exceed the embedding norms, i.e. at
+    replica indices >= ~256 — measured at factor 1000 as cosine 0.9996
+    between e.g. replicas (772, 900) of the same original, 2.1M
+    manufactured >=0.99 pairs corpus-wide, while factor 300 leaked only
+    ~414. Replicate the embeddings table alone at factor 1000 (the
+    sf0.001 source keeps this a seconds-scale test) and pin BOTH clique
+    modes dead: same-original replica-pair max cosine and a
+    cross-original sample, all below the 0.95 band-collision margin."""
+    import replicate_sf as rs
+
+    dst = tmp_path / "emb1000"
+    dst.mkdir()
+    con = duckdb.connect()
+    # drive only the embeddings COPY through the real module code: call
+    # replicate() with the fact/dim tables monkeypatched away so the test
+    # exercises the exact SQL the tool ships without replicating 6M
+    # lineitem rows per run
+    orig_facts, orig_dims = rs.FACT_TABLES, rs.DIM_TABLES
+    rs.FACT_TABLES, rs.DIM_TABLES = {}, []
+    try:
+        rs.replicate(SRC, str(dst), 1000)
+    finally:
+        rs.FACT_TABLES, rs.DIM_TABLES = orig_facts, orig_dims
+
+    # same-original: every replica pair of a fixed original (the defect
+    # signature was 971 of these above 0.99 PER ORIGINAL at factor 1000)
+    worst_same = con.execute(
+        f"""
+        WITH reps AS (
+          SELECT vec_id, embedding AS e
+          FROM read_parquet('{dst}/embeddings.parquet')
+          WHERE vec_id % {KEY_OFF} = 3
+        )
+        SELECT max(list_cosine_similarity(a.e, b.e))
+        FROM reps a JOIN reps b ON a.vec_id < b.vec_id
+        """
+    ).fetchone()[0]
+    assert worst_same < 0.95, worst_same
+
+    # cross-original sample: shared shift directions must not cluster
+    # unrelated vectors either
+    worst_cross = con.execute(
+        f"""
+        WITH s AS (
+          SELECT vec_id, embedding AS e
+          FROM read_parquet('{dst}/embeddings.parquet')
+          WHERE vec_id % 401 = 9
+        )
+        SELECT max(list_cosine_similarity(a.e, b.e))
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % {KEY_OFF} != b.vec_id % {KEY_OFF}
+        """
+    ).fetchone()[0]
+    assert worst_cross < 0.95, worst_cross

@@ -18,20 +18,31 @@ round-5 rehearsals, PERFORMANCE.md):
   models a FACTOR-times-larger corpus (linear), not FACTOR-copy dup groups
   (quadratic).
 - ``embeddings.embedding``: replica i>0 gets a cyclic component rotation
-  by ``i % dims``, a full sign flip on alternating rotation windows, and a
-  LARGE first-component shift (``0.5 * (1 + i // (2*dims))``). The r10–r11
-  rule (shift component 0 by ``0.001*i`` only) made every replica a
-  NEAR-DUPLICATE of its original (cosine ≥ 0.999, identical sign-LSH
-  bands), so factor-F replication manufactured F-member dup cliques:
-  measured in the r12 sf30 rehearsal as 52.5 → 116.7 candidate pairs per
-  vector (6.67× pairs for 3× vectors) — a superlinear pair-problem
-  growth that says nothing about the engine (per-pair cost actually
-  FELL, 4.4 → 2.6 µs). Rotation changes the direction substantially
-  (components of synthetic embeddings are uncorrelated across positions),
-  so replicas now model a genuinely larger corpus for near-dup AND the
-  residual same-rotation-window replicas are separated by the large
-  shift. A handful of accidental near-dups can survive (real corpora
-  have those too); the systematic F-clique is gone.
+  by ``i % dims``, a full sign flip on alternating rotation windows, and
+  a norm-proportional shift on a CLASS-VARYING component
+  (``1 + (i // (2*dims)) % dims``, 1-indexed). Two defects led here:
+  - The r10–r11 rule (shift component 0 by ``0.001*i`` only) made every
+    replica a NEAR-DUPLICATE of its original (cosine ≥ 0.999, identical
+    sign-LSH bands), so factor-F replication manufactured F-member dup
+    cliques: measured in the r12 sf30 rehearsal as 52.5 → 116.7
+    candidate pairs per vector (6.67× pairs for 3× vectors).
+  - The first r12 rule (GROWING first-component shift
+    ``0.5 * (1 + i // (2*dims))``) fixed replica-vs-original but
+    converged same-rotation/same-sign replicas of the SAME original at
+    adjacent shift levels toward each other as the shift grew: at
+    factor 1000, pairs like (772, 900) hit cosine 0.9996 — ~971
+    manufactured ≥0.99 pairs per original, 2.1M total, while at
+    factor 300 the same rule leaked only ~414 pairs corpus-wide
+    (emergent-at-scale, like the engine bugs this tool exists to find).
+  The norm-proportional constant-magnitude shift (cos(e, e + |e|·δp)
+  = sqrt((1+ê_p)/2) ≈ 0.71 for every norm) separates replica from
+  original uniformly, and varying WHICH component is shifted makes the
+  (rotation, sign, shift-position) class unique per replica below
+  factor ``2*dims²`` (8192 at dims=64) — no two replicas share a class,
+  so the same-class convergence cannot recur. Rotation decorrelates the
+  rest (components of synthetic embeddings are uncorrelated across
+  positions). A handful of accidental near-dups can survive (real
+  corpora have those too); the systematic cliques are gone.
 - ``events.ts`` is left on the original time axis: windowed aggregations
   then carry FACTOR× rows per window, the worst case for window state.
 
@@ -123,13 +134,25 @@ def replicate(src: str, dst: str, factor: int) -> None:
     )
 
     # embeddings: genuinely distinct-DIRECTION replicas (see module
-    # docstring — the old 0.001-shift rule manufactured F-member near-dup
-    # cliques). Per replica i>0: cyclic rotation by i % dims, full sign
-    # flip on alternating rotation windows, and a large first-component
-    # shift separating same-rotation-same-sign residuals.
+    # docstring — both earlier shift rules manufactured near-dup cliques,
+    # one replica-vs-original, one replica-vs-replica at factor ≳ 300).
+    # Per replica i>0: cyclic rotation by i % dims, full sign flip on
+    # alternating rotation windows, and a norm-proportional shift on the
+    # class-varying component 1 + (i // (2*dims)) % dims — constant
+    # relative magnitude (cos ≈ 0.71 vs the original at ANY norm), and
+    # (rotation, sign, position) unique per replica below 2*dims².
     dims = con.execute(
         f"SELECT len(embedding) FROM read_parquet('{src}/embeddings.parquet') LIMIT 1"
     ).fetchone()[0]
+    if factor > 2 * dims * dims:
+        # past this, two replicas share a (rotation, sign, shift-position)
+        # class and the same-class convergence the current rule prevents
+        # would quietly return — refuse instead of emitting a corpus with
+        # manufactured near-dup cliques
+        raise SystemExit(
+            f"factor {factor} > 2*dims^2 = {2 * dims * dims}: replica "
+            "perturbation classes would repeat; extend the rule first"
+        )
     copy(
         f"""
         WITH rot AS (
@@ -152,9 +175,12 @@ def replicate(src: str, dst: str, factor: int) -> None:
         )
         SELECT vec_id,
                CASE WHEN i = 0 THEN e
-                    ELSE list_prepend(
-                        CAST(e[1] + 0.5 * (1 + i // (2 * {dims})) AS FLOAT),
-                        e[2:])
+                    ELSE list_transform(
+                        e,
+                        (x, p) -> CAST(CASE
+                            WHEN p = 1 + (i // (2 * {dims})) % {dims}
+                            THEN x + sqrt(list_dot_product(e, e))
+                            ELSE x END AS FLOAT))
                END AS embedding,
                label
         FROM sgn
