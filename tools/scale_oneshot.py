@@ -3,6 +3,11 @@
 
 Usage: python3 tools/scale_oneshot.py SF_DIR ENTRY [ENTRY ...]
 
+An entry may also be written ``DIR::ENTRY`` to run it against a
+different SF directory in the SAME session — cross-SF slope ratios are
+only trustworthy same-session on this host (steal waves make
+cross-session absolutes incomparable; see PERFORMANCE.md).
+
 The scale-rehearsal methodology used since round 10 (PERFORMANCE.md):
 run a registry entry's Spark plan at a replicated SF (``tools/
 replicate_sf.py``) and record only ``count()`` wall time, result
@@ -46,24 +51,31 @@ def main() -> int:
     spark = get_spark("scale-oneshot")
     from tidb_large_table_compare_spark.registry import QUERIES
 
-    unknown = [n for n in names if n not in QUERIES]
+    jobs = [
+        tuple(n.split("::", 1)) if "::" in n else (sf_dir, n) for n in names
+    ]
+    unknown = [n for _, n in jobs if n not in QUERIES]
     if unknown:
         print(f"unknown entries: {unknown}", file=sys.stderr)
         return 2
     failures = 0
-    for name in names:
+    for job_dir, name in jobs:
         s0 = cpu_stat()
         t0 = time.monotonic()
         try:
-            n = QUERIES[name](spark, sf_dir).count()
+            n = QUERIES[name](spark, job_dir).count()
             wall = time.monotonic() - t0
             s1 = cpu_stat()
             steal = 100.0 * (s1[0] - s0[0]) / max(1, (s1[1] - s0[1]))
-            print(f"OK {name}: {wall:.1f}s rows={n} steal={steal:.1f}%", flush=True)
+            print(
+                f"OK {name} [{job_dir}]: {wall:.1f}s rows={n} "
+                f"steal={steal:.1f}%",
+                flush=True,
+            )
         except Exception as e:  # noqa: BLE001 — report and continue the ladder
             failures += 1
             print(
-                f"FAIL {name}: {time.monotonic() - t0:.1f}s "
+                f"FAIL {name} [{job_dir}]: {time.monotonic() - t0:.1f}s "
                 f"{type(e).__name__}: {str(e)[:200]}",
                 flush=True,
             )
