@@ -9,6 +9,7 @@ streaming execution path itself.
 
 from __future__ import annotations
 
+import os
 import uuid
 from contextlib import contextmanager
 
@@ -24,9 +25,36 @@ from tidb_large_table_compare_spark.sources.tables import normalize_event_ts
 # streaming parquet scans consult nanosAsLong at execution time (unlike the
 # batch loader's eagerly-captured read), and watermark/window boundaries
 # consult the session timezone per batch.
+#
+# The state store is RocksDB, not the default HDFSBackedStateStoreProvider:
+# the default keeps EVERY key of join/dedup/session state in executor heap,
+# which is a scale cliff, not a slope — measured in the r12 sf100 rehearsal
+# when the stream-stream join's state over 100M events threw
+# java.lang.OutOfMemoryError inside notEnoughMemoryToLoadStore and took the
+# whole JVM down (the same state fit at sf30). RocksDB keeps state on local
+# disk with a bounded block cache, so state capacity scales with executor
+# disk instead of heap — the standard production choice for large-state
+# streaming. rocksdbjni ships inside the pyspark distribution. Override via
+# SPARK_GRAFT_STATE_STORE=hdfs for tiny-state deployments that prefer the
+# in-heap store (checkpoints are NOT portable across providers; pick one
+# per checkpoint lineage).
+_STATE_STORE_PROVIDERS = {
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+}
+
 _STREAM_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
+    "spark.sql.streaming.stateStore.providerClass": _STATE_STORE_PROVIDERS[
+        os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower()
+    ],
 }
 
 
