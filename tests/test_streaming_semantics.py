@@ -195,6 +195,31 @@ def test_streaming_entry_restores_session_confs(spark):
     assert snapshot() == before
 
 
+def test_stream_state_store_is_rocksdb_with_env_seam(monkeypatch):
+    """Stateful streaming runs on the RocksDB state store: the default
+    HDFSBackedStateStoreProvider keeps every state key in executor heap,
+    which the r12 sf100 rehearsal measured as a cliff (the stream-stream
+    join's state over 100M events OOM'd the JVM; the same state fit at
+    30M). Pin the provider conf every stream is started under, and the
+    documented SPARK_GRAFT_STATE_STORE=hdfs escape hatch."""
+    import importlib
+
+    from tidb_large_table_compare_spark.streaming import events
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    assert events._STREAM_CONFS[key].endswith("RocksDBStateStoreProvider")
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_STORE", "hdfs")
+    try:
+        reloaded = importlib.reload(events)
+        assert reloaded._STREAM_CONFS[key].endswith(
+            "HDFSBackedStateStoreProvider"
+        )
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_STATE_STORE")
+        importlib.reload(events)
+
+
 def test_event_stream_reads_spark_dataset_directories(spark, tmp_path):
     """A Spark-written events table is a DIRECTORY of part-files; the glob
     path used for the single-file testdata layout matches leaf file names
