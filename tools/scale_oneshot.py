@@ -8,6 +8,14 @@ different SF directory in the SAME session — cross-SF slope ratios are
 only trustworthy same-session on this host (steal waves make
 cross-session absolutes incomparable; see PERFORMANCE.md).
 
+``--release`` between entries unpersists the registry's tracked caches
+and nudges the JVM GC so ContextCleaner can reap dead shuffle files.
+Long one-session ladders otherwise accumulate every entry's shuffle
+spill in the block manager dir — the r12 sf100 ladder piled up 32 GB
+and killed its last two entries with "No space left on device". The
+flag is opt-in because releasing state also changes what later entries
+get for free (warm caches), i.e. the measured walls.
+
 The scale-rehearsal methodology used since round 10 (PERFORMANCE.md):
 run a registry entry's Spark plan at a replicated SF (``tools/
 replicate_sf.py``) and record only ``count()`` wall time, result
@@ -47,8 +55,12 @@ def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__, file=sys.stderr)
         return 2
-    sf_dir, names = sys.argv[1], sys.argv[2:]
+    args = sys.argv[1:]
+    release = "--release" in args
+    args = [a for a in args if a != "--release"]
+    sf_dir, names = args[0], args[1:]
     spark = get_spark("scale-oneshot")
+    from tidb_large_table_compare_spark import registry
     from tidb_large_table_compare_spark.registry import QUERIES
 
     jobs = [
@@ -79,6 +91,12 @@ def main() -> int:
                 f"{type(e).__name__}: {str(e)[:200]}",
                 flush=True,
             )
+        if release:
+            for key in list(registry._TRACKED_CACHES):
+                registry._TRACKED_CACHES.pop(key).unpersist()
+            # ContextCleaner reaps shuffle files only after their
+            # ShuffleDependency is GC'd on the JVM side
+            spark.sparkContext._jvm.System.gc()
     return 1 if failures else 0
 
 
