@@ -182,19 +182,45 @@ class TableCompare:
         )
 
     def mismatched_buckets(self) -> DataFrame:
-        l = self.bucket_digests("left").withColumnsRenamed(
-            {"cnt": "l_cnt", "xor_digest": "l_xor", "sum_digest": "l_sum"}
+        # ONE shuffle, no join: both sides' narrow (bucket, hash) rows are
+        # unioned under a side tag and digested by a single per-bucket
+        # aggregation with side-conditional count/xor/sum. The former
+        # per-side groupBy + full-outer join shape shuffled the same bytes
+        # (2 × n_buckets partial aggregates) but planned two exchanges plus
+        # a join stage — with AQE that is three query-stage rounds of
+        # scheduling per digest pass, pure fixed cost at any scale and the
+        # dominant term at bench SFs (guide §2.4: two operations keyed the
+        # same way share one exchange). Verdict-equivalence with the join
+        # form: a bucket absent from one side previously read NULL on that
+        # side's columns; here its conditional count is 0 and its xor/sum
+        # stay NULL (no non-null inputs) — either way eqNullSafe against a
+        # populated side fails and the bucket is flagged. Buckets absent
+        # from both sides appear in neither formulation.
+        n_buckets = self._n_buckets()
+        fr = self.options.float_round
+        tagged = [
+            _narrow(df, self.pk, self.compare_cols, n_buckets, fr).select(
+                "__bucket", "__row_hash", F.lit(side).alias("__side")
+            )
+            for df, side in ((self.left, 0), (self.right, 1))
+        ]
+        u = tagged[0].unionByName(tagged[1])
+        lrow = F.when(F.col("__side") == 0, F.col("__row_hash"))
+        rrow = F.when(F.col("__side") == 1, F.col("__row_hash"))
+        agg = u.groupBy("__bucket").agg(
+            F.count(lrow).alias("l_cnt"),
+            F.count(rrow).alias("r_cnt"),
+            F.bit_xor(lrow).alias("l_xor"),
+            F.bit_xor(rrow).alias("r_xor"),
+            F.sum(lrow.cast("decimal(38,0)")).alias("l_sum"),
+            F.sum(rrow.cast("decimal(38,0)")).alias("r_sum"),
         )
-        r = self.bucket_digests("right").withColumnsRenamed(
-            {"cnt": "r_cnt", "xor_digest": "r_xor", "sum_digest": "r_sum"}
-        )
-        joined = l.join(r, "__bucket", "full_outer")
         bad = (
-            ~F.col("l_cnt").eqNullSafe(F.col("r_cnt"))
+            (F.col("l_cnt") != F.col("r_cnt"))
             | ~F.col("l_xor").eqNullSafe(F.col("r_xor"))
             | ~F.col("l_sum").eqNullSafe(F.col("r_sum"))
         )
-        return joined.filter(bad).select("__bucket")
+        return agg.filter(bad).select("__bucket")
 
     # -- drill-down (B8/B9) --------------------------------------------------
     def _bad_bucket_state(self) -> tuple[int, list | None, DataFrame | None]:

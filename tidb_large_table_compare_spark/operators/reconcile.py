@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tidb_large_table_compare_spark.functions.materialize import materialize
+
 __all__ = ["apply_fixes", "verify_repair"]
 
 
@@ -29,7 +31,26 @@ def apply_fixes(
     with REPLACE semantics: ``modified`` rows are deleted from the right and
     re-inserted from the left; ``extra_in_right`` deleted; ``missing_in_right``
     inserted.
+
+    The diff is consumed TWICE here (the delete and insert broadcast
+    builds) and again by every action over the returned repaired frame —
+    left lazy, a heavy-drift diff (which ``TableCompare.diff_rows`` does
+    not persist) re-runs its full-table drill-down join per consumer,
+    measured as the dominant term of the sf0.1 reconcile bench entry
+    (round 12). One eager materialization bounds that at one execution;
+    the result is diff-sized, which this operator already assumes is
+    broadcastable. Diffs that arrive persisted (the bounded-drift form)
+    are reused as-is — no extra job.
     """
+    try:
+        from pyspark import StorageLevel
+
+        if diff.storageLevel == StorageLevel.NONE:
+            diff = materialize(diff)
+    except Exception:
+        # storageLevel is a classic-session API (absent under Spark
+        # Connect); Connect sessions simply keep the lazy diff
+        pass
     to_delete = diff.filter(F.col("diff_type") != "missing_in_right").select(*pk)
     to_insert = diff.filter(F.col("diff_type") != "extra_in_right").select(*pk)
     kept = right.join(F.broadcast(to_delete), pk, "left_anti")

@@ -27,6 +27,17 @@ TABLES = [
     "embeddings",
 ]
 
+# Schema cache: the catalog-stats analog for bare parquet directories. A
+# schema-less ``spark.read.parquet`` runs a footer-inference JOB per call
+# (~25-35 ms at local parallelism — q5 alone pays five of them per
+# invocation, profiled round 12); a real deployment reads the schema from
+# the table catalog instead. The testdata directories are immutable per
+# scale factor (the driver regenerates them only between rounds, under
+# fresh paths within a session), so one inference per (path) per process
+# is sound — later loads pass the schema explicitly and skip the job.
+# Keyed by resolved path; holds StructTypes only (metadata, never data).
+_SCHEMA_CACHE: dict[str, object] = {}
+
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
 
@@ -105,9 +116,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # allow TIMESTAMP(NANOS)-generation files to load (read as BIGINT
         # instead of [PARQUET_TYPE_ILLEGAL]); a no-op for timestamp[us] files
         with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
         return normalize_event_ts(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with one schema inference per path per process
+    (see ``_SCHEMA_CACHE``). The first read infers and caches; every later
+    read passes the schema explicitly, which skips the footer-inference job
+    entirely — the parquet reader still validates the requested schema
+    against each file's footer at scan time, so a swapped-out file fails
+    loudly rather than reading wrong."""
+    key = os.path.realpath(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
