@@ -447,31 +447,44 @@ def apply_changes_to_digests(
         )
     opts = CompareOptions(**{**options.__dict__, "n_buckets": n_buckets})
 
-    def _delta(df: DataFrame, sign: int) -> DataFrame:
-        d = TableCompare(spark, df, df, pk, opts).bucket_digests("left")
-        return d.select(
-            "__bucket",
-            (F.col("cnt") * sign).alias("d_cnt"),
-            F.col("xor_digest").alias("d_xor"),  # xor is its own inverse
-            (F.col("sum_digest") * sign).alias("d_sum"),
+    # ONE aggregation over the sign-tagged union of both change batches
+    # (same rewrite as TableCompare.mismatched_buckets): the former
+    # per-batch bucket_digests + union + re-aggregation shape ran THREE
+    # shuffles (insert digest, delete digest, delta re-group) where the
+    # group algebra needs one — cnt is Σsign, sum is Σ(hash·sign), and
+    # xor of all rows equals xor(xor_ins, xor_del) because xor is its own
+    # inverse. Map-side combine still bounds shuffled bytes ∝ n_buckets.
+    from tidb_large_table_compare_spark.functions.hashing import (
+        bucket_id,
+        row_hash,
+    )
+
+    def _tagged(df: DataFrame, sign: int) -> DataFrame:
+        cols = sorted(df.columns)  # == TableCompare(df, df).compare_cols
+        return df.select(
+            bucket_id(pk, n_buckets, df).alias("__bucket"),
+            row_hash(df, cols, opts.float_round).alias("__row_hash"),
+            F.lit(sign).alias("__sign"),
         )
 
     parts = []
     if inserts is not None:
-        parts.append(_delta(inserts, 1))
+        parts.append(_tagged(inserts, 1))
     if deletes is not None:
-        parts.append(_delta(deletes, -1))
+        parts.append(_tagged(deletes, -1))
     if not parts:
         stored.withColumn("n_buckets", F.lit(n_buckets)).write.mode(
             "overwrite"
         ).parquet(out_path)
         _write_pin(spark, out_path, n_buckets)
         return n_buckets
-    delta = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
-    delta = delta.groupBy("__bucket").agg(
-        F.sum("d_cnt").alias("d_cnt"),
-        F.bit_xor("d_xor").alias("d_xor"),
-        F.sum("d_sum").alias("d_sum"),
+    tagged = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+    delta = tagged.groupBy("__bucket").agg(
+        F.sum("__sign").alias("d_cnt"),
+        F.bit_xor("__row_hash").alias("d_xor"),
+        F.sum(
+            F.col("__row_hash").cast("decimal(38,0)") * F.col("__sign")
+        ).alias("d_sum"),
     )
 
     merged = stored.join(delta, "__bucket", "full_outer").select(

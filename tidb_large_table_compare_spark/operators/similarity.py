@@ -461,7 +461,16 @@ def build_ivf_index(
     """
     if max_cells is None:
         max_cells = derive_max_cells(corpus)
-    prepped = corpus.select(
+    from tidb_large_table_compare_spark.functions.partitioning import (
+        ensure_min_partitions,
+    )
+
+    # same input-parallelism guard as the inline ivf_topk (and the same
+    # size cap): a single-row-group corpus otherwise runs the whole
+    # assignment GEMM — and the assignments write behind it — as ONE task
+    # (profiled round 12: a 500 ms single-task write stage inside the
+    # lifecycle entry). No-op on real multi-split corpora.
+    prepped = ensure_min_partitions(corpus, bytes_per_partition=128 << 10).select(
         F.col(id_col).alias("id"), quantize(F.col(vec_col)).alias("qv")
     )
     if centroids is not None:
