@@ -57,6 +57,22 @@ def fix_sql(cmp) -> DataFrame:
     if not pk:
         raise ValueError("fix_sql requires a primary key (multiset diffs are not addressable)")
     diff = cmp.diff_rows()
+    # the diff feeds BOTH output branches (REPLACE retrieval and DELETE
+    # rendering); the heavy-drift form arrives lazy and would re-run its
+    # full-table drill-down join per branch — materialize once, same
+    # discipline (and same already-assumed diff-sized bound) as
+    # reconcile.apply_fixes. Persisted (bounded-drift) diffs pass through.
+    try:
+        from pyspark import StorageLevel
+
+        from tidb_large_table_compare_spark.functions.materialize import (
+            materialize,
+        )
+
+        if diff.storageLevel == StorageLevel.NONE:
+            diff = materialize(diff)
+    except Exception:
+        pass  # Spark Connect: storageLevel unavailable — keep the lazy diff
     table = cmp.table_name
     left = cmp.left
     fields = {f.name: f.dataType for f in left.schema.fields}

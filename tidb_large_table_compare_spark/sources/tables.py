@@ -27,16 +27,40 @@ TABLES = [
     "embeddings",
 ]
 
-# Schema cache: the catalog-stats analog for bare parquet directories. A
-# schema-less ``spark.read.parquet`` runs a footer-inference JOB per call
-# (~25-35 ms at local parallelism — q5 alone pays five of them per
-# invocation, profiled round 12); a real deployment reads the schema from
-# the table catalog instead. The testdata directories are immutable per
-# scale factor (the driver regenerates them only between rounds, under
-# fresh paths within a session), so one inference per (path) per process
-# is sound — later loads pass the schema explicitly and skip the job.
-# Keyed by resolved path; holds StructTypes only (metadata, never data).
-_SCHEMA_CACHE: dict[str, object] = {}
+# Metadata caches: the catalog analog for bare parquet directories — a
+# real deployment resolves table schema and file manifest from the
+# catalog once, not per query (guide §6's file-listing cache / manifest
+# argument). Two levels, both METADATA ONLY (never row data; every action
+# still scans the parquet):
+#
+# - ``_SCHEMA_CACHE``: a schema-less ``spark.read.parquet`` runs a
+#   footer-inference JOB per call (~25-35 ms at local parallelism — q5
+#   alone paid five per invocation, profiled round 12); later loads pass
+#   the cached StructType explicitly and skip the job.
+# - ``_TABLE_CACHE``: even with an explicit schema, creating the reader
+#   re-resolves the relation (driver-side file listing + options capture)
+#   per call — ~0.2 s of pure plan-build across q5's five loads. The
+#   resolved DataFrame handle (an immutable logical plan) is reused per
+#   session.
+#
+# Keys carry the path's (mtime_ns, size) fingerprint, so a rewritten
+# path re-infers instead of going stale; the table cache is additionally
+# keyed per live SparkSession (a DataFrame dies with its session).
+_SCHEMA_CACHE: dict[tuple, object] = {}
+_TABLE_CACHE: "weakref.WeakKeyDictionary" = None  # initialized below
+
+import weakref as _weakref
+
+_TABLE_CACHE = _weakref.WeakKeyDictionary()
+
+
+def _path_key(path: str) -> tuple:
+    rp = os.path.realpath(path)
+    try:
+        st = os.stat(rp)
+        return (rp, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (rp, None, None)
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
@@ -112,23 +136,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             stacklevel=2,
         )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/{name}.parquet"
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = _path_key(path)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # allow TIMESTAMP(NANOS)-generation files to load (read as BIGINT
         # instead of [PARQUET_TYPE_ILLEGAL]); a no-op for timestamp[us] files
         with _scoped_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true"):
-            df = _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
-        return normalize_event_ts(df)
-    return _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
+            df = _read_parquet_cached_schema(spark, path, key)
+        df = normalize_event_ts(df)
+    else:
+        df = _read_parquet_cached_schema(spark, path, key)
+    per_session[key] = df
+    return df
 
 
-def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
-    """``spark.read.parquet`` with one schema inference per path per process
-    (see ``_SCHEMA_CACHE``). The first read infers and caches; every later
-    read passes the schema explicitly, which skips the footer-inference job
-    entirely — the parquet reader still validates the requested schema
-    against each file's footer at scan time, so a swapped-out file fails
-    loudly rather than reading wrong."""
-    key = os.path.realpath(path)
+def _read_parquet_cached_schema(spark: SparkSession, path: str, key: tuple) -> DataFrame:
+    """``spark.read.parquet`` with one schema inference per path fingerprint
+    per process (see ``_SCHEMA_CACHE``). The first read infers and caches;
+    every later read passes the schema explicitly, which skips the
+    footer-inference job entirely — the parquet reader still validates the
+    requested schema against each file's footer at scan time, so a
+    swapped-out file fails loudly rather than reading wrong."""
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)
