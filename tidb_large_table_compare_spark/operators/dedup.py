@@ -46,8 +46,17 @@ def cap_hot_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
     if max_bucket_size is None:
         return bands
     sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("__sz"))
-    small = sizes.filter(F.col("__sz") <= max_bucket_size).select("band", "bucket")
-    return bands.join(small, ["band", "bucket"], "left_semi")
+    # join against the HOT set (anti), not the OK set (semi): oversized
+    # buckets are rare by construction — the hot set is bounded by
+    # rows/max_bucket_size, i.e. at least cap× smaller than the OK set
+    # (which is ~every distinct (band, bucket) and grows ∝ corpus). The
+    # small side of the filtering join should be the one that stays
+    # broadcastable at 100 TB; identical output — dropping hot-bucket rows
+    # is exactly keeping non-hot-bucket rows. Measured round 12 at sf0.1:
+    # the OK-set broadcast build was three ~55 ms driver-gap jobs at the
+    # head of the curation pipeline.
+    hot = sizes.filter(F.col("__sz") > max_bucket_size).select("band", "bucket")
+    return bands.join(hot, ["band", "bucket"], "left_anti")
 
 
 def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
