@@ -1225,3 +1225,34 @@ def test_maintenance_cli_heal_failure_exit_contract(spark, tmp_path, capsys):
     assert "refusing to discard" in cap.err
     assert not os.path.exists(src + ".old")  # the good heal still ran
     assert os.path.exists(f"{orphan}/keep-0001.parquet")  # nothing lost
+
+
+def test_load_table_reuses_resolved_handle_per_session(spark):
+    """Round-12 metadata cache: the same (session, path) load returns the
+    SAME resolved DataFrame handle (no per-call relation re-resolution),
+    and the cache holds metadata only — actions still read the parquet."""
+    a = load_table(spark, SF, "orders")
+    b = load_table(spark, SF, "orders")
+    assert a is b
+    assert a.count() == b.count() > 0
+
+
+def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
+    """A rewritten path (new mtime fingerprint) must re-resolve: the cache
+    can never serve a stale relation for replaced data."""
+    import os
+    import shutil
+
+    sfdir = str(tmp_path)
+    src = f"{SF}/region.parquet"
+    dst = f"{sfdir}/region.parquet"
+    shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+    first = load_table(spark, sfdir, "region")
+    n_first = first.count()
+    # rewrite the table with fewer rows under the same path
+    reduced = first.limit(max(n_first - 1, 1)).collect()
+    shutil.rmtree(dst, ignore_errors=True) if os.path.isdir(dst) else os.remove(dst)
+    spark.createDataFrame(reduced, first.schema).write.mode("overwrite").parquet(dst)
+    again = load_table(spark, sfdir, "region")
+    assert again is not first
+    assert again.count() == len(reduced)

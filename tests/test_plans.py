@@ -769,3 +769,18 @@ def test_approx_distinct_keeps_hll_out_of_distinct_rewrite(spark):
     assert "Expand" not in plan, "distinct-rewrite Expand reappeared"
     assert "Union" in plan, "expected the union-of-branches shape"
     assert "approx_count_distinct" in plan
+
+
+def test_digest_pass_single_exchange_no_join(spark):
+    """Round-12 rewrite: the digest compare (mismatched_buckets) runs as ONE
+    per-bucket aggregation over a side-tagged union — exactly one shuffle
+    and no join node. The former two-groupBy + full-outer-join shape cost
+    two exchanges plus a join stage of pure scheduling overhead."""
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    cmp = compare_tables(
+        spark, orders, perturbed_orders(orders), pk=["o_orderkey"], table_name="t"
+    )
+    plan = _plan(cmp.mismatched_buckets())
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Union" in plan
