@@ -113,6 +113,7 @@ def curate_corpus(
     # no dedicated count() jobs for input / exact-dedup / decontamination.
     obs_input = Observation()
     obs_exact = Observation()
+    obs_neardup = Observation()
     obs_decon = Observation()
 
     # 1. exact dedup: keep the lowest doc_id per identical text.
@@ -167,9 +168,16 @@ def curate_corpus(
         F.col("node").alias("doc_id")
     )
     # the junction every later stage (decontamination, quality, write) hangs
-    # off — persisted so downstream branches don't recompute the dedup chain
-    neardup_cached = exact.join(drop, "doc_id", "left_anti").persist()
-    n_neardup = neardup_cached.count()
+    # off — persisted so downstream branches don't recompute the dedup chain.
+    # Its count rides an observe() on the corpus write (the first action over
+    # this frame), like the decontamination count below — the former
+    # dedicated count() action cost one full pipeline job per invocation
+    # (round 12; the write materializes the persist either way).
+    neardup_cached = (
+        exact.join(drop, "doc_id", "left_anti")
+        .observe(obs_neardup, F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
     shingle_sets.unpersist()
     pairs.unpersist()
 
@@ -257,6 +265,8 @@ def curate_corpus(
     }
     n_quality = sum(s["n_docs"] for s in split_counts.values())
     # the write above is the first action over the observed survivors frame
+    # (and over the near-dup junction it hangs off)
+    n_neardup = _observed_count(obs_neardup, neardup_cached)
     n_decontaminated = _observed_count(obs_decon, survivors)
     # dedicated handle: unpersisted regardless of the decontamination branch
     # (rebinding `survivors` must not orphan the cached junction)
