@@ -575,3 +575,60 @@ def test_compare_tolerates_bigint_vs_decimal20_pk(spark):
     row = cmp.summary().collect()[0]
     assert row.upcount == 0 and row.downcount == 0
     assert not row.structure_ok
+
+
+def test_sql_fragment_hash_identity(spark):
+    """Round-12 fast path: row_hash/bucket_id built as one SQL expression
+    must be BIT-identical to the Column-built definition of record —
+    bucket assignments feed persisted digest artifacts, so any divergence
+    here would require a BUCKETING_VERSION bump. Covers the widening,
+    double (-0.0 / rounding), null-flag, and passthrough branches."""
+    from pyspark.sql import types as T
+
+    from tidb_large_table_compare_spark.functions import hashing as H
+
+    rows = [
+        (1, 0.0, None, None),
+        (2, -0.0, "x", "2024-01-01 00:00:01"),
+        (3, 1.23456789, "", None),
+        (4, None, "y", "1999-12-31 23:59:59"),
+    ]
+    df = spark.createDataFrame(rows, "id int, d double, s string, t string")
+    df = df.withColumn("t", F.col("t").cast("timestamp_ntz")).withColumn(
+        "dec", (F.col("id") * 7).cast("decimal(12,2)")
+    )
+
+    def old_row_hash(frame, fr):
+        return F.xxhash64(*H.canonical_columns(frame, None, fr))
+
+    def old_bucket(pk, n, frame):
+        cols = []
+        fields = {f.name: f.dataType for f in frame.schema.fields}
+        for c in pk:
+            col = F.col(c)
+            dt = fields.get(c)
+            if isinstance(
+                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                col = col.cast(T.DecimalType(38, 0))
+            elif isinstance(dt, T.DecimalType):
+                col = col.cast(T.DecimalType(38, dt.scale))
+            cols.append(col)
+        return F.pmod(F.xxhash64(*cols), F.lit(n)).alias("bucket")
+
+    for fr in (None, 3):
+        n_bad = df.select(
+            (H.row_hash(df, None, fr) != old_row_hash(df, fr))
+            .cast("int")
+            .alias("m")
+        ).agg(F.coalesce(F.sum("m"), F.lit(0))).collect()[0][0]
+        assert n_bad == 0
+    n_bad = df.select(
+        (H.bucket_id(["id", "dec"], 4096, df) != old_bucket(["id", "dec"], 4096, df))
+        .cast("int")
+        .alias("m")
+    ).agg(F.coalesce(F.sum("m"), F.lit(0))).collect()[0][0]
+    assert n_bad == 0
+    # complex dtypes must fall back to the Column-built path, not raise
+    arr = df.withColumn("a", F.array("id"))
+    assert arr.select(H.row_hash(arr)).collect()

@@ -111,6 +111,13 @@ class TableCompare:
         self._schema_diff: DataFrame | None = None
         self._structure_ok: bool | None = None
         self._diff_rows: DataFrame | None = None
+        # memoized narrow (pk, __bucket, __row_hash) projections: the digest
+        # pass and the drill-down each rebuilt them (~94 ms of py4j per
+        # build, round-12 micro-profile); the projection is a pure function
+        # of (side, pk, compare_cols, n_buckets, float_round), all fixed per
+        # instance
+        self._narrows: dict[str, DataFrame] = {}
+        self._n_buckets_memo: int | None = None
         # (n_buckets, in-list ids | None, persisted bad-bucket frame | None)
         self._bad_state: tuple[int, list | None, DataFrame | None] | None = None
 
@@ -135,6 +142,15 @@ class TableCompare:
         opt = self.options
         if opt.n_buckets is not None:
             return opt.n_buckets
+        if self._n_buckets_memo is None:
+            # the plan-stats probe triggers a Catalyst optimize of the left
+            # plan (~85 ms driver time, round-12 micro-profile) — cache the
+            # result; inputs are fixed per instance
+            self._n_buckets_memo = self._n_buckets_uncached()
+        return self._n_buckets_memo
+
+    def _n_buckets_uncached(self) -> int:
+        opt = self.options
         # Size the bucket count from optimizer plan statistics (file sizes for
         # parquet scans) — zero Spark jobs. On a real deployment this comes
         # from catalog statistics (the reference reads TABLE_ROWS from
@@ -167,10 +183,17 @@ class TableCompare:
         return self.left.count()  # last resort: one narrow count job
 
     # -- digest phase (B5/B6) ----------------------------------------------
-    def bucket_digests(self, side: str = "left") -> DataFrame:
-        df = self.left if side == "left" else self.right
-        narrow = _narrow(df, self.pk, self.compare_cols, self._n_buckets(),
+    def _narrow_side(self, side: str) -> DataFrame:
+        nf = self._narrows.get(side)
+        if nf is None:
+            df = self.left if side == "left" else self.right
+            nf = _narrow(df, self.pk, self.compare_cols, self._n_buckets(),
                          self.options.float_round)
+            self._narrows[side] = nf
+        return nf
+
+    def bucket_digests(self, side: str = "left") -> DataFrame:
+        narrow = self._narrow_side(side)
         # bit_xor is order-independent but cancels duplicate rows pairwise;
         # count + sum(hash) are the independent second/third digests (B6).
         # The sum accumulates in decimal(38,0): a bigint sum of 64-bit hashes
@@ -196,13 +219,11 @@ class TableCompare:
         # stay NULL (no non-null inputs) — either way eqNullSafe against a
         # populated side fails and the bucket is flagged. Buckets absent
         # from both sides appear in neither formulation.
-        n_buckets = self._n_buckets()
-        fr = self.options.float_round
         tagged = [
-            _narrow(df, self.pk, self.compare_cols, n_buckets, fr).select(
+            self._narrow_side(side_name).select(
                 "__bucket", "__row_hash", F.lit(side).alias("__side")
             )
-            for df, side in ((self.left, 0), (self.right, 1))
+            for side_name, side in (("left", 0), ("right", 1))
         ]
         u = tagged[0].unionByName(tagged[1])
         lrow = F.when(F.col("__side") == 0, F.col("__row_hash"))
@@ -347,10 +368,8 @@ class TableCompare:
             self._diff_rows = self._diff_rows_multiset()
             return self._diff_rows
         n_buckets, bad_ids, bad = self._bad_bucket_state()
-        lh = _narrow(self.left, self.pk, self.compare_cols, n_buckets,
-                     self.options.float_round)
-        rh = _narrow(self.right, self.pk, self.compare_cols, n_buckets,
-                     self.options.float_round)
+        lh = self._narrow_side("left")
+        rh = self._narrow_side("right")
         if bad_ids is not None:
             if not bad_ids:
                 # equal-tables fast path; cached so repeat calls don't re-run

@@ -16,8 +16,31 @@ Perturbation of ``orders`` (pk = o_orderkey):
 
 from __future__ import annotations
 
+import weakref
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Plan-handle memo per input frame: each builder chains 5-6 DataFrame ops
+# and classic Datasets ANALYZE eagerly at creation, so one build costs
+# ~0.2 s of driver time (round-12 micro-profile) — re-paid per compare
+# entry per invocation although the input handle is now session-cached
+# (sources/tables.py) and the derivation is pure. Metadata only (an
+# immutable logical plan), same discipline as the load_table handle
+# cache; entries die with their input frame (WeakKeyDictionary).
+_MEMO: "weakref.WeakKeyDictionary[DataFrame, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _memoized(df: DataFrame, key: str, build: Callable[[], DataFrame]) -> DataFrame:
+    per_input = _MEMO.setdefault(df, {})
+    out = per_input.get(key)
+    if out is None:
+        out = build()
+        per_input[key] = out
+    return out
 
 DELETE_MOD, DELETE_REM = 97, 3
 MODIFY_MOD, MODIFY_REM = 89, 5
@@ -30,6 +53,10 @@ PRIO_NULL_MOD, PRIO_NULL_REM = 401, 17
 
 def perturbed_orders(orders: DataFrame) -> DataFrame:
     """The drifted slave copy of ``orders`` (see module docstring)."""
+    return _memoized(orders, "orders", lambda: _perturbed_orders(orders))
+
+
+def _perturbed_orders(orders: DataFrame) -> DataFrame:
     kept = orders.filter(F.col("o_orderkey") % DELETE_MOD != DELETE_REM)
     modified = kept.withColumn(
         "o_totalprice",
@@ -60,6 +87,10 @@ def perturbed_orders_multi(orders: DataFrame) -> DataFrame:
     then each count it, while the row-level 'modified' verdict counts it
     once.
     """
+    return _memoized(orders, "orders_multi", lambda: _perturbed_orders_multi(orders))
+
+
+def _perturbed_orders_multi(orders: DataFrame) -> DataFrame:
     kept = orders.filter(F.col("o_orderkey") % DELETE_MOD != DELETE_REM)
     modified = (
         kept.withColumn(
