@@ -1237,6 +1237,59 @@ def test_load_table_reuses_resolved_handle_per_session(spark):
     assert a.count() == b.count() > 0
 
 
+def test_load_table_shared_handle_survives_self_join(spark):
+    """Two loads of the same table are the SAME DataFrame object (round-12
+    handle cache) — a caller joining "two copies" therefore builds a
+    self-join. The supported join shapes must still analyze and produce
+    correct counts (round-12 VERDICT exposure: nothing pinned this)."""
+    a = load_table(spark, SF, "orders")
+    b = load_table(spark, SF, "orders")
+    assert a is b
+    # name-based equi-join: the shape every engine caller uses
+    assert a.join(b, "o_orderkey").count() == a.count()
+    # alias-disambiguated column-expression join also analyzes
+    j = a.alias("l").join(
+        b.alias("r"), F.col("l.o_orderkey") == F.col("r.o_orderkey")
+    )
+    assert j.count() == a.count()
+
+
+def test_load_table_cache_invalidates_on_inplace_overwrite(spark, tmp_path):
+    """A data file overwritten IN PLACE inside a parquet directory (same
+    filename set — the directory's own mtime may not move) must still
+    invalidate the metadata caches: the fingerprint folds child-entry
+    stats in (round-12 ADVICE)."""
+    import os
+    import shutil
+
+    sfdir = str(tmp_path / "sf")
+    ddir = f"{sfdir}/region.parquet"
+    v1 = load_table(spark, SF, "region")
+    n1 = v1.count()
+    v1.coalesce(1).write.parquet(ddir)
+    v2dir = str(tmp_path / "v2")
+    v1.limit(max(n1 - 1, 1)).coalesce(1).write.parquet(v2dir)
+
+    first = load_table(spark, sfdir, "region")
+    assert first.count() == n1
+    dir_stat = os.stat(ddir)
+    part1 = [f for f in os.listdir(ddir) if f.endswith(".parquet")][0]
+    part2 = [f for f in os.listdir(v2dir) if f.endswith(".parquet")][0]
+    # overwrite the part file's CONTENT under its existing name, then pin
+    # the directory's own timestamps back (the filesystems-that-don't-bump
+    # case the fingerprint must survive)
+    shutil.copyfile(f"{v2dir}/{part2}", f"{ddir}/{part1}")
+    # the in-place writer also replaces Hadoop's .crc sidecar (keeping the
+    # stale one would fail ANY reader with a ChecksumException, cached or
+    # not — this test is about the metadata caches, not checksums)
+    shutil.copyfile(f"{v2dir}/.{part2}.crc", f"{ddir}/.{part1}.crc")
+    os.utime(ddir, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+
+    again = load_table(spark, sfdir, "region")
+    assert again is not first
+    assert again.count() == max(n1 - 1, 1)
+
+
 def test_load_table_cache_invalidates_on_rewrite(spark, tmp_path):
     """A rewritten path (new mtime fingerprint) must re-resolve: the cache
     can never serve a stale relation for replaced data."""

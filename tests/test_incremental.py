@@ -212,6 +212,44 @@ def test_digest_maintenance_from_change_feed(spark, tmp_path):
     assert changed_buckets(spark, maint_path, changed, ["o_orderkey"], opts).count() == 0
 
 
+def test_digest_maintenance_respects_range_predicate(spark, tmp_path):
+    """A digest artifact written under a range-scoped CompareOptions holds
+    digests of the IN-RANGE rows only (TableCompare applies range_sql before
+    digesting). The fold must scope each change batch the same way —
+    otherwise out-of-range insert/delete rows get folded into in-scope
+    buckets, silently and permanently corrupting the artifact (the hazard
+    the function's docstring names). Folded result must equal a fresh
+    write_digests of the range-scoped changed table."""
+    from tidb_large_table_compare_spark.operators.incremental import (
+        apply_changes_to_digests,
+        write_digests,
+    )
+    from tidb_large_table_compare_spark.perturb import perturbed_orders
+    from tidb_large_table_compare_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    changed = perturbed_orders(orders)
+    opts = CompareOptions(n_buckets=64, range_sql="o_orderkey % 2 = 0")
+    base_path = str(tmp_path / "base")
+    write_digests(spark, orders, ["o_orderkey"], base_path, opts)
+
+    # the raw feed spans BOTH ranges; only the even-key rows may fold
+    deletes = orders.exceptAll(changed)
+    inserts = changed.exceptAll(orders)
+    maint_path = str(tmp_path / "maintained")
+    apply_changes_to_digests(
+        spark, base_path, maint_path, ["o_orderkey"],
+        inserts=inserts, deletes=deletes, options=opts,
+    )
+
+    fresh_path = str(tmp_path / "fresh")
+    write_digests(spark, changed, ["o_orderkey"], fresh_path, opts)
+
+    maintained = {tuple(r) for r in spark.read.parquet(maint_path).collect()}
+    fresh = {tuple(r) for r in spark.read.parquet(fresh_path).collect()}
+    assert maintained == fresh and maintained
+
+
 def test_digest_maintenance_noop_batch(spark, tmp_path):
     from tidb_large_table_compare_spark.operators.incremental import (
         apply_changes_to_digests,

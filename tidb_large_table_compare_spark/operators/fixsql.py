@@ -62,17 +62,20 @@ def fix_sql(cmp) -> DataFrame:
     # full-table drill-down join per branch — materialize once, same
     # discipline (and same already-assumed diff-sized bound) as
     # reconcile.apply_fixes. Persisted (bounded-drift) diffs pass through.
+    from tidb_large_table_compare_spark.functions.materialize import materialize
+
     try:
         from pyspark import StorageLevel
 
-        from tidb_large_table_compare_spark.functions.materialize import (
-            materialize,
-        )
-
-        if diff.storageLevel == StorageLevel.NONE:
-            diff = materialize(diff)
+        needs_materialize = diff.storageLevel == StorageLevel.NONE
     except Exception:
-        pass  # Spark Connect: storageLevel unavailable — keep the lazy diff
+        # Spark Connect: storageLevel unavailable — keep the lazy diff.
+        # Only the probe is guarded; materialize() failures propagate
+        # (round-12 ADVICE: a swallowed executor loss silently degraded
+        # to re-running the drill-down per consumer).
+        needs_materialize = False
+    if needs_materialize:
+        diff = materialize(diff)
     table = cmp.table_name
     left = cmp.left
     fields = {f.name: f.dataType for f in left.schema.fields}

@@ -68,6 +68,17 @@ __all__ = [
 # provenance cannot be verified.
 _PIN_SIDECAR = "_n_buckets"
 
+# The artifact's on-disk schema — fixed by write_digests/apply_changes_to_
+# digests by construction. Reads pass it explicitly, which skips the
+# per-read parquet footer-inference JOB (two per CDC fold+read-back,
+# round-13 profile); the reader still validates it against each file's
+# footer at scan time, so a foreign or corrupted artifact fails loudly
+# instead of being silently adapted to.
+_DIGEST_SCHEMA = (
+    "__bucket bigint, cnt bigint, xor_digest bigint, "
+    "sum_digest decimal(38,0), n_buckets int"
+)
+
 
 def _pin_payload(n_buckets: int) -> str:
     from tidb_large_table_compare_spark.functions.hashing import BUCKETING_VERSION
@@ -229,7 +240,7 @@ def _read_digests_versioned(
             f"under version {BUCKETING_VERSION} — its bucket ids are "
             f"not comparable; re-snapshot with write_digests"
         )
-    df = spark.read.parquet(path)
+    df = spark.read.schema(_DIGEST_SCHEMA).parquet(path)
     row = df.select("n_buckets").first()
     if row is not None:
         n_buckets = row["n_buckets"]
@@ -460,6 +471,14 @@ def apply_changes_to_digests(
     )
 
     def _tagged(df: DataFrame, sign: int) -> DataFrame:
+        if opts.range_sql:
+            # write_digests routes the table through TableCompare, which
+            # applies range_sql to both sides BEFORE digesting (compare.py
+            # B4) — the artifact is range-scoped. The fold must scope each
+            # change batch the same way, or out-of-range insert/delete rows
+            # are folded into in-scope buckets: silent, permanent corruption
+            # of the per-bucket (cnt, xor, sum) triples (round-12 ADVICE).
+            df = df.filter(F.expr(opts.range_sql))
         cols = sorted(df.columns)  # == TableCompare(df, df).compare_cols
         return df.select(
             bucket_id(pk, n_buckets, df).alias("__bucket"),

@@ -45,12 +45,16 @@ def apply_fixes(
     try:
         from pyspark import StorageLevel
 
-        if diff.storageLevel == StorageLevel.NONE:
-            diff = materialize(diff)
+        needs_materialize = diff.storageLevel == StorageLevel.NONE
     except Exception:
         # storageLevel is a classic-session API (absent under Spark
-        # Connect); Connect sessions simply keep the lazy diff
-        pass
+        # Connect); Connect sessions simply keep the lazy diff. Only the
+        # PROBE is guarded — a genuine materialization failure (executor
+        # loss, OOM) must propagate, not silently degrade to re-running
+        # the drill-down per consumer (round-12 ADVICE).
+        needs_materialize = False
+    if needs_materialize:
+        diff = materialize(diff)
     to_delete = diff.filter(F.col("diff_type") != "missing_in_right").select(*pk)
     to_insert = diff.filter(F.col("diff_type") != "extra_in_right").select(*pk)
     kept = right.join(F.broadcast(to_delete), pk, "left_anti")

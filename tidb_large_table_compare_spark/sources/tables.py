@@ -54,13 +54,41 @@ import weakref as _weakref
 _TABLE_CACHE = _weakref.WeakKeyDictionary()
 
 
-def _path_key(path: str) -> tuple:
+def _path_key(path: str) -> tuple | None:
+    """Fingerprint a parquet path for the metadata caches; ``None`` means
+    "not fingerprintable — bypass the caches" (never cache under a key that
+    a later-appearing path would collide with).
+
+    For a directory table the directory's own (mtime_ns, size) only moves
+    when entries are added/removed/renamed — a data file overwritten IN
+    PLACE (same filename) leaves it unchanged on most filesystems, which
+    would serve a stale schema/handle (round-12 ADVICE). Fold the child
+    entries' stats in: max child mtime_ns, total size, and entry count
+    (one os.scandir — metadata only, the same class of work as the stat).
+    """
     rp = os.path.realpath(path)
     try:
         st = os.stat(rp)
-        return (rp, st.st_mtime_ns, st.st_size)
     except OSError:
-        return (rp, None, None)
+        return None
+    import stat as _stat
+
+    if not _stat.S_ISDIR(st.st_mode):
+        return (rp, st.st_mtime_ns, st.st_size)
+    mx, total, n = st.st_mtime_ns, 0, 0
+    try:
+        with os.scandir(rp) as entries:
+            for e in entries:
+                try:
+                    est = e.stat()
+                except OSError:
+                    return None  # racing writer: don't cache a torn listing
+                mx = max(mx, est.st_mtime_ns)
+                total += est.st_size
+                n += 1
+    except OSError:
+        return None
+    return (rp, mx, total, n)
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 
@@ -139,7 +167,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     per_session = _TABLE_CACHE.setdefault(spark, {})
     key = _path_key(path)
-    cached = per_session.get(key)
+    cached = per_session.get(key) if key is not None else None
     if cached is not None:
         return cached
     if name == "events":
@@ -150,7 +178,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = normalize_event_ts(df)
     else:
         df = _read_parquet_cached_schema(spark, path, key)
-    per_session[key] = df
+    if key is not None:
+        per_session[key] = df
     return df
 
 
