@@ -464,6 +464,45 @@ def test_connected_components_raises_on_non_convergence(spark, monkeypatch):
     assert got == {(i, 0) for i in range(9)}
 
 
+def test_band_buckets_expr_matches_column_form(spark):
+    """The SQL-fragment band table (round-13 construction-cost rewrite)
+    must be bit-identical to the Column-built definition of record —
+    persisted admission indexes key on these bucket values, so any hash
+    or slice-bound drift corrupts index probes silently."""
+    from tidb_large_table_compare_spark.operators.dedup import (
+        signature_band_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signature_oph_np(
+        docs.select(
+            "doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")
+        ),
+        "doc_id",
+    ).persist()
+    new = signature_band_buckets(sigs, "doc_id")
+    rows = 128 // 32
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
+            )
+            for b in range(32)
+        ]
+    )
+    old = sigs.select(F.col("doc_id"), F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    assert new.schema == old.schema
+    assert new.exceptAll(old).count() == 0 and old.exceptAll(new).count() == 0
+    assert new.count() == 40 * 32
+    sigs.unpersist()
+
+
 def test_minhash_from_sets_drops_empty_shingle_sets(spark):
     """Docs with empty shingle arrays must be dropped, not given all-NULL
     signatures — xxhash64 over NULLs is a seed-derived constant, so every

@@ -182,3 +182,22 @@ def test_dedup_index_probe_parity_under_persist_mode(spark, tmp_path):
         assert probe() == base
     finally:
         spark.conf.unset(MODE_CONF)
+
+
+@pytest.mark.parametrize("mode", ["localCheckpoint", "persist"])
+def test_observation_latches_through_materialize(spark, mode):
+    """The CC convergence probe (round 13) rides observe() metrics on the
+    materialize job itself. That only removes the per-round count job if
+    the metric actually LATCHES on the checkpoint/persist action in both
+    seam modes — if it did not, _observation_count's fallback would count
+    the (empty) __moved filter and return 0 here, not the metric."""
+    from pyspark.sql import Observation
+
+    from tidb_large_table_compare_spark.operators.clustering import (
+        _observation_count,
+    )
+
+    obs = Observation()
+    df = spark.range(100).observe(obs, F.sum("id").alias("n_changed"))
+    out = materialize(df, mode=mode)
+    assert _observation_count(obs, out.withColumn("__moved", F.lit(False))) == 4950

@@ -37,6 +37,36 @@ def optimized_plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def ensure_min_partitions_post_shuffle(
+    derived: DataFrame,
+    input_scan: DataFrame,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """:func:`ensure_min_partitions` for a POST-SHUFFLE frame (groupBy/join
+    output), deciding from its INPUT's statically-known scan layout.
+
+    Probing ``derived.rdd.getNumPartitions()`` directly is fine on a scan
+    but toxic above a shuffle under AQE: materializing the RDD **executes
+    the plan's query stages** as throwaway jobs whose only yield is a
+    partition count — at 100 TB that is a full extra pass over the data
+    (measured: the curation pipeline's spread probe re-ran the exact-dedup
+    aggregation per invocation, round 13). The input scan's partition count
+    costs nothing to read: when the input already splits into
+    ``min_partitions``+ scan tasks the corpus is big and AQE's own
+    coalescing governs the shuffle output; only a small input (the
+    single-row-group shape) gets the explicit spread of the derived frame.
+    """
+    try:
+        default_par = derived.sparkSession.sparkContext.defaultParallelism
+        current = input_scan.rdd.getNumPartitions()
+    except Exception:
+        return derived  # Spark Connect: same degrade as ensure_min_partitions
+    target = min_partitions or default_par
+    if current < target:
+        return derived.repartition(target)
+    return derived
+
+
 def ensure_min_partitions(
     df: DataFrame,
     min_partitions: int | None = None,

@@ -58,6 +58,28 @@ def _driver_components(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _observation_count(obs, merged) -> int:
+    """Read a CC round's ``n_changed`` metric. ``Observation.get`` blocks
+    until the observed action finishes — the materialize job has already
+    run by this point, so it returns immediately. Timeout + recompute
+    fallback (same belt as ``plans/curate.py::_observed_count``): the
+    fallback costs the one count job the observation was meant to save,
+    never a hang, and reads the already-materialized frame."""
+    import threading
+
+    box: dict[str, int] = {}
+
+    def _grab() -> None:
+        box["n"] = int(obs.get["n_changed"])
+
+    t = threading.Thread(target=_grab, daemon=True)
+    t.start()
+    t.join(30.0)
+    if "n" in box:
+        return box["n"]
+    return merged.filter(F.col("__moved")).count()
+
+
 def connected_components(
     pairs: DataFrame, max_iterations: int = 20, *, edge_count: int | None = None
 ) -> DataFrame:
@@ -118,25 +140,43 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # carry (old, new) label in one frame: the convergence probe reads it
-        # directly instead of re-joining the new labels against the old ones
+        # The convergence probe rides the materialize job via observe():
+        # metrics latch on the checkpoint/persist action itself (verified
+        # for BOTH seam modes by tests/test_materialize.py), so each round
+        # is ONE job — the former dedicated changed-count job per round was
+        # pure per-round driver fixed cost (round-12 verdict item 1a).
+        obs = Observation()
         merged = materialize(
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.col("label")
+                    != F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label")),
+                    )
+                ).alias("__moved"),
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("__moved"), 1).otherwise(0)), F.lit(0)
+                ).alias("n_changed"),
             )
         )
-        changed = merged.filter(F.col("label") != F.col("old_label")).count()
+        changed = _observation_count(obs, merged)
         labels = merged.select("node", "label")
         if changed == 0:
             break

@@ -42,6 +42,12 @@ def cap_hot_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
     hot bucket is a degenerate hash collision (boilerplate shingles, near-
     constant signatures); its members pair quadratically, so at corpus
     scale one bucket can dominate the whole candidate join.
+
+    Assumes non-null (band, bucket) keys — true for every current caller
+    (band is a literal, bucket an xxhash64). A row with a NULL key would
+    be KEPT by this anti-join (NULL matches nothing), whereas the
+    pre-round-12 semi-join form dropped it; a future caller with nullable
+    keys must filter them explicitly before relying on the cap.
     """
     if max_bucket_size is None:
         return bands
@@ -482,18 +488,24 @@ def signature_band_buckets(
     """Exploded banded-LSH bucket table: (id, band, bucket) — one row per
     (doc, band), bucket = xxhash64 of that band's signature slice. The
     shared primitive behind the self-join candidate generator below and the
-    persisted admission index (`operators/dedup_index.py`)."""
+    persisted admission index (`operators/dedup_index.py`).
+
+    The band array is ONE ``F.expr`` SQL fragment rather than ``n_bands``
+    Column-built structs: the Column form cost ~130 py4j round trips plus a
+    wide eager analysis per build (~0.3 s of driver time per invocation,
+    round-13 profile) — parsed JVM-side into the identical Catalyst nodes
+    (``xxhash64`` seed 42, same ``slice`` bounds; value-identity pinned by
+    ``tests/test_extensions.py::test_band_buckets_expr_matches_column_form``).
+    """
     rows = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(F.slice("sig", b * rows + 1, rows)).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    structs = ", ".join(
+        f"struct({b} AS band, "
+        f"xxhash64(slice(sig, {b * rows + 1}, {rows})) AS bucket)"
+        for b in range(n_bands)
     )
-    return signatures.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return signatures.select(
+        F.col(id_col), F.expr(f"explode(array({structs})) AS bb")
+    ).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
 

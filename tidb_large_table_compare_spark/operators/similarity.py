@@ -427,6 +427,16 @@ def derive_max_cells(corpus: DataFrame, floor: int = 1024) -> int:
     return max(floor, math.isqrt(max(rows, 0)))
 
 
+# On-disk IVF artifact schemas — fixed by construction (build_ivf_index
+# always writes id/qv[/cell] under these names and types). Passing them
+# explicitly on every read-back skips the per-read parquet footer-inference
+# JOB (three of them per build+probe lifecycle, round-13 profile); the
+# parquet reader still validates the requested schema against each file's
+# footer at scan time, so a foreign/corrupt artifact fails loudly.
+_CENTROIDS_SCHEMA = "id long, qv array<long>"
+_ASSIGNMENTS_SCHEMA = "id long, qv array<long>, cell long"
+
+
 def build_ivf_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -492,7 +502,9 @@ def build_ivf_index(
         # build_neardup_index's re-read of its written docs/)
         cent_rows = [
             (r["id"], r["qv"])
-            for r in spark.read.parquet(f"{path}/centroids").collect()
+            for r in spark.read.schema(_CENTROIDS_SCHEMA)
+            .parquet(f"{path}/centroids")
+            .collect()
         ]
     assigned = topk_cells(prepped, "id", "qv", cent_rows, k=1, out_col="cell")
     assigned.write.mode("overwrite").parquet(f"{path}/assignments")
@@ -511,9 +523,12 @@ def ivf_query_index(
     fresh query set. Same candidate bound as the inline path: per query,
     ``n_probe`` cells' members, never the full corpus."""
     cent_rows = [
-        (r["id"], r["qv"]) for r in spark.read.parquet(f"{path}/centroids").collect()
+        (r["id"], r["qv"])
+        for r in spark.read.schema(_CENTROIDS_SCHEMA)
+        .parquet(f"{path}/centroids")
+        .collect()
     ]
-    assigned = spark.read.parquet(f"{path}/assignments")
+    assigned = spark.read.schema(_ASSIGNMENTS_SCHEMA).parquet(f"{path}/assignments")
     qprep = queries.select(
         F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("query_v")
     )

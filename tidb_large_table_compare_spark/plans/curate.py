@@ -135,13 +135,29 @@ def curate_corpus(
         .select(*docs.columns)
         .observe(obs_exact, F.count(F.lit(1)).alias("n"))
     )
-
-    # 2. near-dup: OPH MinHash → banded LSH → exact-Jaccard verify →
-    #    connected components → keep each cluster's representative (min id)
+    # exact feeds TWO heavy consumers — the shingle/signature chain and the
+    # near-dup junction the corpus write hangs off. Left lazy, BOTH re-ran
+    # the full scan + groupBy(text) dedup (round-13 profile), and probing
+    # its post-shuffle partition count for the spread below executed the
+    # aggregation a third time as throwaway .rdd jobs. One eager
+    # materialization through the seam bounds the dedup at one execution;
+    # the checkpointed frame's partition count is then statically known
+    # (RDD-backed), so the spread probe is free. persist() was measured
+    # and rejected here: AQE cannot re-plan inside cached subtrees
+    # (canChangeCachedPlanOutputPartitioning=false), so the cache
+    # materialization ran the agg + spread shuffles uncoalesced — Σjob
+    # +1.0 s at sf0.1. (The junction persist below stays: its observe()
+    # node appears twice in the decontamination write plan, and the cache
+    # boundary is what guarantees the metric cannot double-fire.)
+    from tidb_large_table_compare_spark.functions.materialize import materialize
     from tidb_large_table_compare_spark.functions.partitioning import (
         ensure_min_partitions,
     )
 
+    exact = materialize(exact)
+
+    # 2. near-dup: OPH MinHash → banded LSH → exact-Jaccard verify →
+    #    connected components → keep each cluster's representative (min id)
     # small single-row-group corpora otherwise serialize the Arrow OPH stage
     # on one core (no-op on real multi-split inputs)
     shingle_sets = ensure_min_partitions(exact).select(

@@ -15,6 +15,7 @@ from pyspark.sql import SparkSession
 def get_spark(
     app_name: str = "tidb_large_table_compare_spark",
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
@@ -55,6 +56,11 @@ def get_spark(
         # keep input splits bounded so a 100 TB scan parallelizes evenly
         .config("spark.sql.files.maxPartitionBytes", "256m")
     )
+    # builder-time extras (e.g. the profiler's event-log settings, which
+    # cannot be set on a live session) — measurement plumbing, not engine
+    # behavior; ignored when an existing session is returned by getOrCreate
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
