@@ -264,9 +264,65 @@ class TableCompare:
 
     # -- drift pre-probe -----------------------------------------------------
     def _probe_enabled(self) -> bool:
+        try:  # the concurrent probe needs job groups/cancellation (py4j)
+            self.spark.sparkContext
+        except Exception:
+            return False  # Spark Connect: keep the plain digest pass
         if self.options.drift_probe is not None:
             return self.options.drift_probe
         return self._estimate_rows() >= self._PROBE_MIN_EST_ROWS
+
+    def _probed_digest_collect(self, collect_fn):
+        """Run the digest-pass collect CONCURRENTLY with the count-only
+        probe (guide §2.6: overlap independent jobs).
+
+        Sequenced probe-then-digest was measured to REGRESS mixed-drift
+        compares whose count drift lands under the skip threshold while
+        their digest drift lands over it (the sf0.1 reconcile entry at
+        4096 buckets: probe False → full digest anyway → the probe scan
+        was pure waste, +0.3 s). Overlapped, the False verdict costs ~zero
+        wall clock — the digest was already running on idle cores — and a
+        heavy verdict cancels the digest mid-flight (its only yield would
+        have been "skip restriction"). Returns the collected bad-bucket
+        ids, or None when the probe's heavy verdict made them moot.
+
+        Thread-safety: pinned-thread mode (default since Spark 3.2) maps
+        this Python thread to its own JVM thread, so the job group set
+        inside it cannot leak to the caller's jobs; the caller's job
+        description is forwarded so UI/event-log attribution survives.
+        """
+        import threading
+        import uuid
+
+        sc = self.spark.sparkContext
+        group = f"graft-digest-{uuid.uuid4().hex[:8]}"
+        desc = sc.getLocalProperty("spark.job.description")
+        box: dict = {}
+
+        def _run() -> None:
+            sc.setJobGroup(group, desc or "compare digest pass",
+                           interruptOnCancel=True)
+            try:
+                box["ids"] = collect_fn()
+            except BaseException as exc:  # surfaced on the main thread
+                box["err"] = exc
+
+        t = threading.Thread(target=_run, daemon=True)
+        t.start()
+        try:
+            heavy = self._count_drift_is_heavy()
+        except BaseException:
+            sc.cancelJobGroup(group)
+            t.join()
+            raise
+        if heavy:
+            sc.cancelJobGroup(group)
+            t.join()
+            return None
+        t.join()
+        if "err" in box:
+            raise box["err"]
+        return box["ids"]
 
     def _count_drift_is_heavy(self) -> bool:
         """Deterministic count-only drift probe: True when MORE than
@@ -340,18 +396,27 @@ class TableCompare:
         if self._bad_state is None:
             n_buckets = self._n_buckets()
             skip_above = self._RESTRICT_SKIP_FRACTION * n_buckets
-            # regime-aware shortcut: when the cheap count-only probe already
-            # proves the drift heavy, the full digest pass's only yield —
-            # "skip restriction" — is known without paying it (the probe is
-            # size-gated so small tables run zero extra jobs, and a False
-            # can only fall through, never flip the decision of record)
-            if self._probe_enabled() and self._count_drift_is_heavy():
-                self._bad_state = (n_buckets, None, None)
-                return self._bad_state
             bad = self.mismatched_buckets()
-            bad_ids = [
-                r["__bucket"] for r in bad.limit(self._MAX_INLIST + 1).collect()
-            ]
+
+            def _collect_ids() -> list:
+                return [
+                    r["__bucket"]
+                    for r in bad.limit(self._MAX_INLIST + 1).collect()
+                ]
+
+            if self._probe_enabled():
+                # regime-aware shortcut: the count-only probe runs
+                # CONCURRENTLY with the digest collect — a heavy verdict
+                # proves "skip restriction" and cancels the digest (whose
+                # only yield that was); a False verdict costs ~zero wall
+                # clock. Size-gated, so small compares run zero extra jobs,
+                # and the decision of record is unchanged either way.
+                bad_ids = self._probed_digest_collect(_collect_ids)
+                if bad_ids is None:
+                    self._bad_state = (n_buckets, None, None)
+                    return self._bad_state
+            else:
+                bad_ids = _collect_ids()
             if len(bad_ids) <= self._MAX_INLIST:
                 if bad_ids and len(bad_ids) > skip_above:
                     self._bad_state = (n_buckets, None, None)
