@@ -296,24 +296,42 @@ def main() -> None:
     shutil.rmtree(workdir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # The stdout contract line stays COMPACT (<1 KB): round 11's committed
+    # bench artifact was front-truncated by the output-tail capture exactly
+    # because the one-line JSON had grown to ~6 KB with per-query samples,
+    # which cost that round its cross-round comparison. Bulky evidence
+    # (raw samples, per-query steal) moves to a sidecar file + a stderr
+    # comment line; the contract keys (metric/value/unit/queries/sf) and
+    # the timing methodology are unchanged.
     out = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "samples": samples,
         "cold_start_sec": cold_start,
         "sf": sf,
     }
+    full = dict(out, samples=samples)
     if steal_pct:
         vals = sorted(steal_pct.values())
         out["host_steal_pct"] = {
             "median": vals[len(vals) // 2],
             "max": vals[-1],
-            "per_query": steal_pct,
         }
+        full["host_steal_pct"] = dict(out["host_steal_pct"], per_query=steal_pct)
     if errors:
         out["errors"] = errors
+        full["errors"] = errors
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR", "/tmp/spark_graft_bench_sidecar.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f)
+        out["samples_sidecar"] = sidecar
+    except OSError:
+        pass  # evidence only; never fail the bench over it
+    print(f"# samples: {json.dumps(full)}", file=sys.stderr)
     print(json.dumps(out))
     if errors:
         sys.exit(1)  # numbers above are still recorded; the rc flags trouble

@@ -32,11 +32,22 @@ def test_bench_emits_one_json_line():
         v >= 0 for v in payload["queries"].values()
     )
     assert abs(sum(payload["queries"].values()) - payload["value"]) < 0.1
+    # The contract line stays COMPACT (round 13): the round-11 artifact was
+    # lost to output-tail truncation when the line carried every sample.
+    # Bulk evidence (samples, per-query steal) lives in the sidecar file.
+    assert len(json_lines[0]) < 1024, len(json_lines[0])
+    assert "samples" not in payload
     # Host-steal telemetry (round 11): on any Linux host the block must be
     # present and self-consistent, so a committed BENCH artifact carries its
     # own noisy-neighbor adjudication. Shape only — the value is the host's.
     if "host_steal_pct" in payload:
         steal = payload["host_steal_pct"]
-        assert set(steal) == {"median", "max", "per_query"}
+        assert set(steal) == {"median", "max"}
         assert 0 <= steal["median"] <= steal["max"] <= 100
-        assert set(steal["per_query"]) <= set(payload["queries"])
+    sidecar = payload.get("samples_sidecar")
+    assert sidecar and os.path.exists(sidecar)
+    full = json.loads(Path(sidecar).read_text())
+    assert set(full["samples"]) == set(payload["queries"])
+    assert full["queries"] == payload["queries"]
+    if "host_steal_pct" in full:
+        assert set(full["host_steal_pct"]["per_query"]) <= set(payload["queries"])
