@@ -1381,3 +1381,21 @@ def test_prefix_filtered_candidates_complete_vs_naive(spark):
     n_naive = naive.count()
     assert n_pref < n_naive, f"prefix gave {n_pref} >= naive {n_naive}"
     sets_.unpersist()
+
+
+def test_hashed_ngrams_expr_matches_column_form(spark):
+    """The name-based SQL-fragment path of hashed_word_ngrams (round-13
+    construction-cost rewrite) must be bit-identical to the Column-built
+    definition of record — persisted shingle sets and admission indexes
+    key on these hashes. Covers the short-text empty-set branch too."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b"), (3, ""), (4, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    for n in (3, 5):
+        new = docs.select("doc_id", hashed_word_ngrams("text", n).alias("s"))
+        old = docs.select(
+            "doc_id", hashed_word_ngrams(F.col("text"), n).alias("s")
+        )
+        assert new.schema == old.schema
+        assert sorted(map(str, new.collect())) == sorted(map(str, old.collect()))

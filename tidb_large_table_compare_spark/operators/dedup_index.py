@@ -61,7 +61,7 @@ def _shingle_sets(
     docs: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
     return docs.select(
-        id_col, hashed_word_ngrams(F.col(text_col), shingle_n).alias("shingles")
+        id_col, hashed_word_ngrams(text_col, shingle_n).alias("shingles")
     )
 
 

@@ -161,7 +161,7 @@ def curate_corpus(
     # small single-row-group corpora otherwise serialize the Arrow OPH stage
     # on one core (no-op on real multi-split inputs)
     shingle_sets = ensure_min_partitions(exact).select(
-        "doc_id", hashed_word_ngrams(F.col("text"), shingle_n).alias("shingles")
+        "doc_id", hashed_word_ngrams("text", shingle_n).alias("shingles")
     ).persist()
     sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
     # the bucket cap guards against boilerplate clusters exploding the
@@ -202,12 +202,12 @@ def curate_corpus(
     if benchmark is not None:
         probe = (
             benchmark.select(
-                F.explode(hashed_word_ngrams(F.col("text"), 3)).alias("gram")
+                F.explode(hashed_word_ngrams("text", 3)).alias("gram")
             )
             .distinct()
         )
         grams = neardup_cached.select(
-            "doc_id", F.explode(hashed_word_ngrams(F.col("text"), 3)).alias("gram")
+            "doc_id", F.explode(hashed_word_ngrams("text", 3)).alias("gram")
         ).distinct()
         contaminated = (
             grams.join(probe, "gram")

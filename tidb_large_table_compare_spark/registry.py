@@ -1197,7 +1197,7 @@ def _minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on 8-byte longs, and Jaccard values are unchanged (collision odds 2^-64)
     shingle_sets = _persist_tracked(
         "neardup_minhash_lsh:shingles",
-        corpus.select("doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")),
+        corpus.select("doc_id", hashed_word_ngrams("text", 5).alias("shingles")),
     )
     sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
     cands = lsh_candidate_pairs_from_array(sigs, "doc_id")
@@ -1246,7 +1246,7 @@ def _minhash_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = ensure_min_partitions(_near_dup_corpus(spark, sf_dir))
     shingle_sets = _persist_tracked(
         "neardup_minhash_lsh_capped:shingles",
-        corpus.select("doc_id", hashed_word_ngrams(F.col("text"), 5).alias("shingles")),
+        corpus.select("doc_id", hashed_word_ngrams("text", 5).alias("shingles")),
     )
     sigs = minhash_signature_oph_np(shingle_sets, "doc_id")
     cands = lsh_candidate_pairs_from_array(sigs, "doc_id", max_bucket_size=10_000)
@@ -1361,7 +1361,7 @@ def _ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _near_dup_corpus(spark, sf_dir)
     shingle_sets = _persist_tracked(
         "neardup_ngram_jaccard:shingles",
-        corpus.select("doc_id", hashed_word_ngrams(F.col("text"), 3).alias("shingles")),
+        corpus.select("doc_id", hashed_word_ngrams("text", 3).alias("shingles")),
     )
     cands = prefix_filtered_candidates(shingle_sets, "doc_id", 0.6)
     return jaccard_verified_pairs(cands, shingle_sets, "doc_id", 0.6)
