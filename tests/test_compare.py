@@ -677,20 +677,22 @@ def test_drift_probe_balanced_drift_falls_through(spark):
     }
 
 
-def test_drift_probe_auto_gates_on_estimated_size(spark):
-    """drift_probe=None (auto) must keep SMALL compares probe-free — zero
-    extra jobs below the estimated-row floor — while an explicit True/False
-    forces it either way."""
+def test_drift_probe_default_off_explicit_on(spark):
+    """The probe is strictly opt-in (measured a net loss as an auto
+    default -- the pk-scan decode is ~0.63x the digest pass it might save
+    on narrow fixtures, and saturated-core overlap is additive; see
+    OPTIMIZATION_r13.md): default and False keep the plain digest pass,
+    explicit True enables it."""
     small = spark.range(0, 100).selectExpr("id AS pk", "id AS v")
-    auto = TableCompare(spark, small, small, ["pk"], CompareOptions(n_buckets=8))
-    assert not auto._probe_enabled()
+    default = TableCompare(spark, small, small, ["pk"], CompareOptions(n_buckets=8))
+    assert not default._probe_enabled()
+    off = TableCompare(
+        spark, small, small, ["pk"],
+        CompareOptions(n_buckets=8, drift_probe=False),
+    )
+    assert not off._probe_enabled()
     forced = TableCompare(
         spark, small, small, ["pk"],
         CompareOptions(n_buckets=8, drift_probe=True),
     )
     assert forced._probe_enabled()
-    hinted = TableCompare(
-        spark, small, small, ["pk"],
-        CompareOptions(n_buckets=8, row_count_hint=10_000_000),
-    )
-    assert hinted._probe_enabled()

@@ -68,8 +68,16 @@ class CompareOptions:
     # py4j stats probe throws) run zero sizing jobs when stats are known.
     row_count_hint: int | None = None
     # Count-only drift pre-probe (see TableCompare._count_drift_is_heavy):
-    # None = auto (fires only above _PROBE_MIN_EST_ROWS estimated rows, so
-    # small tables run zero extra jobs), True/False force it on/off.
+    # OFF unless explicitly enabled. Measured round 13 (sf0.1 + sf10 A/Bs
+    # in OPTIMIZATION_r13.md): on this 6-column fixture the probe's
+    # pk-only scan costs ~0.63× the digest pass it might save (scan/decode
+    # dominates, not hashing), which makes it a net loss both when cores
+    # are saturated (the overlap is additive) and when drift is count-
+    # balanced (the probe learns nothing). Enable it (True) for WIDE
+    # tables where row_hash over many columns dwarfs a pk-only scan AND
+    # count-visible drift (inserts/deletes) is the expected failure mode —
+    # there a heavy verdict cancels the digest pass early and saves most
+    # of a full-width canonicalize+hash of both sides.
     drift_probe: bool | None = None
 
 
@@ -264,13 +272,13 @@ class TableCompare:
 
     # -- drift pre-probe -----------------------------------------------------
     def _probe_enabled(self) -> bool:
+        if not self.options.drift_probe:
+            return False  # default OFF — see CompareOptions.drift_probe
         try:  # the concurrent probe needs job groups/cancellation (py4j)
             self.spark.sparkContext
         except Exception:
             return False  # Spark Connect: keep the plain digest pass
-        if self.options.drift_probe is not None:
-            return self.options.drift_probe
-        return self._estimate_rows() >= self._PROBE_MIN_EST_ROWS
+        return True  # explicit opt-in overrides
 
     def _probed_digest_collect(self, collect_fn):
         """Run the digest-pass collect CONCURRENTLY with the count-only
